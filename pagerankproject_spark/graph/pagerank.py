@@ -1,0 +1,259 @@
+"""Damped PageRank power iteration — SURVEY.md §2a operators #9-#15.
+
+Reference semantics (/root/reference/pagerank.py:139-205), Eq 5.1 of
+*Deeper Inside PageRank*, reproduced literally in compat mode (§2.4):
+
+    x <- alpha * P^T x + (alpha * (x . a) + (1 - alpha)) * v
+    x <- x / ||x||_2                      (EVERY iteration — output is a
+                                           unit-L2 vector, not a distribution)
+    stop when ||x - x_prev||_2 < epsilon
+
+  * a = dangling indicator (src has no out-edges post-filter),
+    pagerank.py:149-151
+  * v is sum-normalized at build (pagerank.py:132-134) then L2-normalized
+    inside the loop (pagerank.py:160) — the double normalization collapses
+    to a single L2 normalization, which is what we compute.
+  * default x0 = uniform 1/sqrt(n) (pagerank.py:162-165).
+
+Spark execution shape (one pass over edges + ONE scalar action per
+iteration):
+
+  contribs = weighted_edges JOIN ranks ON src_id  -> groupBy dst_id SUM
+             (weighted_edges is hash-partitioned by src_id once at build;
+              ranks stay hash-partitioned by id, so the join needs no
+              exchange of the big side; the agg is the per-iteration
+              shuffle and partial-aggregates map-side, which also absorbs
+              in-degree skew)
+  u        = base LEFT JOIN contribs:  alpha*msg + (alpha*dm + 1-alpha)*v
+  stats    = ONE aggregate producing (sum u^2, sum u*x_prev, sum x_prev^2,
+             sum u over dangling) — from which the driver derives the L2
+             norm, the residual ||u/||u|| - x_prev||, and the NEXT
+             iteration's dangling mass, so no separate jobs for each.
+
+Lineage is truncated every iteration via localCheckpoint (plan would
+otherwise grow linearly — SURVEY §4.3); durable parquet checkpoints with
+per-partition lineage + metrics (operator #27/#28) every
+`checkpoint_interval` iterations enable resume.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..io.checkpoint import ParquetCheckpointer
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # id: long, url: string, x: double
+    iterations: int  # number of iterations executed (reference logs i=0..k)
+    residuals: list[float]
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _build_base(
+    g: GraphTables, v_expr: Column | None
+) -> tuple[DataFrame, int]:
+    """base = (id, v, is_dangling), hash-partitioned by id, persisted.
+
+    v: personalization. None -> uniform. Else an indicator/weight column
+    expression over the vertices table (url available). Normalized to unit
+    L2 (the reference's sum-then-L2 double normalization collapses; §2.4.2).
+    Returns (base, dangling_count).
+    """
+    srcs = g.weighted_edges.select("src_id").distinct()
+    base = (
+        g.vertices.join(
+            srcs.withColumn("has_out", F.lit(True)),
+            g.vertices.id == srcs.src_id,
+            "left",
+        )
+        .select(
+            "id",
+            "url",
+            F.col("has_out").isNull().alias("is_dangling"),
+            (v_expr if v_expr is not None else F.lit(1.0))
+            .cast("double")
+            .alias("v_raw"),
+        )
+    )
+    base = base.repartition(g.num_partitions, "id").persist()
+    agg = base.agg(
+        F.sum(F.col("v_raw") * F.col("v_raw")).alias("v_sq"),
+        F.sum(F.col("v_raw")).alias("v_sum"),
+        F.sum(F.when(F.col("is_dangling"), 1).otherwise(0)).alias("d_cnt"),
+    ).first()
+    assert agg["v_sum"] and agg["v_sum"] > 0, "personalization vector sums to 0"
+    v_l2 = math.sqrt(agg["v_sq"])
+    base = base.withColumn("v", F.col("v_raw") / F.lit(v_l2)).drop("v_raw")
+    return base, int(agg["d_cnt"])
+
+
+def pagerank(
+    spark: SparkSession,
+    g: GraphTables,
+    v_expr: Column | None = None,
+    alpha: float = 0.85,
+    epsilon: float = 1e-6,
+    max_iterations: int = 1000,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 1,
+    resume: bool = False,
+    job_name: str = "pagerank",
+) -> PageRankResult:
+    n = g.n
+    base, d_cnt = _build_base(g, v_expr)
+    we = g.weighted_edges
+
+    ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
+
+    start_iter = 0
+    residuals: list[float] = []
+    metrics: list[dict] = []
+    converged = False
+
+    if ckpt and resume:
+        info = ckpt.latest()
+        if info is not None:
+            ranks = (
+                ckpt.read(spark, info.iteration)
+                .select("id", "x")
+                .repartition(g.num_partitions, "id")
+                .localCheckpoint(eager=True)
+            )
+            start_iter = info.iteration + 1
+            dm = float(info.metrics["dangling_mass"])
+            residuals = list(info.metrics.get("residuals", []))
+            if residuals and residuals[-1] < epsilon:
+                out = base.select("id", "url").join(ranks, "id")
+                return PageRankResult(out, start_iter, residuals, True, metrics)
+        else:
+            resume = False
+
+    if start_iter == 0:
+        # x0 = uniform 1/sqrt(n) (already unit-L2); dangling mass of x0 is
+        # exactly d_cnt / sqrt(n) — no job needed.
+        x0 = 1.0 / math.sqrt(n)
+        ranks = base.select("id", F.lit(x0).alias("x")).localCheckpoint(eager=True)
+        dm = d_cnt * x0
+
+    prev_state: DataFrame | None = None
+    for i in range(start_iter, max_iterations):
+        t0 = time.time()
+        contribs = (
+            we.join(ranks, we.src_id == ranks.id)
+            .groupBy("dst_id")
+            .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
+        )
+        teleport = alpha * dm + (1.0 - alpha)
+        u_df = (
+            base.join(ranks.withColumnRenamed("x", "x_prev"), "id")
+            .join(contribs, base.id == contribs.dst_id, "left")
+            .select(
+                "id",
+                "is_dangling",
+                "v",
+                "x_prev",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0.0))
+                    + F.lit(teleport) * F.col("v")
+                ).alias("u"),
+            )
+        )
+        # truncate lineage + materialize once; everything below reuses it
+        u_df = u_df.localCheckpoint(eager=True)
+
+        s = u_df.agg(
+            F.sum(F.col("u") * F.col("u")).alias("s_uu"),
+            F.sum(F.col("u") * F.col("x_prev")).alias("s_ux"),
+            F.sum(F.col("x_prev") * F.col("x_prev")).alias("s_pp"),
+            F.sum(F.when(F.col("is_dangling"), F.col("u")).otherwise(0.0)).alias(
+                "s_du"
+            ),
+        ).first()
+        norm = math.sqrt(s["s_uu"])
+        residual = math.sqrt(
+            max(0.0, 1.0 - 2.0 * s["s_ux"] / norm + s["s_pp"])
+        )
+        dm = s["s_du"] / norm
+        residuals.append(residual)
+
+        ranks = u_df.select("id", (F.col("u") / F.lit(norm)).alias("x"))
+
+        it_metrics = {
+            "i": i,
+            "residual": residual,
+            "dangling_mass": dm,
+            "edges": g.num_edges,
+            "wall_sec": time.time() - t0,
+        }
+        metrics.append(it_metrics)
+
+        done = residual < epsilon
+        if ckpt and (done or i % checkpoint_interval == 0 or i == max_iterations - 1):
+            ckpt.write(
+                ranks,
+                i,
+                {
+                    "residual": residual,
+                    "dangling_mass": dm,
+                    "residuals": residuals,
+                    "alpha": alpha,
+                    "epsilon": epsilon,
+                    "n": n,
+                    "edges": g.num_edges,
+                    "wall_sec": it_metrics["wall_sec"],
+                },
+            )
+
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state = u_df
+
+        if done:
+            converged = True
+            break
+
+    out = base.select("id", "url").join(ranks, "id")
+    return PageRankResult(
+        ranks=out,
+        iterations=len(residuals),
+        residuals=residuals,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+def pagerank_from_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.85,
+    epsilon: float = 1e-6,
+    max_iterations: int = 1000,
+    filter_ratio: float | None = None,
+    max_nnz: int | None = None,
+    v_expr: Column | None = None,
+    **kw,
+) -> PageRankResult:
+    """Convenience end-to-end: raw (src,dst) string edges -> ranks by url."""
+    from ..ingest.edges import build_graph_tables
+
+    g = build_graph_tables(
+        spark, edges, max_nnz=max_nnz, filter_ratio=filter_ratio
+    )
+    return pagerank(
+        spark,
+        g,
+        v_expr=v_expr,
+        alpha=alpha,
+        epsilon=epsilon,
+        max_iterations=max_iterations,
+        **kw,
+    )

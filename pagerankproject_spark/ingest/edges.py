@@ -1,0 +1,212 @@
+"""Edge/vertex table construction — SURVEY.md §2a operators #1-#8, #23.
+
+Reference anchors (/root/reference/pagerank.py):
+  #1 source scan              pagerank.py:21-48   (engine: any edge DataFrame)
+  #2 row limit (max_nnz)      pagerank.py:39-40
+  #3 regex predicate filter   pagerank.py:41-44
+  #4 dictionary encoding      pagerank.py:45-46, 80-93
+  #5 in-degree aggregation    pagerank.py:32-33,47
+  #6 in-link-ratio filter     pagerank.py:51-56   (edges only; n frozen; strict <)
+  #7 out-degree 1/d weights   pagerank.py:59-70
+  #8 sparse matrix build      pagerank.py:72-76   (the weighted_edges DF *is* P)
+  #23 salted hash-partitioned edge table (north_rule; no reference impl)
+
+Scale posture: every step is a declarative DataFrame op (Catalyst pushes
+filters into the scan and prunes columns). Dense-id assignment avoids a
+global sort: hash-repartition the distinct vertex set, number rows within
+each partition, then add per-partition offsets (one tiny driver collect of
+P counts). The per-iteration join key (src_id) is the table's partitioning
+key, persisted once and reused by every iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Reference drop-regex (pagerank.py:42). Python re.match with leading .* is
+# an unanchored search for the inner group, so Spark's (unanchored) rlike of
+# the inner group reproduces it exactly.
+URL_DROP_RLIKE = r"((/$)|(/.*/))"
+
+
+def limit_rows(edges: DataFrame, max_nnz: int | None) -> DataFrame:
+    """Operator #2. Reference breaks when i > max_nnz (pagerank.py:39-40),
+    i.e. rows 0..max_nnz inclusive are ingested: max_nnz + 1 raw rows,
+    counted BEFORE the regex filter."""
+    if max_nnz is None:
+        return edges
+    return edges.limit(max_nnz + 1)
+
+
+def regex_filter(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Operator #3 (pagerank.py:41-44): drop a row if EITHER endpoint
+    matches the drop-regex. Runs before id assignment so dropped-only URLs
+    never enter the vertex set (SURVEY §2.4.5)."""
+    return edges.filter(
+        ~F.col(src).rlike(URL_DROP_RLIKE) & ~F.col(dst).rlike(URL_DROP_RLIKE)
+    )
+
+
+def assign_dense_ids(
+    spark: SparkSession, urls: DataFrame, num_partitions: int
+) -> DataFrame:
+    """Operator #4 (pagerank.py:80-93): url -> dense id in [0, n).
+
+    Distributed dense numbering WITHOUT a global sort: hash-repartition by
+    url, row_number within each partition, add per-partition offsets
+    (collect of exactly num_partitions counts). First-appearance order is
+    NOT reproduced — ids are internal, all outputs key by url (SURVEY §2.4.7).
+
+    Input: single-column DataFrame `url` (already distinct).
+    Output: (id: long, url: string).
+    """
+    parts = urls.repartition(num_partitions, "url").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    parts = parts.persist()
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(offsets, "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy("url")
+    out = (
+        parts.withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(offset_df), "pid")
+        .select((F.col("rn") + F.col("offset")).alias("id"), "url")
+    )
+    return out
+
+
+@dataclass
+class GraphTables:
+    """The engine's 'sparse matrix': §1.2 tables, all keyed by dense ids."""
+
+    vertices: DataFrame  # id: long, url: string  (persisted)
+    weighted_edges: DataFrame  # src_id: long, dst_id: long, weight: double (persisted, hash-partitioned by src_id)
+    n: int  # vertex count (post-regex, frozen before ratio filter)
+    num_partitions: int
+    num_edges: int  # post-all-filters edge rows (nnz of P)
+
+    def unpersist(self) -> None:
+        for df in (self.vertices, self.weighted_edges):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_graph_tables(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_nnz: int | None = None,
+    filter_ratio: float | None = None,
+    num_partitions: int | None = None,
+    salt_buckets: int = 0,
+    hot_key_threshold: int = 1_000_000,
+) -> GraphTables:
+    """Operators #1-#8 end to end: raw (src,dst) string edges -> GraphTables.
+
+    Matches the reference pipeline order exactly (SURVEY §2.4.4/.5):
+      limit -> regex filter -> [id space + in-degree fixed here] ->
+      ratio filter (edges only, strict < keep, threshold ratio*n) ->
+      out-degree 1/d weights.
+
+    `salt_buckets` > 0 adds a `salt` column (operator #23) splitting
+    edges of hot destination keys (in-degree >= hot_key_threshold) across
+    buckets, for explicit two-phase aggregation by (dst_id, salt) then
+    dst_id. At local test scale the default leaves salting off; the
+    iterative algorithms accept the column when present.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = limit_rows(edges, max_nnz)
+    e = regex_filter(e)
+    # duplicates are real links in the reference (counted in degrees and P);
+    # never dedup here.
+    e = e.persist()
+
+    # vertex set = every endpoint surviving the regex filter
+    urls = e.select(F.col("src").alias("url")).union(
+        e.select(F.col("dst").alias("url"))
+    ).distinct()
+    vertices = assign_dense_ids(spark, urls, num_partitions).persist()
+    n = vertices.count()
+
+    ids_src = vertices.select(
+        F.col("url").alias("src"), F.col("id").alias("src_id")
+    )
+    ids_dst = vertices.select(
+        F.col("url").alias("dst"), F.col("id").alias("dst_id")
+    )
+    # vertex dim is small relative to edges; hint broadcast when it fits —
+    # Spark falls back to shuffle join automatically above the threshold.
+    enc = e.join(ids_src, "src").join(ids_dst, "dst").select("src_id", "dst_id")
+
+    if filter_ratio is not None:
+        # operator #6: in-degree computed post-regex/pre-ratio; drop edges
+        # whose dst in-degree >= ratio * n (strict < keep, pagerank.py:54).
+        indeg = enc.groupBy("dst_id").agg(F.count("*").alias("indeg"))
+        hot = indeg.filter(F.col("indeg") >= F.lit(filter_ratio * n)).select(
+            "dst_id"
+        )
+        enc = enc.join(F.broadcast(hot), "dst_id", "left_anti")
+
+    # operator #7: weight = 1/outdeg(src). A window over the src_id
+    # partitioning both computes the count and leaves the data partitioned
+    # on the iteration join key — one shuffle, reused every iteration.
+    w = Window.partitionBy("src_id")
+    weighted = enc.withColumn(
+        "weight", F.lit(1.0) / F.count("*").over(w).cast("double")
+    )
+
+    if salt_buckets > 0:
+        indeg_all = weighted.groupBy("dst_id").agg(F.count("*").alias("indeg"))
+        hot_ids = indeg_all.filter(F.col("indeg") >= hot_key_threshold).select(
+            "dst_id"
+        )
+        weighted = weighted.join(
+            F.broadcast(hot_ids.withColumn("is_hot", F.lit(True))),
+            "dst_id",
+            "left",
+        ).withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.pmod(F.hash("src_id"), F.lit(salt_buckets)),
+            ).otherwise(F.lit(0)),
+        ).drop("is_hot")
+
+    weighted = weighted.repartition(num_partitions, "src_id").persist()
+    num_edges = weighted.count()
+    e.unpersist()
+
+    return GraphTables(
+        vertices=vertices,
+        weighted_edges=weighted,
+        n=n,
+        num_partitions=num_partitions,
+        num_edges=num_edges,
+    )
+
+
+def read_edge_csv(spark: SparkSession, path: str, num_partitions: int = 32) -> DataFrame:
+    """Operator #1 compatibility source: (gzipped) CSV with header
+    `source,target` (pagerank.py:21-27). gzip is unsplittable -> immediate
+    repartition so downstream work parallelizes."""
+    df = (
+        spark.read.option("header", True)
+        .schema("source STRING, target STRING")
+        .csv(path)
+        .withColumnRenamed("source", "src")
+        .withColumnRenamed("target", "dst")
+    )
+    return df.repartition(num_partitions)

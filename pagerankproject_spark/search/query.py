@@ -1,0 +1,153 @@
+"""Search layer — SURVEY.md §2a operators #16-#20.
+
+Reference anchors (/root/reference/pagerank.py):
+  #16 top-k sort            pagerank.py:216      (torch.topk over the whole
+      vector; Spark: orderBy desc + limit -> TakeOrderedAndProject, a true
+      distributed top-k, no full sort materialized)
+  #17 embedding term expansion  pagerank.py:259-269 (gensim GloVe top-5;
+      engine: injectable SynonymProvider — the external model is a
+      non-deterministic download, out of parity scope per SURVEY §2.4.8)
+  #18 boolean URL query predicate  pagerank.py:273-318 (doctests pinned
+      in tests/test_search.py)
+  #19 search scoring        pagerank.py:208,225-243 — score counts ONLY the
+      expanded neighbors, never the query term itself (pagerank.py:227-228);
+      ranking = pagerank * score; empty query -> ranking = pagerank.
+  #20 sort + filtered limit sink  pagerank.py:245-256
+
+Everything is built-in column expressions (contains / replace / length) —
+no UDF, stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# term -> [(word, similarity_score)] (top-5 in the reference)
+SynonymProvider = Callable[[str], list[tuple[str, float]]]
+
+
+def no_synonyms(_term: str) -> list[tuple[str, float]]:
+    """Default provider: no expansion (gensim absent in this environment;
+    the reference downloads glove-twitter-50 at import, pagerank.py:17)."""
+    return []
+
+
+def _split_terms(query: str) -> tuple[list[str], list[str]]:
+    positive, negative = [], []
+    for term in query.split():
+        if term.startswith("-"):
+            negative.append(term[1:])
+        else:
+            positive.append(term)
+    return positive, negative
+
+
+def query_predicate_expr(
+    query: str,
+    synonyms: SynonymProvider = no_synonyms,
+    url_col: str = "url",
+) -> Column:
+    """Operator #18 (pagerank.py:273-318) as a pure column expression.
+
+    True if any positive term (or any of its synonyms) is a substring of
+    url; vacuously True with no positive terms; overridden to False if any
+    negated term is a substring.
+    """
+    positive, negative = _split_terms(query or "")
+    url = F.col(url_col)
+
+    pos_words: list[str] = []
+    for term in positive:
+        pos_words.append(term)
+        pos_words.extend(w for w, _ in synonyms(term))
+
+    if positive:
+        satisfies = reduce(
+            lambda a, b: a | b, [url.contains(w) for w in pos_words]
+        )
+    else:
+        satisfies = F.lit(True)
+
+    for neg in negative:
+        satisfies = satisfies & ~url.contains(neg)
+    return satisfies
+
+
+def _occurrences(url: Column, word: str) -> Column:
+    """str.count(word) equivalent: non-overlapping occurrence count."""
+    return (
+        F.length(url) - F.length(F.replace(url, F.lit(word), F.lit("")))
+    ) / F.lit(len(word))
+
+
+def score_expr(
+    query: str,
+    synonyms: SynonymProvider = no_synonyms,
+    p: int = 45,
+    url_col: str = "url",
+    rank_col: str = "x",
+) -> Column:
+    """Operators #17+#19: ranking column.
+
+    Empty query -> the pagerank itself. Otherwise
+    ranking = pagerank * sum_over_expanded_words(count(word in url) * s^p),
+    where the expansion contains ONLY the synonyms of each positive term,
+    not the term itself (pagerank.py:225-228).
+    """
+    if not query:
+        return F.col(rank_col)
+    positive, _ = _split_terms(query)
+    words: list[tuple[str, float]] = []
+    for term in positive:
+        words.extend(synonyms(term))
+    url = F.col(url_col)
+    if not words:
+        return F.col(rank_col) * F.lit(0.0)
+    total = reduce(
+        lambda a, b: a + b,
+        [_occurrences(url, w) * F.lit(float(s) ** p) for w, s in words],
+    )
+    return F.col(rank_col) * total
+
+
+def search_df(
+    ranks: DataFrame,
+    query: str = "",
+    max_results: int = 10,
+    p: int = 45,
+    synonyms: SynonymProvider = no_synonyms,
+) -> DataFrame:
+    """Operators #16-#20 as a DataFrame: filter by the query predicate,
+    rank by the search score, take top max_results.
+
+    The reference sorts first and filters during emission
+    (pagerank.py:245-256); filtering first yields the same result set and
+    lets Spark run TakeOrderedAndProject instead of a full sort.
+    """
+    pred = query_predicate_expr(query, synonyms)
+    ranking = score_expr(query, synonyms, p=p)
+    return (
+        ranks.filter(pred)
+        .withColumn("ranking", ranking)
+        .orderBy(F.desc("ranking"))
+        .limit(max_results)
+        .select("url", "ranking")
+    )
+
+
+def search(
+    ranks: DataFrame,
+    query: str = "",
+    max_results: int = 10,
+    p: int = 45,
+    synonyms: SynonymProvider = no_synonyms,
+) -> list[tuple[str, float]]:
+    """Driver-side emission, mirroring the reference's logged list."""
+    return [
+        (r["url"], float(r["ranking"]))
+        for r in search_df(ranks, query, max_results, p, synonyms).collect()
+    ]

@@ -1,0 +1,78 @@
+"""T1 parity tests (SURVEY §5.2): Spark engine vs README goldens and the
+float64 NumPy oracle, on the reference's canonical small graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.graphs import (
+    SMALL_GRAPH_EDGES,
+    SMALL_GRAPH_GOLDEN_ITERATIONS,
+    SMALL_GRAPH_GOLDEN_RANKS,
+    make_weblike,
+)
+from pagerankproject_spark.graph.pagerank import pagerank_from_edges
+from pagerankproject_spark.oracle.numpy_ref import pagerank_by_url
+
+from .conftest import edges_df
+
+
+def test_oracle_matches_readme_goldens():
+    """The oracle itself reproduces /root/reference/README.md:420-449."""
+    ranks, residuals = pagerank_by_url(SMALL_GRAPH_EDGES)
+    assert len(residuals) == SMALL_GRAPH_GOLDEN_ITERATIONS
+    for url, golden in SMALL_GRAPH_GOLDEN_RANKS.items():
+        assert ranks[url] == pytest.approx(golden, abs=1e-4)
+
+
+def test_spark_small_graph_matches_goldens_and_oracle(spark):
+    res = pagerank_from_edges(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+
+    # vs README float32-printed goldens @ 1e-4 (SURVEY §2.4.6)
+    assert len(got) == 6
+    for url, golden in SMALL_GRAPH_GOLDEN_RANKS.items():
+        assert got[url] == pytest.approx(golden, abs=1e-4)
+
+    # vs float64 oracle @ allclose 1e-6 (the binding parity target)
+    oracle, oracle_res = pagerank_by_url(SMALL_GRAPH_EDGES)
+    for url, val in oracle.items():
+        assert got[url] == pytest.approx(val, abs=1e-6)
+
+    # convergence trajectory: same iteration count, same residuals
+    assert res.iterations == len(oracle_res) == SMALL_GRAPH_GOLDEN_ITERATIONS
+    assert res.converged
+    for a, b in zip(res.residuals, oracle_res):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_spark_weblike_matches_oracle_with_filters(spark):
+    """Regex filter + ratio filter + dangling handling on a lawfareblog-
+    shaped graph, engine vs oracle @ 1e-6."""
+    pairs = make_weblike(seed=7, n_nodes=300, m_edges=3000)
+    res = pagerank_from_edges(
+        spark, edges_df(spark, pairs), alpha=0.85, filter_ratio=0.3
+    )
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+    oracle, _ = pagerank_by_url(pairs, alpha=0.85, filter_ratio=0.3)
+    assert set(got) == set(oracle)
+    for url, val in oracle.items():
+        assert got[url] == pytest.approx(val, abs=1e-6), url
+
+
+def test_spark_personalization_matches_oracle(spark):
+    from pyspark.sql import functions as F
+
+    pairs = make_weblike(seed=11, n_nodes=200, m_edges=1500)
+    matches = {u for e in pairs for u in e if u.endswith(("1", "3", "7"))}
+    res = pagerank_from_edges(
+        spark,
+        edges_df(spark, pairs),
+        v_expr=F.col("url").endswith("1")
+        | F.col("url").endswith("3")
+        | F.col("url").endswith("7"),
+    )
+    oracle, _ = pagerank_by_url(pairs, personalization_matches=matches)
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+    for url, val in oracle.items():
+        assert got[url] == pytest.approx(val, abs=1e-6), url
