@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Graph-ops CLI: connected components / label propagation / triangle
+counting over an edge CSV (same source format as pagerank_job).
+
+    spark-submit jobs/graph_job.py --algo cc|lpa|triangles --data edges.csv.gz
+        [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
+        [--resume] [--output DIR] [--master local[32]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles"])
+    p.add_argument("--data", required=True)
+    p.add_argument("--max_iterations", type=int, default=100)
+    p.add_argument("--salt_buckets", type=int, default=0)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None)
+    p.add_argument("--show", type=int, default=10)
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pagerankproject_spark.graph.components import connected_components
+    from pagerankproject_spark.graph.labelprop import label_propagation
+    from pagerankproject_spark.graph.triangles import triangle_counts
+    from pagerankproject_spark.ingest.edges import build_graph_tables, read_edge_csv
+    from pagerankproject_spark.session import get_spark
+
+    spark = get_spark(app_name=f"graph-{args.algo}", master=args.master)
+    g = build_graph_tables(spark, read_edge_csv(spark, args.data))
+    print(f"n= {g.n} edges= {g.num_edges}")
+
+    if args.algo == "cc":
+        res = connected_components(
+            spark,
+            g,
+            max_iterations=args.max_iterations,
+            salt_buckets=args.salt_buckets,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        out = res.components.orderBy("component", "url")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
+        n_comp = out.select("component").distinct().count()
+        print(f"components= {n_comp}")
+    elif args.algo == "lpa":
+        res = label_propagation(
+            spark,
+            g,
+            max_iterations=args.max_iterations,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        out = res.labels.orderBy("label", "url")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
+    else:
+        res = triangle_counts(spark, g)
+        out = res.per_edge.orderBy("a", "b")
+        print(f"total_triangles= {res.total}")
+
+    out.show(args.show, truncate=False)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

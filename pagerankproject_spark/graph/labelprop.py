@@ -1,0 +1,119 @@
+"""Label propagation (LPA) — SURVEY.md §2b operator #25.
+
+No reference implementation (north_rule mandate). Semantics, chosen for
+exact reproducibility (the north_rule requires exact-match outputs):
+
+  * undirected neighborhoods; each synchronous iteration every vertex
+    adopts the most frequent label among its neighbors, ties broken by
+    MINIMUM label; isolated vertices keep their own label;
+  * labels are the vertex urls (strings) so the tie-break order is the
+    url order — id order is hash-dependent and would not be stable;
+  * stops when no label changes or after max_iterations.
+
+Execution shape per iteration:
+  counts = sym_edges JOIN labels ON src -> groupBy (dst, label) COUNT
+  winner = counts groupBy dst MIN(struct(-count, label))
+           -- a fully combinable agg (partial map-side), NOT a window:
+           a row_number window partitioned by dst would concentrate a
+           hub's rows in one task; min(struct) partial-aggregates and is
+           skew-immune.
+  changed = SUM(new != old)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..io.checkpoint import ParquetCheckpointer
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # url: string, label: string
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    spark: SparkSession,
+    g: GraphTables,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    job_name: str = "lpa",
+) -> LPAResult:
+    P = g.num_partitions
+    ids = g.weighted_edges.select("src_id", "dst_id")
+    v = g.vertices
+    named = (
+        ids.join(v.select(F.col("id").alias("src_id"), F.col("url").alias("src")), "src_id")
+        .join(v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst")), "dst_id")
+        .select("src", "dst")
+    )
+    sym = (
+        named.union(named.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(P, "src")
+        .persist()
+    )
+
+    labels = v.select(F.col("url").alias("id"), F.col("url").alias("label")).repartition(
+        P, "id"
+    )
+
+    start_iter, converged = 0, False
+    ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
+    if ckpt and resume:
+        info = ckpt.latest()
+        if info is not None:
+            labels = ckpt.read(spark, info.iteration).repartition(P, "id")
+            start_iter = info.iteration + 1
+            converged = bool(info.metrics.get("converged", False))
+
+    labels = labels.localCheckpoint(eager=True)
+    metrics: list[dict] = []
+    it = start_iter
+    while it < max_iterations and not converged:
+        t0 = time.time()
+        counts = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = counts.groupBy("v").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("w")
+        ).select("v", F.col("w.label").alias("new_in"))
+        new_labels = (
+            labels.join(winner, labels.id == winner.v, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_in"), F.col("label")).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(
+            F.sum(
+                F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
+            ).alias("c")
+        ).first()["c"]
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
+        metrics.append({"i": it, "changed": int(changed), "wall_sec": time.time() - t0})
+        converged = changed == 0
+        if ckpt and (converged or it % checkpoint_interval == 0):
+            ckpt.write(labels, it, {"changed": int(changed), "converged": converged})
+        it += 1
+
+    sym.unpersist()
+    return LPAResult(
+        labels=labels.select(F.col("id").alias("url"), "label"),
+        iterations=it - start_iter,
+        converged=converged,
+        metrics=metrics,
+    )

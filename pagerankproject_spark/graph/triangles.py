@@ -1,0 +1,125 @@
+"""Per-edge triangle counting via two-phase sorted-neighbor (wedge)
+joins — SURVEY.md §2b operator #26 (north_rule mandate; no reference
+implementation).
+
+Semantics (exact-match): the graph is simplified first — self-loops
+dropped, edges canonicalized to (least, greatest) and deduplicated. For
+each undirected edge, the number of triangles containing it; plus the
+global triangle count.
+
+Algorithm (the classic degree-ordered wedge enumeration, shuffle-bound
+O(sum of C(outdeg+, 2)) which orientation bounds by O(m^1.5)):
+
+  1. orient every edge from the endpoint with smaller (degree, url) to
+     the larger — struct comparison gives the total order directly;
+  2. wedges: self-join oriented edges on their source u -> (u, v, w)
+     with rk(v) < rk(w) — each potential triangle generated exactly once
+     from its lowest-rank vertex;
+  3. close: join wedges against oriented edges on (v, w) — every match
+     is one triangle;
+  4. per-edge counts: explode each triangle into its 3 canonical edges,
+     count, right-join back onto the edge list (zero-fill).
+
+Everything is DataFrame joins/aggs — no UDF, no collect. The orientation
+step is exactly what makes hub vertices (web-graph skew) survivable: a
+hub's edges are almost all oriented INTO it, so it never fans out wedges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+
+
+@dataclass
+class TriangleResult:
+    per_edge: DataFrame  # a: string, b: string (a<b), triangles: long
+    total: int
+
+
+def triangle_counts(
+    spark: SparkSession, g: GraphTables | None = None, edges: DataFrame | None = None
+) -> TriangleResult:
+    """`edges` (src,dst string columns) overrides `g` if given."""
+    if edges is None:
+        ids = g.weighted_edges.select("src_id", "dst_id")
+        v = g.vertices
+        edges = (
+            ids.join(
+                v.select(F.col("id").alias("src_id"), F.col("url").alias("src")),
+                "src_id",
+            )
+            .join(
+                v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst")),
+                "dst_id",
+            )
+            .select("src", "dst")
+        )
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .union(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+
+    # rank = struct(deg, url): total order; orient small -> large
+    ranked = (
+        und.join(deg.withColumnRenamed("x", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("u")).alias("ra"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("u")).alias("rb"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rv"),
+    ).persist()
+
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("rv").alias("r1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("rv").alias("r2"))
+    wedges = e1.join(e2, "u").filter(F.col("r1") < F.col("r2")).select(
+        "u", "v1", "v2"
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    triangles = wedges.join(closing, ["v1", "v2"]).persist()
+
+    total = triangles.count()
+
+    tri_edges = triangles.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b")
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    counts = tri_edges.groupBy("a", "b").agg(F.count("*").alias("triangles"))
+    per_edge = und.join(counts, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    )
+    return TriangleResult(per_edge=per_edge, total=int(total))

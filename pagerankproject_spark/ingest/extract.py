@@ -1,0 +1,68 @@
+"""Outlink extraction: pages -> edges — SURVEY.md §2b operator #22.
+
+Input is the Common-Crawl-style `pages` table fixed by BASELINE.json
+input_hint: (url string, warc_ts timestamp, html binary, text string,
+lang string). The reference never parses HTML (it consumes a
+pre-extracted CSV; edge semantics /root/reference/README.md:58-59), so
+extraction is defined as a pure deterministic function: every
+`<a href="...">` target in the html bytes, in document order.
+
+Two implementations, asserted identical in tests:
+
+  * impl="sql"   (default) — JVM-side `regexp_extract_all` + explode.
+    Zero Python in the hot path, whole-stage codegen, the fastest path
+    at 100 TB. Column pruning means only (url, html) is read.
+  * impl="arrow" — vectorized pandas UDF over Arrow batches
+    (`pandas .str.extractall`, no per-row Python), the pattern mandated
+    by input_hint for row-level compute Spark can't express natively;
+    kept as the template for heavier parsers (real HTML tokenizers,
+    multimodal decoders).
+
+Per-row invariant vs the reference: extracted `text` is byte-identical
+per url — the text column passes through UNCHANGED (identity), asserted
+in tests (SURVEY §2b #22).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+HREF_REGEX = r'<a\s[^>]*href="([^"]*)"'
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _extract_hrefs_arrow(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction: bytes -> list of href targets."""
+    text = html.apply(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    hits = text.str.extractall(HREF_REGEX)
+    if hits.empty:
+        return pd.Series([[] for _ in range(len(html))], index=html.index)
+    grouped = hits[0].groupby(level=0).agg(list)
+    return grouped.reindex(text.index).apply(
+        lambda v: v if isinstance(v, list) else []
+    )
+
+
+def extract_outlinks(pages: DataFrame, impl: str = "sql") -> DataFrame:
+    """pages -> (src: string, dst: string), one row per href occurrence
+    (duplicates preserved — each corresponds to one <a> tag / one edge)."""
+    if impl == "sql":
+        targets = F.regexp_extract_all(
+            F.decode(F.col("html"), "UTF-8"), F.lit(HREF_REGEX), F.lit(1)
+        )
+    elif impl == "arrow":
+        targets = _extract_hrefs_arrow(F.col("html"))
+    else:
+        raise ValueError(f"unknown impl: {impl}")
+    return pages.select(
+        F.col("url").alias("src"), F.explode(targets).alias("dst")
+    )
+
+
+def extracted_text(pages: DataFrame) -> DataFrame:
+    """The text side of extraction: identity pass-through of the `text`
+    column (byte-identical per url — the binding per-row invariant)."""
+    return pages.select("url", "text")

@@ -26,7 +26,9 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-METRICS_FILE = "metrics.json"
+# underscore prefix: Spark's file index ignores it (like _SUCCESS), so the
+# marker can live inside the data directory without breaking parquet reads
+METRICS_FILE = "_metrics.json"
 
 
 @dataclass

@@ -1,0 +1,85 @@
+"""T4 lifecycle tests (SURVEY §5.2): interrupt after iteration k, resume,
+final state identical to the uninterrupted run; checkpoint metadata
+carries per-partition lineage + metrics (operator #27/#28)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fixtures.graphs import SMALL_GRAPH_EDGES, make_weblike
+from pagerankproject_spark.graph.pagerank import pagerank
+from pagerankproject_spark.graph.components import connected_components
+from pagerankproject_spark.ingest.edges import build_graph_tables
+from pagerankproject_spark.io.checkpoint import ParquetCheckpointer
+
+from .conftest import edges_df
+
+
+def test_pagerank_resume_identical(spark, tmp_path):
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+
+    full = pagerank(spark, g, checkpoint_dir=str(tmp_path / "full"))
+    want = {r["url"]: r["x"] for r in full.ranks.collect()}
+
+    # interrupted run: stop after 7 iterations (simulates a crash)
+    partial = pagerank(
+        spark, g, max_iterations=7, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert not partial.converged
+
+    resumed = pagerank(
+        spark, g, checkpoint_dir=str(tmp_path / "ck"), resume=True
+    )
+    got = {r["url"]: r["x"] for r in resumed.ranks.collect()}
+    assert resumed.converged
+    for url, val in want.items():
+        assert got[url] == pytest.approx(val, abs=1e-12), url
+    assert len(resumed.residuals) == len(full.residuals)
+    for a, b in zip(resumed.residuals, full.residuals):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_checkpoint_metadata_lineage(spark, tmp_path):
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    pagerank(spark, g, max_iterations=3, checkpoint_dir=str(tmp_path))
+    ck = ParquetCheckpointer(str(tmp_path), "pagerank")
+    info = ck.latest()
+    assert info is not None and info.iteration == 2
+    m = info.metrics
+    assert {"residual", "dangling_mass", "alpha", "n", "edges", "per_partition"} <= set(m)
+    assert m["n_partitions"] == len(m["per_partition"]) > 0
+    assert all(p["rows"] >= 0 and p["bytes"] > 0 for p in m["per_partition"])
+    total_rows = sum(p["rows"] for p in m["per_partition"])
+    assert total_rows == g.n
+
+
+def test_uncommitted_checkpoint_ignored(spark, tmp_path):
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    pagerank(spark, g, max_iterations=4, checkpoint_dir=str(tmp_path))
+    ck = ParquetCheckpointer(str(tmp_path), "pagerank")
+    latest = ck.latest()
+    # simulate an aborted write: newer dir without the metrics commit marker
+    bad = os.path.join(ck.dir, "iter=000099")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert ck.latest().iteration == latest.iteration
+
+
+def test_components_resume_identical(spark, tmp_path):
+    pairs = make_weblike(seed=21, n_nodes=150, m_edges=1200)
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    full = connected_components(spark, g)
+    want = {r["url"]: r["component"] for r in full.components.collect()}
+
+    connected_components(
+        spark, g, max_iterations=2, checkpoint_dir=str(tmp_path), checkpoint_interval=1
+    )
+    resumed = connected_components(
+        spark, g, checkpoint_dir=str(tmp_path), resume=True, checkpoint_interval=1
+    )
+    got = {r["url"]: r["component"] for r in resumed.components.collect()}
+    assert got == want

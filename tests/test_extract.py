@@ -1,0 +1,61 @@
+"""T3 extraction tests (SURVEY §5.2): link-plan fidelity, byte-identical
+text invariant, sql/arrow implementation equivalence."""
+
+from __future__ import annotations
+
+from fixtures.pages import make_pages
+from pagerankproject_spark.ingest.extract import (
+    extract_outlinks,
+    extracted_text,
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        PAGES_SCHEMA,
+    )
+
+
+def test_extraction_matches_link_plan(spark):
+    rows, expected_edges, _ = make_pages(seed=42, n_pages=80)
+    pages = _pages_df(spark, rows)
+    got = [(r["src"], r["dst"]) for r in extract_outlinks(pages).collect()]
+    assert sorted(got) == sorted(expected_edges)
+
+
+def test_sql_and_arrow_impls_identical(spark):
+    rows, _, _ = make_pages(seed=1, n_pages=40)
+    pages = _pages_df(spark, rows)
+    sql = sorted(
+        (r["src"], r["dst"]) for r in extract_outlinks(pages, "sql").collect()
+    )
+    arrow = sorted(
+        (r["src"], r["dst"]) for r in extract_outlinks(pages, "arrow").collect()
+    )
+    assert sql == arrow
+
+
+def test_text_byte_identical_per_url(spark):
+    """The binding per-row invariant (BASELINE.json input_hint)."""
+    rows, _, expected_text = make_pages(seed=42, n_pages=60)
+    pages = _pages_df(spark, rows)
+    got = {r["url"]: r["text"].encode("utf-8") for r in extracted_text(pages).collect()}
+    assert got == expected_text
+
+
+def test_html_column_pruned_from_text_plan(spark):
+    """Plan assertion (T4): reading `text` must not scan `html`."""
+    import tempfile
+
+    rows, _, _ = make_pages(seed=2, n_pages=20)
+    with tempfile.TemporaryDirectory() as d:
+        _pages_df(spark, rows).write.mode("overwrite").parquet(d)
+        df = extracted_text(spark.read.parquet(d))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "html" not in plan
+        assert "ReadSchema" in plan or "Scan" in plan

@@ -1,0 +1,91 @@
+"""T2 graph-ops tests (SURVEY §5.2): CC / LPA / triangles exact outputs
+vs hand fixtures and the brute-force oracle."""
+
+from __future__ import annotations
+
+from fixtures.graphs import (
+    TRIANGLE_CHAIN_EDGES,
+    TRIANGLE_CHAIN_PER_EDGE,
+    TRIANGLE_CHAIN_TOTAL,
+    TWO_COMPONENTS_EDGES,
+    make_clustered_random,
+    make_two_cliques_bridge,
+    make_weblike,
+)
+from pagerankproject_spark.graph.components import connected_components
+from pagerankproject_spark.graph.labelprop import label_propagation
+from pagerankproject_spark.graph.triangles import triangle_counts
+from pagerankproject_spark.ingest.edges import build_graph_tables
+from pagerankproject_spark.oracle import numpy_ref as oracle
+
+from .conftest import edges_df
+
+
+def _tables(spark, pairs, **kw):
+    return build_graph_tables(spark, edges_df(spark, pairs), **kw)
+
+
+def test_connected_components_two_components(spark):
+    g = _tables(spark, TWO_COMPONENTS_EDGES)
+    res = connected_components(spark, g)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    # note: isolated vertex "f" never appears in the edge table, so the
+    # engine's vertex set is {a..e} (the reference builds its vertex set
+    # from edges too, pagerank.py:45-46)
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    assert res.converged
+
+
+def test_connected_components_clustered_matches_oracle(spark):
+    pairs, k = make_clustered_random(seed=3, k_clusters=5, n=150, p_in=0.08)
+    g = _tables(spark, pairs)
+    res = connected_components(spark, g, salt_buckets=4)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    expected = oracle.connected_components(pairs)
+    assert got == expected
+    assert len(set(got.values())) == k
+
+
+def test_lpa_two_cliques(spark):
+    pairs = make_two_cliques_bridge(k=5)
+    g = _tables(spark, pairs)
+    res = label_propagation(spark, g, max_iterations=20)
+    got = {r["url"]: r["label"] for r in res.labels.collect()}
+    expected = oracle.label_propagation(pairs, max_iterations=20)
+    assert got == expected
+
+
+def test_lpa_weblike_matches_oracle(spark):
+    pairs = make_weblike(seed=5, n_nodes=120, m_edges=900)
+    g = _tables(spark, pairs)
+    res = label_propagation(spark, g, max_iterations=8)
+    got = {r["url"]: r["label"] for r in res.labels.collect()}
+    expected = oracle.label_propagation(
+        [e for e in _post_regex(pairs)], max_iterations=8
+    )
+    assert got == expected
+
+
+def _post_regex(pairs):
+    import re
+
+    rx = re.compile(r".*((/$)|(/.*/)).*")
+    return [(s, t) for s, t in pairs if not rx.match(s) and not rx.match(t)]
+
+
+def test_triangles_chain(spark):
+    g = _tables(spark, TRIANGLE_CHAIN_EDGES)
+    res = triangle_counts(spark, g)
+    got = {(r["a"], r["b"]): r["triangles"] for r in res.per_edge.collect()}
+    assert got == TRIANGLE_CHAIN_PER_EDGE
+    assert res.total == TRIANGLE_CHAIN_TOTAL
+
+
+def test_triangles_weblike_matches_oracle(spark):
+    pairs = make_weblike(seed=9, n_nodes=100, m_edges=800)
+    post = _post_regex(pairs)
+    res = triangle_counts(spark, edges=edges_df(spark, post))
+    got = {(r["a"], r["b"]): r["triangles"] for r in res.per_edge.collect()}
+    per_edge, total = oracle.triangle_counts(post)
+    assert got == per_edge
+    assert res.total == total
