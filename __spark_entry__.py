@@ -1,38 +1,699 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The engine's own input shape (BASELINE.json input_hint) is a
+link-graph over web pages; the driver's parquet tables are TPC-H-ish,
+so every graph query here first derives a deterministic edge table
+from `orders` (same arithmetic in the Spark builder and the SQL CTE —
+see _EDGES_CTE). URLs are crafted so the reference's regex filter
+(/root/reference/pagerank.py:41-44) has real work: ~1/13 of targets
+are multi-segment paths and ~1/17 end in '/', both dropped.
+
+Floating-point discipline for the value-hash compare: every
+non-exact double column is rounded (6dp) on BOTH sides; exact
+rationals (1/outdeg) and decimal-summed money stay unrounded where
+bit-equality is guaranteed by IEEE semantics.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pagerankproject_spark.dedup.exact import dedup_exact, sql_dedup_exact
+from pagerankproject_spark.dedup.jaccard import jaccard_pairs, sql_jaccard_pairs
+from pagerankproject_spark.dedup.minhash import (
+    minhash_lsh_pairs,
+    sql_minhash_lsh_pairs,
+)
+from pagerankproject_spark.dedup.simhash import (
+    simhash_fingerprints,
+    sql_simhash_fingerprints,
+)
+from pagerankproject_spark.graph.components import connected_components
+from pagerankproject_spark.graph.labelprop import label_propagation
+from pagerankproject_spark.graph.pagerank import pagerank_from_edges
+from pagerankproject_spark.graph.triangles import triangle_counts
+from pagerankproject_spark.ingest.edges import URL_DROP_RLIKE, build_graph_tables, regex_filter
+from pagerankproject_spark.ingest.extract import extract_outlinks
+from pagerankproject_spark.similarity.cosine import (
+    cosine_similar_pairs,
+    cosine_topk,
+    sql_cosine_similar_pairs,
+    sql_cosine_topk,
+)
+from pagerankproject_spark.similarity.lsh import ann_lsh_pairs, sql_ann_lsh_pairs
+from pagerankproject_spark.streaming.events import (
+    sessionize,
+    sql_sessionize,
+    sql_windowed_event_counts,
+    windowed_event_counts,
+)
+from pagerankproject_spark.text.analysis import (
+    fingerprint_expr,
+    lang_id_expr,
+    punct_count_expr,
+    quality_score_expr,
+    sql_fingerprint,
+    sql_lang_hit_columns,
+    sql_lang_id_case,
+    sql_punct_count,
+    sql_quality_score,
+    sql_stopword_count,
+    sql_token_count,
+    sql_word_token_count,
+    stopword_count_expr,
+    token_count_expr,
+    word_token_count_expr,
+)
+
+RATIO = 0.03  # in-link-ratio filter threshold for the derived graph
+
+
+# ---------------------------------------------------------------------------
+# deterministic edge table derived from `orders` (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    src = F.concat(F.lit("site.com/p"), (F.col("o_custkey") % 500).cast("string"))
+    dst = (
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("site.com/cat/page"), (F.col("o_orderkey") % 50).cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 17 == 0,
+            F.concat(
+                F.lit("site.com/p"), (F.col("o_orderkey") % 500).cast("string"), F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("site.com/p"), (F.col("o_orderkey") % 700).cast("string"))
+        )
+    )
+    return o.select(src.alias("src"), dst.alias("dst"))
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return regex_filter(_edges_raw(spark, sf_dir))
+
+
+_EDGES_CTE = f"""
+edges_raw as (
+    select 'site.com/p' || (o_custkey % 500) as src,
+           case when o_orderkey % 13 = 0
+                     then 'site.com/cat/page' || (o_orderkey % 50)
+                when o_orderkey % 17 = 0
+                     then 'site.com/p' || (o_orderkey % 500) || '/'
+                else 'site.com/p' || (o_orderkey % 700) end as dst
+    from orders
+),
+edges as (
+    select src, dst from edges_raw
+    where not regexp_matches(src, '{URL_DROP_RLIKE}')
+      and not regexp_matches(dst, '{URL_DROP_RLIKE}')
+),
+vertices as (
+    select src as url from edges union select dst from edges
+),
+sym as (
+    select src, dst from edges union all select dst as src, src as dst from edges
+)
+"""
+
+
+def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    return (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph-build / relational operator queries (SURVEY §2a)
+# ---------------------------------------------------------------------------
+
+def q_edge_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir)
+
+
+def q_degree_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("url"))
+        .agg(F.count("*").cast("long").alias("outdeg"))
+    )
+
+
+def q_degree_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("url"))
+        .agg(F.count("*").cast("long").alias("indeg"))
+    )
+
+
+def q_weight_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("src")
+    return _edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.count("*").over(w).cast("double")).alias("weight"),
+    )
+
+
+def q_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    n = _vertices(spark, sf_dir).count()
+    indeg = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    hot = indeg.filter(F.col("indeg") >= F.lit(RATIO) * F.lit(float(n))).select("dst")
+    return e.join(F.broadcast(hot), "dst", "left_anti").select("src", "dst")
+
+
+def q_dangling_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    v = _vertices(spark, sf_dir)
+    return v.join(
+        e.select(F.col("src").alias("url")).distinct(), "url", "left_anti"
+    )
+
+
+def q_top_pages_by_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_degree_in(spark, sf_dir)
+        .orderBy(F.desc("indeg"), F.asc("url"))
+        .limit(20)
+    )
+
+
+def q_spmv_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank contribution step (operator #11) with x == 1."""
+    w = Window.partitionBy("src")
+    weighted = _edges(spark, sf_dir).select(
+        "dst", (F.lit(1.0) / F.count("*").over(w).cast("double")).alias("weight")
+    )
+    return weighted.groupBy("dst").agg(F.round(F.sum("weight"), 6).alias("msg"))
+
+
+# ---------------------------------------------------------------------------
+# iterative graph algorithms (full runs: rows-only; one-iter: SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank_from_edges(
+        spark, _edges(spark, sf_dir), alpha=0.85, epsilon=1e-6, max_iterations=60
+    )
+    return res.ranks.select("url", "x")
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return connected_components(spark, g, max_iterations=50).components
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return label_propagation(spark, g, max_iterations=5).labels
+
+
+def q_cc_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _sym(spark, sf_dir)
+    return sym.groupBy(F.col("dst").alias("url")).agg(
+        F.least(F.col("dst"), F.min("src")).alias("component")
+    )
+
+
+def q_lpa_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _sym(spark, sf_dir)
+    counts = sym.groupBy(F.col("dst").alias("url"), F.col("src").alias("label")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("label").alias("new_label"))
+    )
+
+
+def q_triangles_per_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(spark, edges=_edges(spark, sf_dir)).per_edge
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_edge = triangle_counts(spark, edges=_edges(spark, sf_dir)).per_edge
+    return per_edge.agg(
+        (F.sum("triangles") / F.lit(3)).cast("long").alias("n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# search layer (SURVEY §2a #16-#20)
+# ---------------------------------------------------------------------------
+
+def _occurrences(url, word: str):
+    return (
+        (F.length(url) - F.length(F.replace(url, F.lit(word), F.lit(""))))
+        / F.length(F.lit(word))
+    ).cast("double")
+
+
+def q_url_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vertices(spark, sf_dir)
+    url = F.col("url")
+    score = _occurrences(url, "p1") * F.lit(0.8) + _occurrences(url, "p2") * F.lit(0.5)
+    return v.select("url", F.round(score, 6).alias("score"))
+
+
+def q_url_query_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vertices(spark, sf_dir)
+    return v.filter(F.col("url").contains("p1") & ~F.col("url").contains("p42"))
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (operator #22) over synthesized pages
+# ---------------------------------------------------------------------------
+
+def q_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><a href="site.com/p'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('"><a href="site.com/q'),
+        (F.col("doc_id") % 70).cast("string"),
+        F.lit('">'),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_outlinks(pages, impl="sql")
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_expr(t).alias("n_tokens"),
+        word_token_count_expr(t).alias("n_word_tokens"),
+        punct_count_expr(t).alias("n_punct"),
+        stopword_count_expr(t).alias("n_stopwords"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.05, n=2)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=2)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_similar_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata (binary plumbing; decode itself is pytest-covered)
+# ---------------------------------------------------------------------------
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.octet_length(media).cast("long").alias("n_bytes"),
+        F.sha2(media, 256).alias("sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event stream operators (batch form; streaming form is pytest-covered)
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ->LTZ casts below go through the session tz; pin it so the
+    # epoch matches DuckDB's tz-naive epoch_us under any driver session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read(spark, sf_dir, "events")
+    out = windowed_event_counts(e, window="1 hour")
+    # parquet timestamps arrive as TIMESTAMP_NTZ: route through unix_micros
+    # on the LTZ view (session tz pinned to UTC) for an epoch-exact long.
+    return out.select(
+        (F.unix_micros(F.col("window_start").cast("timestamp_ltz")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp_ltz")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp_ltz")).alias(
+            "session_end_us"
+        ),
+    )
+
+
+def q_events_json_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
+            # per-row double->decimal rounding is NOT portable (HALF_UP vs
+            # half-even at binary .005 boundaries) — sum doubles, round once.
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "c_mktsegment",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank over the derived link graph at sf0.001,
+    top 20 pages by rank."""
+    res = pagerank_from_edges(
+        spark,
+        _edges(spark, "/root/testdata/sf0.001"),
+        alpha=0.85,
+        epsilon=1e-6,
+        max_iterations=60,
+    )
+    return (
+        res.ranks.select("url", F.round("x", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_regex_filter": q_edge_regex_filter,
+        "degree_out": q_degree_out,
+        "degree_in": q_degree_in,
+        "weight_normalize": q_weight_normalize,
+        "ratio_filter": q_ratio_filter,
+        "dangling_vertices": q_dangling_vertices,
+        "top_pages_by_indegree": q_top_pages_by_indegree,
+        "spmv_step": q_spmv_step,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "cc_one_iter": q_cc_one_iter,
+        "lpa_one_iter": q_lpa_one_iter,
+        "triangles_per_edge": q_triangles_per_edge,
+        "triangle_total": q_triangle_total,
+        "url_search_score": q_url_search_score,
+        "url_query_predicate": q_url_query_predicate,
+        "outlink_extract": q_outlink_extract,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "media_metadata": q_media_metadata,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_json_sum": q_events_json_sum,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = f"with {_EDGES_CTE}"
+    return {
+        "edge_regex_filter": f"{g} select src, dst from edges",
+        "degree_out": f"{g} select src as url, count(*)::bigint as outdeg from edges group by 1",
+        "degree_in": f"{g} select dst as url, count(*)::bigint as indeg from edges group by 1",
+        "weight_normalize": f"""{g}
+            select src, dst,
+                   1.0::double / (count(*) over (partition by src)) as weight
+            from edges""",
+        "ratio_filter": f"""{g},
+            nn as (select count(*)::double as n from vertices),
+            ind as (select dst, count(*) as indeg from edges group by 1),
+            hot as (select dst from ind, nn where indeg >= {RATIO}::double * n)
+            select src, dst from edges where dst not in (select dst from hot)""",
+        "dangling_vertices": f"""{g}
+            select url from vertices
+            where url not in (select src from edges)""",
+        "top_pages_by_indegree": f"""{g}
+            select dst as url, count(*)::bigint as indeg from edges
+            group by 1 order by indeg desc, url asc limit 20""",
+        "spmv_step": f"""{g},
+            w as (select dst, 1.0::double / (count(*) over (partition by src)) as weight
+                  from edges)
+            select dst, round(sum(weight), 6) as msg from w group by 1""",
+        "cc_one_iter": f"""{g}
+            select dst as url, least(dst, min(src)) as component
+            from sym group by dst""",
+        "lpa_one_iter": f"""{g},
+            counts as (select dst as url, src as label, count(*) as cnt
+                       from sym group by 1, 2),
+            ranked as (select url, label,
+                              row_number() over (partition by url
+                                                 order by cnt desc, label asc) as rn
+                       from counts)
+            select url, label as new_label from ranked where rn = 1""",
+        "triangles_per_edge": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            tris as (select e1.a as x, e1.b as y, e2.b as z
+                     from und e1
+                     join und e2 on e2.a = e1.a and e2.b > e1.b
+                     join und e3 on e3.a = e1.b and e3.b = e2.b),
+            tri_edges as (
+                select x as a, y as b from tris
+                union all select x, z from tris
+                union all select y, z from tris
+            ),
+            cnt as (select a, b, count(*) as c from tri_edges group by 1, 2)
+            select und.a, und.b, coalesce(cnt.c, 0)::bigint as triangles
+            from und left join cnt using (a, b)""",
+        "triangle_total": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst)
+            select count(*)::bigint as n_triangles
+            from und e1
+            join und e2 on e2.a = e1.a and e2.b > e1.b
+            join und e3 on e3.a = e1.b and e3.b = e2.b""",
+        "url_search_score": f"""{g}
+            select url,
+                   round(((length(url) - length(replace(url, 'p1', '')))::double / 2) * 0.8
+                       + ((length(url) - length(replace(url, 'p2', '')))::double / 2) * 0.5,
+                         6) as score
+            from vertices""",
+        "url_query_predicate": f"""{g}
+            select url from vertices
+            where url like '%p1%' and url not like '%p42%'""",
+        "outlink_extract": """
+            select 'doc://' || doc_id as src, 'site.com/p' || (doc_id % 50) as dst
+            from documents
+            union all
+            select 'doc://' || doc_id, 'site.com/q' || (doc_id % 70)
+            from documents""",
+        "text_stats": f"""
+            select doc_id,
+                   {sql_token_count('text')}::bigint as n_tokens,
+                   {sql_word_token_count('text')}::bigint as n_word_tokens,
+                   {sql_punct_count('text')}::bigint as n_punct,
+                   {sql_stopword_count('text')}::bigint as n_stopwords
+            from documents""",
+        "lang_id": f"""
+            with hits as (select doc_id, {sql_lang_hit_columns('text')} from documents)
+            select doc_id, {sql_lang_id_case()} as lang_pred from hits""",
+        "quality_score": f"""
+            select doc_id, {sql_quality_score('text')} as quality from documents""",
+        "doc_fingerprint": f"""
+            select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
+        "dedup_exact": sql_dedup_exact("documents"),
+        "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs("documents", n=2),
+        "simhash_fingerprints": sql_simhash_fingerprints("documents"),
+        "embedding_near_dup": sql_cosine_similar_pairs("embeddings", threshold=0.3),
+        "embedding_topk": sql_cosine_topk("embeddings", k=5),
+        "ann_lsh_pairs": sql_ann_lsh_pairs("embeddings", threshold=0.3),
+        "media_metadata": """
+            select 'doc://' || doc_id as url,
+                   octet_length(encode(text))::bigint as n_bytes,
+                   sha256(text) as sha
+            from documents""",
+        "events_windowed": """
+            select (epoch_us(ts) // 3600000000) * 3600 as window_start_s,
+                   event_type,
+                   count(*)::bigint as n_events,
+                   round(sum(value), 6) as sum_value
+            from events group by 1, 2""",
+        "events_sessionize": f"""
+            with gaps as (
+                select user_id, event_id, ts,
+                       case when lag(ts) over w is null
+                                 or epoch_us(ts) - epoch_us(lag(ts) over w) > {30 * 60 * 1_000_000}
+                            then 1 else 0 end as is_start
+                from events
+                window w as (partition by user_id order by ts, event_id)
+            ),
+            sess as (
+                select user_id, ts,
+                       sum(is_start) over (partition by user_id order by ts, event_id
+                                           rows between unbounded preceding and current row
+                                          )::bigint as session_id
+                from gaps
+            )
+            select user_id, session_id, count(*)::bigint as n_events,
+                   epoch_us(min(ts)) as session_start_us,
+                   epoch_us(max(ts)) as session_end_us
+            from sess group by 1, 2""",
+        "events_json_sum": """
+            select event_type,
+                   sum((props ->> 'k')::bigint)::bigint as sum_k,
+                   count(*)::bigint as n_events
+            from events group by 1""",
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity::decimal(18,2))::double as sum_qty,
+                   sum(l_extendedprice::decimal(18,2))::double as sum_base,
+                   round(sum(l_extendedprice * (1.0::double - l_discount)), 2) as sum_disc,
+                   round(sum(l_quantity::decimal(18,2))::double / count(*), 6) as avg_qty,
+                   count(*)::bigint as n_rows
+            from lineitem
+            where l_shipdate <= timestamp '2001-09-02'
+            group by 1, 2""",
+        "top_customers_by_revenue": """
+            with rev as (
+                select o_custkey,
+                       sum(o_totalprice::decimal(18,2))::double as revenue,
+                       count(*)::bigint as n_orders
+                from orders group by 1
+            )
+            select c_custkey as custkey, c_name, c_mktsegment, revenue, n_orders
+            from rev join customer on o_custkey = c_custkey
+            order by revenue desc, custkey asc limit 25""",
+    }

@@ -1,0 +1,140 @@
+"""Event-stream operators: tumbling-window aggregation and
+sessionization, in both batch and Structured Streaming form.
+
+The reference has no streaming surface (SURVEY §2a: "no streaming of
+any kind"), but a production link-graph pipeline ingests crawl/click
+events continuously; these operators are the engine's streaming layer
+over the `events` table shape (event_id, ts, user_id, event_type,
+value, props-json).
+
+Batch and streaming share the SAME transformation builders, so the
+batch run doubles as the correctness oracle for the streaming run
+(tested with trigger(availableNow) into a memory sink). Watermarks
+bound state for late data; session windows use Spark's native
+`session_window` (state-store backed) rather than any custom stateful
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+VALUE_ROUND = 6
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Output: (window_start, window_end, event_type, n_events, sum_value).
+    Works unchanged on batch and streaming inputs.
+    """
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a new session starts when a user's gap
+    from their previous event exceeds `gap_minutes`.
+
+    Output: (user_id, session_id, n_events, session_start, session_end).
+    session_id numbers a user's sessions from 1 in time order.
+    Pure window functions — SQL-expressible, so DuckDB can oracle it.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (cast-to-long would truncate to seconds and
+    # split sessions differently than the SQL oracle near boundaries);
+    # timestamp_ltz cast handles TIMESTAMP_NTZ parquet columns (session
+    # tz is pinned to UTC in session.py so the epoch is tz-independent).
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(w_user)
+    starts = events.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = starts.withColumn(
+        "session_id",
+        F.sum("is_start").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of `windowed_event_counts` over a parquet
+    directory source, watermarked for late data. Caller attaches the
+    sink (tests: memory sink + trigger(availableNow=True))."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return windowed_event_counts(stream, window)
+
+
+def sql_windowed_event_counts(table: str, window_minutes: int = 60) -> str:
+    """DuckDB oracle for the batch windowed aggregation (tumbling
+    windows = epoch-bucketed truncation)."""
+    secs = window_minutes * 60
+    bucket = f"to_timestamp((epoch(ts)::bigint // {secs}) * {secs})"
+    return f"""
+        select {bucket} as window_start,
+               {bucket} + interval {window_minutes} minutes as window_end,
+               event_type,
+               count(*)::bigint as n_events,
+               round(sum(value), {VALUE_ROUND}) as sum_value
+        from {table}
+        group by 1, 2, 3
+    """
+
+
+def sql_sessionize(table: str, gap_minutes: int = 30) -> str:
+    return f"""
+        with gaps as (
+            select user_id, event_id, ts,
+                   case when lag(ts) over w is null
+                             or epoch_us(ts) - epoch_us(lag(ts) over w)
+                                > {gap_minutes * 60 * 1_000_000}
+                        then 1 else 0 end as is_start
+            from {table}
+            window w as (partition by user_id order by ts, event_id)
+        ),
+        sess as (
+            select user_id, ts,
+                   sum(is_start) over (partition by user_id order by ts, event_id
+                                       rows between unbounded preceding and current row
+                                      )::bigint as session_id
+            from gaps
+        )
+        select user_id, session_id, count(*)::bigint as n_events,
+               min(ts) as session_start, max(ts) as session_end
+        from sess group by 1, 2
+    """
