@@ -1,0 +1,110 @@
+"""Benchmark harness — run the engine's headline queries and print ONE
+JSON line.
+
+  SPARK_GRAFT_SF_DIR  input scale dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Headline metric: total wall seconds across the benched queries
+(value/unit), plus per-query seconds under "queries" and the
+BASELINE.md-aligned throughput figures (PageRank edges processed per
+second per iteration) under "pagerank".
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+jobs/bench_scaling.py -> BENCH.md; this file is the driver-facing
+per-round benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pagerankproject_spark.graph.pagerank import pagerank_from_edges  # noqa: E402
+from pagerankproject_spark.session import get_spark  # noqa: E402
+
+# headline set: the iterative graph suite + the scan-heavy pipeline ops.
+# (embedding_topk is excluded: brute-force quadratic is the correctness
+# baseline, not the scale path — ann_lsh_pairs is benched instead.)
+BENCH_QUERIES = [
+    "connected_components",
+    "label_propagation",
+    "triangles_per_edge",
+    "text_stats",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ann_lsh_pairs",
+    "events_windowed",
+    "events_sessionize",
+    "pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # pagerank first, instrumented for the BASELINE.md throughput metric
+    t0 = time.time()
+    res = pagerank_from_edges(
+        spark,
+        entrymod._edges(spark, sf_dir),
+        alpha=0.85,
+        epsilon=1e-6,
+        max_iterations=40,
+    )
+    res.ranks.count()
+    pr_wall = time.time() - t0
+    timings["pagerank"] = round(pr_wall, 3)
+    iter_walls = [m["wall_sec"] for m in res.metrics]
+    edges = res.metrics[0]["edges"] if res.metrics else 0
+    per_iter = sum(iter_walls) / len(iter_walls) if iter_walls else float("nan")
+    pagerank_stats = {
+        "edges": edges,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "sec_per_iteration": round(per_iter, 4),
+        "edges_per_sec_per_iteration": round(edges / per_iter, 1) if iter_walls else None,
+    }
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (graph + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "pagerank": pagerank_stats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

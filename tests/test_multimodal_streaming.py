@@ -1,0 +1,124 @@
+"""Tests for multimodal binary-column plumbing and the streaming layer."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerankproject_spark.multimodal.media import (
+    decode_media,
+    extract_image_features,
+    fake_media_bytes,
+    media_metadata,
+    sample_video_frames,
+)
+from pagerankproject_spark.streaming.events import (
+    sessionize,
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def media_df(spark):
+    rows = [
+        ("img://a", fake_media_bytes("img://a", 4, 3)),
+        ("img://b", fake_media_bytes("img://b", 2, 2, channels=1)),
+        ("png://c", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+        ("mp3://d", b"ID3\x04" + b"\x00" * 16),
+    ]
+    return spark.createDataFrame(rows, "url string, media binary")
+
+
+def test_media_metadata_jvm_side(spark):
+    out = {r["url"]: r for r in media_metadata(media_df(spark)).collect()}
+    payload = fake_media_bytes("img://a", 4, 3)
+    assert out["img://a"]["n_bytes"] == len(payload)
+    assert out["img://a"]["sha"] == hashlib.sha256(payload).hexdigest()
+    assert out["img://a"]["mime"] == "application/x-fake-media"
+    assert out["png://c"]["mime"] == "image/png"
+    assert out["mp3://d"]["mime"] == "audio/mpeg"
+
+
+def test_decode_media_fake(spark):
+    df = media_df(spark).filter(F.col("url").startswith("img"))
+    out = {r["url"]: r for r in decode_media(df, fake=True).collect()}
+    a = out["img://a"]
+    assert (a["width"], a["height"], a["n_channels"]) == (4, 3, 3)
+    body = fake_media_bytes("img://a", 4, 3)[16:]
+    assert a["mean_intensity"] == pytest.approx(sum(body) / len(body))
+    assert (out["img://b"]["width"], out["img://b"]["n_channels"]) == (2, 1)
+
+
+def test_decode_media_stub_raises_without_codecs(spark):
+    df = media_df(spark).limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|PIL|ffmpeg"):
+        decode_media(df, fake=False).collect()
+
+
+def test_image_features_deterministic(spark):
+    df = media_df(spark).filter(F.col("url") == "img://a")
+    f1 = extract_image_features(df, dim=8, fake=True).collect()[0]["features"]
+    f2 = extract_image_features(df, dim=8, fake=True).collect()[0]["features"]
+    assert f1 == f2 and len(f1) == 8
+
+
+def test_video_frame_sampling(spark):
+    df = media_df(spark).filter(F.col("url") == "img://a")
+    frames = sample_video_frames(df, every_n=1, fake=True).collect()
+    payload_len = len(fake_media_bytes("img://a", 4, 3)) - 16
+    expected_chunks = (payload_len + 63) // 64
+    assert len(frames) == expected_chunks
+    assert {r["frame_idx"] for r in frames} == set(range(expected_chunks))
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+def test_stream_windowed_counts_equals_batch(spark, tmp_path):
+    # FileStreamSource requires a directory: stage the table into one
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+    batch = windowed_event_counts(spark.read.parquet(events_dir), window="1 hour")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+
+    stream = stream_windowed_event_counts(spark, events_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:10:00", 10),  # same session (10 min gap)
+        (3, "2024-01-01 01:00:00", 10),  # 50 min gap -> new session
+        (4, "2024-01-01 00:00:00", 20),  # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    out = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}

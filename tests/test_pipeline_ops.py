@@ -1,0 +1,264 @@
+"""Tests for the training-data pipeline operators: text analysis,
+dedup (exact / Jaccard / MinHash / SimHash), similarity search.
+
+Oracles are hand computations or literal Python re-implementations of
+the same published algorithms (never Spark re-runs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerankproject_spark.dedup.exact import dedup_exact
+from pagerankproject_spark.dedup.jaccard import jaccard_pairs
+from pagerankproject_spark.dedup.minhash import (
+    HASH_COEFFS,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from pagerankproject_spark.dedup.shingles import shingles_expr
+from pagerankproject_spark.dedup.simhash import (
+    SIMHASH_BITS,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from pagerankproject_spark.similarity.cosine import cosine_similar_pairs, cosine_topk
+from pagerankproject_spark.similarity.lsh import ann_lsh_pairs, hyperplane_buckets
+from pagerankproject_spark.text.analysis import (
+    HASH_PRIME,
+    analyze_documents,
+    hash60_expr,
+)
+
+
+def py_hash60(s: str) -> int:
+    """Literal Python twin of the portable 60-bit md5 hash."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_text_analysis_counts(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in analyze_documents(
+            docs_df(spark, ["the cat, and a dog!", "", "   ", "solo"])
+        ).collect()
+    }
+    assert rows[0]["n_tokens"] == 5
+    # word tokens: the cat , and a dog !  -> 7
+    assert rows[0]["n_word_tokens"] == 7
+    assert rows[0]["n_punct"] == 2
+    # stopwords among [the, cat,, and, a, dog!]: the, and, a  (punct glued
+    # tokens don't match) -> 3
+    assert rows[0]["n_stopwords"] == 3
+    assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
+    assert rows[3]["n_tokens"] == 1
+    for r in rows.values():
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    rows = {
+        r["doc_id"]: r["lang_pred"]
+        for r in analyze_documents(
+            docs_df(
+                spark,
+                [
+                    "der hund und die katze ist nicht hier",
+                    "the cat and the dog is here",
+                    "el gato es un animal que corre",
+                    "xyzzy qwerty plugh",  # no markers anywhere
+                    "le chat est une bete que",  # fr
+                ],
+            )
+        ).collect()
+    }
+    assert rows[0] == "de"
+    assert rows[1] == "en"
+    assert rows[2] == "es"
+    assert rows[3] == "und"
+    assert rows[4] == "fr"
+
+
+def test_fingerprint_matches_hashlib(spark):
+    out = analyze_documents(docs_df(spark, ["  Hello World  "])).collect()[0]
+    assert out["fingerprint"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_hash60_portable(spark):
+    df = spark.range(1).select(hash60_expr(F.lit("abc")).alias("h"))
+    assert df.collect()[0]["h"] == py_hash60("abc")
+    assert 0 <= py_hash60("abc") < 2**60
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_exact_survivor_min_id(spark):
+    out = {
+        r["fingerprint"]: r
+        for r in dedup_exact(
+            docs_df(spark, ["same text", "other", "Same   Text".lower(), "same text"])
+        ).collect()
+    }
+    fp = hashlib.md5(b"same text").hexdigest()
+    assert out[fp]["survivor_id"] == 0
+    assert out[fp]["n_dupes"] == 2  # ids 0 and 3 ("Same   Text" differs: spacing)
+    assert len(out) == 3
+
+
+def test_shingles(spark):
+    df = docs_df(spark, ["a b c d", "a b", ""]).select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("sh")
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.collect()}
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == ["a b"]
+    assert rows[2] == []
+
+
+def py_jaccard(t1: str, t2: str, n: int) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)} if toks else set()
+
+    a, b = sh(t1), sh(t2)
+    return len(a & b) / len(a | b)
+
+
+def test_jaccard_pairs_matches_python_oracle(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    ]
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_df(spark, texts), threshold=0.3, n=3).collect()
+    }
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = py_jaccard(texts[i], texts[j], 3)
+            if round(jac, 6) >= 0.3:
+                expect[(i, j)] = round(jac, 6)
+    assert out == pytest.approx(expect)
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    texts = ["alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon",
+             "zeta eta theta iota kappa"]
+    sigs = {r["doc"]: r for r in minhash_signatures(docs_df(spark, texts), n=2).collect()}
+    for k in range(len(HASH_COEFFS)):
+        assert sigs[0][f"h{k}"] == sigs[1][f"h{k}"]
+    assert any(
+        sigs[0][f"h{k}"] != sigs[2][f"h{k}"] for k in range(len(HASH_COEFFS))
+    )
+
+
+def test_minhash_signature_python_oracle(spark):
+    text = "one two three four five"
+    sig = minhash_signatures(docs_df(spark, [text]), n=2).collect()[0]
+    toks = text.split()
+    shingles = {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+    xs = [py_hash60(s) % HASH_PRIME for s in shingles]
+    for k, (a, b) in enumerate(HASH_COEFFS):
+        assert sig[f"h{k}"] == min((a * x + b) % HASH_PRIME for x in xs)
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    texts = ["w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6", "u1 u2 u3 u4 u5 u6"]
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs_df(spark, texts), n=2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def py_simhash(text: str) -> int:
+    sums = [0] * SIMHASH_BITS
+    for t in text.lower().split():
+        x = py_hash60(t)
+        for i in range(SIMHASH_BITS):
+            sums[i] += 1 if (x >> i) & 1 else -1
+    return sum(1 << i for i in range(SIMHASH_BITS) if sums[i] > 0)
+
+
+def test_simhash_python_oracle(spark):
+    texts = ["the quick brown fox", "lorem ipsum dolor sit amet"]
+    out = {r["doc"]: r["simhash"] for r in simhash_fingerprints(docs_df(spark, texts)).collect()}
+    assert out[0] == py_simhash(texts[0])
+    assert out[1] == py_simhash(texts[1])
+
+
+def test_simhash_pairs_identical_and_near(spark):
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i j",  # identical -> hamming 0
+        "q r s t u v w x y z",
+    ]
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs_df(spark, texts)).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+
+
+def test_cosine_pairs_hand_computed(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0], [1.0, 1.0]]
+    out = {(r["a"], r["b"]): r["sim"] for r in cosine_similar_pairs(emb_df(spark, vecs), 0.5).collect()}
+    assert out[(0, 2)] == 1.0
+    assert out[(0, 3)] == pytest.approx(round(2**-0.5, 6))
+    assert out[(1, 3)] == pytest.approx(round(2**-0.5, 6))
+    assert (0, 1) not in out
+
+
+def test_cosine_topk_rank_order(spark):
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]
+    out = cosine_topk(emb_df(spark, vecs), k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[0]) == [(1, 1), (2, 2)]  # 0 is closest to 1
+
+
+def test_ann_lsh_subset_of_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    vecs = [base, [x + rng.uniform(-0.01, 0.01) for x in base]]
+    vecs += [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    df = emb_df(spark, vecs)
+    exact = {(r["a"], r["b"]) for r in cosine_similar_pairs(df, 0.9).collect()}
+    approx = {(r["a"], r["b"]) for r in ann_lsh_pairs(df, 0.9, dim=16).collect()}
+    assert approx <= exact
+    assert (0, 1) in approx  # near-identical vectors share every plane side
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    vecs = [[1.0] * 16, [1.0] * 16]
+    b = hyperplane_buckets(emb_df(spark, vecs), dim=16).collect()
+    assert b[0]["bucket"] == b[1]["bucket"]
