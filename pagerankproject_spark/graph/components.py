@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
 from ..io.checkpoint import ParquetCheckpointer
+from ..session import no_aqe
 
 
 @dataclass
@@ -84,51 +85,52 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     metrics: list[dict] = []
     it = start_iter
-    while it < max_iterations and not converged:
-        t0 = time.time()
-        if salt_buckets > 0:
-            # explicit two-phase min: (id, salt) partial, then id final —
-            # splits hot destination keys across salt buckets (#23).
-            incoming = sym.join(labels, sym.src_id == labels.id).select(
-                F.col("dst_id").alias("id"), "salt", "label"
+    with no_aqe(spark):
+        while it < max_iterations and not converged:
+            t0 = time.time()
+            if salt_buckets > 0:
+                # explicit two-phase min: (id, salt) partial, then id final —
+                # splits hot destination keys across salt buckets (#23).
+                incoming = sym.join(labels, sym.src_id == labels.id).select(
+                    F.col("dst_id").alias("id"), "salt", "label"
+                )
+                msgs = (
+                    incoming.groupBy("id", "salt")
+                    .agg(F.min("label").alias("m"))
+                    .groupBy("id")
+                    .agg(F.min("m").alias("min_in"))
+                )
+            else:
+                incoming = sym.join(labels, sym.src_id == labels.id).select(
+                    F.col("dst_id").alias("id"), "label"
+                )
+                msgs = incoming.groupBy("id").agg(F.min("label").alias("min_in"))
+            new_labels = (
+                labels.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("min_in"), F.col("label"))
+                    ).alias("new_label"),
+                    F.col("label").alias("old_label"),
+                )
+                .localCheckpoint(eager=True)
             )
-            msgs = (
-                incoming.groupBy("id", "salt")
-                .agg(F.min("label").alias("m"))
-                .groupBy("id")
-                .agg(F.min("m").alias("min_in"))
+            changed = new_labels.agg(
+                F.sum(
+                    F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
+                ).alias("c")
+            ).first()["c"]
+            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            metrics.append(
+                {"i": it, "changed": int(changed), "wall_sec": time.time() - t0}
             )
-        else:
-            incoming = sym.join(labels, sym.src_id == labels.id).select(
-                F.col("dst_id").alias("id"), "label"
-            )
-            msgs = incoming.groupBy("id").agg(F.min("label").alias("min_in"))
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("min_in"), F.col("label"))
-                ).alias("new_label"),
-                F.col("label").alias("old_label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(
-            F.sum(
-                F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
-            ).alias("c")
-        ).first()["c"]
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        metrics.append(
-            {"i": it, "changed": int(changed), "wall_sec": time.time() - t0}
-        )
-        converged = changed == 0
-        if ckpt and (converged or it % checkpoint_interval == 0):
-            ckpt.write(
-                labels, it, {"changed": int(changed), "converged": converged}
-            )
-        it += 1
+            converged = changed == 0
+            if ckpt and (converged or it % checkpoint_interval == 0):
+                ckpt.write(
+                    labels, it, {"changed": int(changed), "converged": converged}
+                )
+            it += 1
 
     # relabel components by their minimum url (exact-match output contract)
     v = g.vertices

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
 from ..io.checkpoint import ParquetCheckpointer
+from ..session import no_aqe
 
 
 @dataclass
@@ -79,36 +80,37 @@ def label_propagation(
     labels = labels.localCheckpoint(eager=True)
     metrics: list[dict] = []
     it = start_iter
-    while it < max_iterations and not converged:
-        t0 = time.time()
-        counts = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("v"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        winner = counts.groupBy("v").agg(
-            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("w")
-        ).select("v", F.col("w.label").alias("new_in"))
-        new_labels = (
-            labels.join(winner, labels.id == winner.v, "left")
-            .select(
-                "id",
-                F.coalesce(F.col("new_in"), F.col("label")).alias("new_label"),
-                F.col("label").alias("old_label"),
+    with no_aqe(spark):
+        while it < max_iterations and not converged:
+            t0 = time.time()
+            counts = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("v"), "label")
+                .agg(F.count("*").alias("cnt"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(
-            F.sum(
-                F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
-            ).alias("c")
-        ).first()["c"]
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        metrics.append({"i": it, "changed": int(changed), "wall_sec": time.time() - t0})
-        converged = changed == 0
-        if ckpt and (converged or it % checkpoint_interval == 0):
-            ckpt.write(labels, it, {"changed": int(changed), "converged": converged})
-        it += 1
+            winner = counts.groupBy("v").agg(
+                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("w")
+            ).select("v", F.col("w.label").alias("new_in"))
+            new_labels = (
+                labels.join(winner, labels.id == winner.v, "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_in"), F.col("label")).alias("new_label"),
+                    F.col("label").alias("old_label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.agg(
+                F.sum(
+                    F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
+                ).alias("c")
+            ).first()["c"]
+            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            metrics.append({"i": it, "changed": int(changed), "wall_sec": time.time() - t0})
+            converged = changed == 0
+            if ckpt and (converged or it % checkpoint_interval == 0):
+                ckpt.write(labels, it, {"changed": int(changed), "converged": converged})
+            it += 1
 
     sym.unpersist()
     return LPAResult(

@@ -42,11 +42,12 @@ import math
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
 from ..io.checkpoint import ParquetCheckpointer
+from ..session import no_aqe
 
 
 @dataclass
@@ -110,7 +111,6 @@ def pagerank(
 ) -> PageRankResult:
     n = g.n
     base, d_cnt = _build_base(g, v_expr)
-    we = g.weighted_edges
 
     ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
 
@@ -144,6 +144,30 @@ def pagerank(
         ranks = base.select("id", F.lit(x0).alias("x")).localCheckpoint(eager=True)
         dm = d_cnt * x0
 
+    with no_aqe(spark):
+        converged, ranks = _run_loop(
+            g, base, ranks, dm, alpha, epsilon, max_iterations,
+            start_iter, residuals, metrics, ckpt, checkpoint_interval,
+        )
+
+    out = base.select("id", "url").join(ranks, "id")
+    return PageRankResult(
+        ranks=out,
+        iterations=len(residuals),
+        residuals=residuals,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+def _run_loop(
+    g: GraphTables, base, ranks, dm, alpha, epsilon, max_iterations,
+    start_iter, residuals, metrics, ckpt, checkpoint_interval,
+) -> tuple[bool, DataFrame]:
+    """Iteration body of `pagerank` (split out so the AQE guard wraps it
+    cleanly). Returns (converged, final ranks)."""
+    converged = False
+    we = g.weighted_edges
     prev_state: DataFrame | None = None
     for i in range(start_iter, max_iterations):
         t0 = time.time()
@@ -153,13 +177,12 @@ def pagerank(
             .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
         )
         teleport = alpha * dm + (1.0 - alpha)
-        u_df = (
+        u_full = (
             base.join(ranks.withColumnRenamed("x", "x_prev"), "id")
             .join(contribs, base.id == contribs.dst_id, "left")
             .select(
                 "id",
                 "is_dangling",
-                "v",
                 "x_prev",
                 (
                     F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0.0))
@@ -167,17 +190,22 @@ def pagerank(
                 ).alias("u"),
             )
         )
-        # truncate lineage + materialize once; everything below reuses it
-        u_df = u_df.localCheckpoint(eager=True)
-
-        s = u_df.agg(
+        # the four scalar reductions ride along with the checkpoint
+        # materialization (Observation = CollectMetrics node) — ONE Spark
+        # job per iteration instead of checkpoint + separate aggregate
+        obs = Observation()
+        u_full = u_full.observe(
+            obs,
             F.sum(F.col("u") * F.col("u")).alias("s_uu"),
             F.sum(F.col("u") * F.col("x_prev")).alias("s_ux"),
             F.sum(F.col("x_prev") * F.col("x_prev")).alias("s_pp"),
             F.sum(F.when(F.col("is_dangling"), F.col("u")).otherwise(0.0)).alias(
                 "s_du"
             ),
-        ).first()
+        )
+        # truncate lineage + materialize once; only (id, u) is retained
+        u_df = u_full.select("id", "u").localCheckpoint(eager=True)
+        s = obs.get
         norm = math.sqrt(s["s_uu"])
         residual = math.sqrt(
             max(0.0, 1.0 - 2.0 * s["s_ux"] / norm + s["s_pp"])
@@ -207,7 +235,7 @@ def pagerank(
                     "residuals": residuals,
                     "alpha": alpha,
                     "epsilon": epsilon,
-                    "n": n,
+                    "n": g.n,
                     "edges": g.num_edges,
                     "wall_sec": it_metrics["wall_sec"],
                 },
@@ -220,15 +248,7 @@ def pagerank(
         if done:
             converged = True
             break
-
-    out = base.select("id", "url").join(ranks, "id")
-    return PageRankResult(
-        ranks=out,
-        iterations=len(residuals),
-        residuals=residuals,
-        converged=converged,
-        metrics=metrics,
-    )
+    return converged, ranks
 
 
 def pagerank_from_edges(
