@@ -230,6 +230,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("url", "x")
 
 
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator #10: personalization vector as an indicator over URLs
+    matching a query (pagerank.py:96-136 semantics)."""
+    res = pagerank_from_edges(
+        spark,
+        _edges(spark, sf_dir),
+        alpha=0.85,
+        epsilon=1e-6,
+        max_iterations=60,
+        v_expr=F.when(F.col("url").contains("p1"), 1.0).otherwise(0.0),
+    )
+    return res.ranks.select("url", "x")
+
+
+def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule CSR-block SpMV path (ingest/csr.py)."""
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_graph_tables as bgt
+
+    g = bgt(spark, _edges(spark, sf_dir))
+    return pagerank(spark, g, epsilon=1e-4, max_iterations=30, spmv="csr").ranks.select(
+        "url", "x"
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_graph_tables(spark, _edges(spark, sf_dir))
     return connected_components(spark, g, max_iterations=50).components
@@ -517,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pages_by_indegree": q_top_pages_by_indegree,
         "spmv_step": q_spmv_step,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_csr": q_pagerank_csr,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "cc_one_iter": q_cc_one_iter,

@@ -5,19 +5,25 @@ exact reproducibility (the north_rule requires exact-match outputs):
 
   * undirected neighborhoods; each synchronous iteration every vertex
     adopts the most frequent label among its neighbors, ties broken by
-    MINIMUM label; isolated vertices keep their own label;
-  * labels are the vertex urls (strings) so the tie-break order is the
-    url order — id order is hash-dependent and would not be stable;
+    MINIMUM label in URL ORDER; isolated vertices keep their own label;
   * stops when no label changes or after max_iterations.
 
-Execution shape per iteration:
+Scale design: iteration state is NOT url strings. Vertices get a dense
+`rank_id` strictly increasing in global url order (assign_url_ordered_ids
+— range partition + offsets, no single-partition sort), so min-rank_id
+tie-breaks are exactly min-url tie-breaks while every per-iteration
+shuffle moves longs instead of url strings (order-of-magnitude payload
+cut on real web graphs). Urls are joined back once at the end.
+
+Execution shape per iteration (ONE Spark job — the changed-count rides
+the localCheckpoint materialization as an Observation):
   counts = sym_edges JOIN labels ON src -> groupBy (dst, label) COUNT
   winner = counts groupBy dst MIN(struct(-count, label))
            -- a fully combinable agg (partial map-side), NOT a window:
            a row_number window partitioned by dst would concentrate a
            hub's rows in one task; min(struct) partial-aggregates and is
            skew-immune.
-  changed = SUM(new != old)
+  changed = SUM(new != old)   (Observation)
 """
 
 from __future__ import annotations
@@ -25,10 +31,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..ingest.edges import GraphTables
+from ..ingest.edges import GraphTables, assign_url_ordered_ids
 from ..io.checkpoint import ParquetCheckpointer
 from ..session import no_aqe
 
@@ -51,22 +57,32 @@ def label_propagation(
     job_name: str = "lpa",
 ) -> LPAResult:
     P = g.num_partitions
+    ranked = assign_url_ordered_ids(spark, g.vertices, P).persist()
     ids = g.weighted_edges.select("src_id", "dst_id")
-    v = g.vertices
-    named = (
-        ids.join(v.select(F.col("id").alias("src_id"), F.col("url").alias("src")), "src_id")
-        .join(v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst")), "dst_id")
+    re = (
+        ids.join(
+            ranked.select(
+                F.col("id").alias("src_id"), F.col("rank_id").alias("src")
+            ),
+            "src_id",
+        )
+        .join(
+            ranked.select(
+                F.col("id").alias("dst_id"), F.col("rank_id").alias("dst")
+            ),
+            "dst_id",
+        )
         .select("src", "dst")
     )
     sym = (
-        named.union(named.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        re.union(re.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(P, "src")
         .persist()
     )
 
-    labels = v.select(F.col("url").alias("id"), F.col("url").alias("label")).repartition(
-        P, "id"
-    )
+    labels = ranked.select(
+        F.col("rank_id").alias("id"), F.col("rank_id").alias("label")
+    ).repartition(P, "id")
 
     start_iter, converged = 0, False
     ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
@@ -91,30 +107,44 @@ def label_propagation(
             winner = counts.groupBy("v").agg(
                 F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("w")
             ).select("v", F.col("w.label").alias("new_in"))
-            new_labels = (
+            obs = Observation()
+            staged = (
                 labels.join(winner, labels.id == winner.v, "left")
                 .select(
                     "id",
                     F.coalesce(F.col("new_in"), F.col("label")).alias("new_label"),
                     F.col("label").alias("old_label"),
                 )
-                .localCheckpoint(eager=True)
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
+                    ).alias("c"),
+                )
             )
-            changed = new_labels.agg(
-                F.sum(
-                    F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
-                ).alias("c")
-            ).first()["c"]
-            labels = new_labels.select("id", F.col("new_label").alias("label"))
-            metrics.append({"i": it, "changed": int(changed), "wall_sec": time.time() - t0})
+            labels = staged.select(
+                "id", F.col("new_label").alias("label")
+            ).localCheckpoint(eager=True)
+            changed = int(obs.get["c"])
+            metrics.append({"i": it, "changed": changed, "wall_sec": time.time() - t0})
             converged = changed == 0
             if ckpt and (converged or it % checkpoint_interval == 0):
-                ckpt.write(labels, it, {"changed": int(changed), "converged": converged})
+                ckpt.write(labels, it, {"changed": changed, "converged": converged})
             it += 1
 
+    out = (
+        labels.join(ranked.select(F.col("rank_id").alias("id"), "url"), "id")
+        .join(
+            ranked.select(
+                F.col("rank_id").alias("label"), F.col("url").alias("label_url")
+            ),
+            "label",
+        )
+        .select("url", F.col("label_url").alias("label"))
+    )
     sym.unpersist()
     return LPAResult(
-        labels=labels.select(F.col("id").alias("url"), "label"),
+        labels=out,
         iterations=it - start_iter,
         converged=converged,
         metrics=metrics,

@@ -108,7 +108,13 @@ def pagerank(
     checkpoint_interval: int = 1,
     resume: bool = False,
     job_name: str = "pagerank",
+    spmv: str = "dataframe",
 ) -> PageRankResult:
+    """`spmv` picks the physical SpMV: "dataframe" (join+aggregate,
+    whole-stage codegen — the default) or "csr" (per-partition CSR
+    adjacency blocks + numpy kernels via Arrow, operator #8's
+    north-rule physical layout). Same numbers either way (tested);
+    the bench harness measures which wins at a given scale."""
     n = g.n
     base, d_cnt = _build_base(g, v_expr)
 
@@ -144,11 +150,23 @@ def pagerank(
         ranks = base.select("id", F.lit(x0).alias("x")).localCheckpoint(eager=True)
         dm = d_cnt * x0
 
+    csr_blocks = None
+    if spmv == "csr":
+        from ..ingest.csr import build_csr_blocks
+
+        csr_blocks = build_csr_blocks(g).persist()
+        csr_blocks.count()
+    elif spmv != "dataframe":
+        raise ValueError(f"unknown spmv impl: {spmv}")
+
     with no_aqe(spark):
         converged, ranks = _run_loop(
             g, base, ranks, dm, alpha, epsilon, max_iterations,
             start_iter, residuals, metrics, ckpt, checkpoint_interval,
+            spark=spark, csr_blocks=csr_blocks,
         )
+    if csr_blocks is not None:
+        csr_blocks.unpersist()
 
     out = base.select("id", "url").join(ranks, "id")
     return PageRankResult(
@@ -163,6 +181,7 @@ def pagerank(
 def _run_loop(
     g: GraphTables, base, ranks, dm, alpha, epsilon, max_iterations,
     start_iter, residuals, metrics, ckpt, checkpoint_interval,
+    spark=None, csr_blocks: DataFrame | None = None,
 ) -> tuple[bool, DataFrame]:
     """Iteration body of `pagerank` (split out so the AQE guard wraps it
     cleanly). Returns (converged, final ranks)."""
@@ -171,11 +190,16 @@ def _run_loop(
     prev_state: DataFrame | None = None
     for i in range(start_iter, max_iterations):
         t0 = time.time()
-        contribs = (
-            we.join(ranks, we.src_id == ranks.id)
-            .groupBy("dst_id")
-            .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
-        )
+        if csr_blocks is not None:
+            from ..ingest.csr import spmv_csr
+
+            contribs = spmv_csr(spark, csr_blocks, ranks, g.num_partitions)
+        else:
+            contribs = (
+                we.join(ranks, we.src_id == ranks.id)
+                .groupBy("dst_id")
+                .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
+            )
         teleport = alpha * dm + (1.0 - alpha)
         u_full = (
             base.join(ranks.withColumnRenamed("x", "x_prev"), "id")

@@ -88,3 +88,16 @@ def test_spmv_csr_random_graph(spark):
     assert set(csr_msgs) == set(df_msgs)
     for k in df_msgs:
         assert csr_msgs[k] == pytest.approx(df_msgs[k], rel=1e-12)
+
+
+def test_pagerank_csr_matches_dataframe(spark, small_g):
+    from pagerankproject_spark.graph.pagerank import pagerank
+
+    df_res = pagerank(spark, small_g)
+    csr_res = pagerank(spark, small_g, spmv="csr")
+    want = {r["url"]: r["x"] for r in df_res.ranks.collect()}
+    got = {r["url"]: r["x"] for r in csr_res.ranks.collect()}
+    assert csr_res.converged
+    assert set(got) == set(want)
+    for url in want:
+        assert got[url] == pytest.approx(want[url], abs=1e-9), url
