@@ -36,7 +36,9 @@ from pagerankproject_spark.dedup.exact import dedup_exact, sql_dedup_exact
 from pagerankproject_spark.dedup.jaccard import jaccard_pairs, sql_jaccard_pairs
 from pagerankproject_spark.dedup.minhash import (
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     sql_minhash_lsh_pairs,
+    sql_minhash_verified_pairs,
 )
 from pagerankproject_spark.dedup.simhash import (
     simhash_fingerprints,
@@ -382,6 +384,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), n=2)
 
 
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_verified_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.2, n=2
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_read(spark, sf_dir, "documents"))
 
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
@@ -663,6 +672,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs("documents", n=2),
+        "minhash_verified_pairs": sql_minhash_verified_pairs(
+            "documents", threshold=0.2, n=2
+        ),
         "simhash_fingerprints": sql_simhash_fingerprints("documents"),
         "embedding_near_dup": sql_cosine_similar_pairs("embeddings", threshold=0.3),
         "embedding_topk": sql_cosine_topk("embeddings", k=5),

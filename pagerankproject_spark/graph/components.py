@@ -28,7 +28,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
@@ -105,7 +105,8 @@ def connected_components(
                     F.col("dst_id").alias("id"), "label"
                 )
                 msgs = incoming.groupBy("id").agg(F.min("label").alias("min_in"))
-            new_labels = (
+            obs = Observation()
+            staged = (
                 labels.join(msgs, "id", "left")
                 .select(
                     "id",
@@ -114,14 +115,18 @@ def connected_components(
                     ).alias("new_label"),
                     F.col("label").alias("old_label"),
                 )
-                .localCheckpoint(eager=True)
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
+                    ).alias("c"),
+                )
             )
-            changed = new_labels.agg(
-                F.sum(
-                    F.when(F.col("new_label") < F.col("old_label"), 1).otherwise(0)
-                ).alias("c")
-            ).first()["c"]
-            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            # changed-count rides the checkpoint materialization: 1 job/iter
+            labels = staged.select(
+                "id", F.col("new_label").alias("label")
+            ).localCheckpoint(eager=True)
+            changed = obs.get["c"]
             metrics.append(
                 {"i": it, "changed": int(changed), "wall_sec": time.time() - t0}
             )

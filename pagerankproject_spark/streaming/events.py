@@ -138,3 +138,37 @@ def sql_sessionize(table: str, gap_minutes: int = 30) -> str:
                min(ts) as session_start, max(ts) as session_end
         from sess group by 1, 2
     """
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization with Spark's native
+    `session_window` (state-store backed; merges windows closer than the
+    gap). Late data beyond the watermark is dropped.
+
+    Output per finalized session: (user_id, session_start, session_end,
+    n_events). Equivalent batch semantics: `sessionize` (same gap rule);
+    tests cross-check the two on static data.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

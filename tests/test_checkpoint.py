@@ -87,3 +87,20 @@ def test_components_resume_identical(spark, tmp_path):
     )
     got = {r["url"]: r["component"] for r in resumed.components.collect()}
     assert got == want
+
+
+def test_parquet_dir_format_atomic_overwrite(spark, tmp_path):
+    from pagerankproject_spark.io.tables import ParquetDirFormat, resolve_format
+
+    fmt = resolve_format(spark, base_dir=str(tmp_path))
+    assert isinstance(fmt, ParquetDirFormat)  # no Iceberg jar in sandbox
+    df1 = spark.range(5).selectExpr("id", "id * 2 as v")
+    fmt.write(df1, "ranks")
+    assert fmt.exists(spark, "ranks")
+    assert fmt.read(spark, "ranks").count() == 5
+    # overwrite replaces atomically (no .tmp/.old residue)
+    fmt.write(spark.range(3).selectExpr("id", "id as v"), "ranks")
+    assert fmt.read(spark, "ranks").count() == 3
+    import os
+    assert not os.path.exists(str(tmp_path / "ranks.tmp"))
+    assert not os.path.exists(str(tmp_path / "ranks.old"))

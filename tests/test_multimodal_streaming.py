@@ -122,3 +122,40 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(df, gap_minutes=30).collect()
     }
     assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from pagerankproject_spark.streaming.events import stream_sessionize
+
+    events_dir = str(tmp_path / "events_s")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in sessionize(spark.read.parquet(events_dir), gap_minutes=30).collect()
+    }
+
+    stream = stream_sessionize(spark, events_dir, gap_minutes=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert len(got) == len(batch)
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    for key, (n, end) in batch.items():
+        assert key in got, key
+        sn, send = got[key]
+        assert sn == n
+        # session_window's end = last event + gap; batch's = last event
+        assert send == end + gap

@@ -262,3 +262,22 @@ def test_hyperplane_buckets_deterministic(spark):
     vecs = [[1.0] * 16, [1.0] * 16]
     b = hyperplane_buckets(emb_df(spark, vecs), dim=16).collect()
     assert b[0]["bucket"] == b[1]["bucket"]
+
+
+def test_minhash_verified_pairs_recipe(spark):
+    from pagerankproject_spark.dedup.minhash import minhash_verified_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "entirely different content with no overlap at all here",
+        "the quick brown fox jumps over the lazy dog tonight",  # dup of 0
+    ]
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_verified_pairs(docs_df(spark, texts), threshold=0.5, n=3).collect()
+    }
+    assert out[(0, 3)] == 1.0
+    assert (0, 1) in out  # near-dup: all but the last shingle shared
+    assert out[(0, 1)] == pytest.approx(round(py_jaccard(texts[0], texts[1], 3), 6))
+    assert all(a != 2 and b != 2 for a, b in out)  # verified: no false positives
