@@ -90,6 +90,33 @@ def main() -> None:
         df.count()
         timings[name] = round(time.time() - t0, 3)
 
+    # BASELINE.md-comparable iteration throughput: the sf-dir graph is tiny
+    # (per-iteration fixed cost dominates), so also run the same pagerank()
+    # loop on the deterministic scaled graph bench_scaling.py uses
+    # (multiplier 300 => 45M edges) and report steady-state edges/sec/iter.
+    from jobs.bench_scaling import build_graph  # noqa: E402
+
+    import statistics
+
+    from pagerankproject_spark.graph.pagerank import pagerank
+
+    t0 = time.time()
+    g = build_graph(spark, multiplier=300, num_partitions=cpus * 2)
+    res2 = pagerank(spark, g, epsilon=0.0, max_iterations=6)
+    res2.ranks.count()
+    scaled_wall = time.time() - t0
+    walls2 = [m["wall_sec"] for m in res2.metrics]
+    steady = statistics.median(walls2[2:] if len(walls2) > 3 else walls2)
+    pagerank_scaled = {
+        "edges": g.num_edges,
+        "vertices": g.n,
+        "iterations": len(walls2),
+        "sec_per_iteration_steady": round(steady, 4),
+        "edges_per_sec_per_iteration": round(g.num_edges / steady, 1),
+        "total_wall_sec": round(scaled_wall, 2),
+    }
+    g.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -101,6 +128,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "pagerank": pagerank_stats,
+                "pagerank_scaled": pagerank_scaled,
             }
         )
     )
