@@ -1,0 +1,111 @@
+"""T4 plan assertions (SURVEY §5.2): the physical plans the engine claims
+are the plans Catalyst actually produces. These tests read
+`explain("formatted")` output, the same evidence a human would check with
+`.explain()` before signing off a plan for the 100-TB cluster.
+
+Claims pinned here (SURVEY §4.2-4.4):
+  * column pruning — a query over `pages` that never touches `html`
+    must not read the (dominant) binary column from parquet;
+  * outlink extraction is Arrow-vectorized (ArrowEvalPython), and no
+    engine plan ever falls back to row-at-a-time Python (BatchEvalPython);
+  * top-k = orderBy+limit compiles to TakeOrderedAndProject, not a full
+    sort-exchange;
+  * predicate pushdown — filters over parquet scans appear as
+    PushedFilters in the scan node;
+  * the PageRank iteration body stays inside whole-stage codegen and
+    contains no Python evaluation at all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.pages import make_pages
+from pagerankproject_spark.ingest.edges import build_graph_tables
+from pagerankproject_spark.ingest.extract import extract_outlinks
+
+from .conftest import edges_df
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._sc._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def scan_detail(p: str) -> str:
+    """The detail block of the (last) parquet scan node in a formatted plan
+    (the tree at the top also contains the literal 'Scan parquet')."""
+    return p[p.rindex("Scan parquet"):].split("\n\n")[0]
+
+
+def has_codegen(df) -> bool:
+    # 'simple' mode marks whole-stage-codegen stages with '*(<id>)'
+    return "*(" in plan(df, "simple")
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory) -> str:
+    rows, _, _ = make_pages(seed=7, n_pages=50)
+    path = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_html_column_pruned_when_unused(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.groupBy("lang").agg(F.count("*").alias("cnt"))
+    scan = scan_detail(plan(q))
+    assert "ReadSchema" in scan
+    assert "html" not in scan, f"html not pruned from scan:\n{scan}"
+
+
+def test_extraction_is_arrow_not_row_python(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    out = extract_outlinks(pages, impl="arrow")
+    p = plan(out)
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p  # row-at-a-time Python forbidden
+
+
+def test_extraction_sql_impl_has_no_python_at_all(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    out = extract_outlinks(pages, impl="sql")
+    assert "EvalPython" not in plan(out)
+    assert has_codegen(out)
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = (
+        pages.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"))
+        .limit(5)
+    )
+    assert "TakeOrderedAndProject" in plan(q)
+
+
+def test_filter_pushed_down_to_parquet_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    scan = scan_detail(plan(q))
+    assert "PushedFilters" in scan
+    assert "lang" in scan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_pagerank_iteration_plan_is_jvm_only(spark):
+    g = build_graph_tables(
+        spark,
+        edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]),
+    )
+    ranks = g.vertices.select("id", F.lit(0.5).alias("x"))
+    we = g.weighted_edges
+    contribs = (
+        we.join(ranks, we.src_id == ranks.id)
+        .groupBy("dst_id")
+        .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
+    )
+    assert "EvalPython" not in plan(contribs), "hot path must stay JVM-side"
+    assert has_codegen(contribs)
+    g.unpersist()
