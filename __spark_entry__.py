@@ -63,6 +63,7 @@ from pagerankproject_spark.streaming.events import (
     sql_windowed_event_counts,
     windowed_event_counts,
 )
+from pagerankproject_spark.text import pipeline
 from pagerankproject_spark.text.analysis import (
     fingerprint_expr,
     lang_id_expr,
@@ -519,6 +520,122 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# web-corpus pipeline operators (text/pipeline.py): URL normalization,
+# domain rollups, repetition signals, PII counts, n-gram top-k,
+# deterministic stratified sampling. The synthetic URL / PII derivations
+# below are the same arithmetic in Spark and the SQL oracle.
+# ---------------------------------------------------------------------------
+
+def _messy_url_expr() -> F.Column:
+    d = F.col("doc_id")
+    host = F.concat(F.lit("ex"), (d % 7).cast("string"), F.lit(".com"))
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("https://www.EX"), (d % 7).cast("string"),
+                     F.lit(".COM/path/"), d.cast("string"),
+                     F.lit("/?utm_source=x#frag")),
+        )
+        .when(d % 4 == 1,
+              F.concat(F.lit("http://"), host, F.lit("/p"), d.cast("string")))
+        .when(d % 4 == 2,
+              F.concat(host, F.lit("/p"), d.cast("string"), F.lit("//")))
+        .otherwise(
+            F.concat(F.lit("HTTPS://sub.ex"), (d % 7).cast("string"),
+                     F.lit(".com/a"), d.cast("string"), F.lit("?q=1"))
+        )
+    )
+
+
+_MESSY_URL_SQL = """
+    case when doc_id % 4 = 0
+              then 'https://www.EX' || (doc_id % 7) || '.COM/path/' || doc_id || '/?utm_source=x#frag'
+         when doc_id % 4 = 1
+              then 'http://ex' || (doc_id % 7) || '.com/p' || doc_id
+         when doc_id % 4 = 2
+              then 'ex' || (doc_id % 7) || '.com/p' || doc_id || '//'
+         else 'HTTPS://sub.ex' || (doc_id % 7) || '.com/a' || doc_id || '?q=1' end
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    raw = _messy_url_expr()
+    return d.select(
+        "doc_id",
+        pipeline.normalize_url_expr(raw).alias("url_norm"),
+        pipeline.domain_expr(raw).alias("domain"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(pipeline.domain_expr(_messy_url_expr()).alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        pipeline.repetition_ratio_expr(t).alias("rep_ratio"),
+        pipeline.bigram_repetition_expr(t).alias("bigram_rep"),
+    )
+
+
+def _pii_augmented_text() -> F.Column:
+    d = F.col("doc_id")
+    extra = (
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" contact user"), d.cast("string"),
+                        F.lit("@example.com now")))
+        .when(d % 7 == 0,
+              F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1 ")))
+        .when(d % 11 == 0,
+              F.concat(F.lit(" call +1 555 000 "), (1000 + d % 9000).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.col("text"), extra)
+
+
+_PII_TEXT_SQL = """
+    text || case when doc_id % 5 = 0
+                      then ' contact user' || doc_id || '@example.com now'
+                 when doc_id % 7 = 0
+                      then ' from 10.0.' || (doc_id % 256) || '.1 '
+                 when doc_id % 11 = 0
+                      then ' call +1 555 000 ' || (1000 + doc_id % 9000)
+                 else '' end
+"""
+
+
+def q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    cols = pipeline.pii_count_exprs(_pii_augmented_text())
+    return d.select("doc_id", *(c.alias(n) for n, c in cols.items()))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.filter(
+        pipeline.stratified_keep_expr(F.col("doc_id"), F.col("lang"))
+    ).select("doc_id", "lang")
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.ngram_topk(
+        _read(spark, sf_dir, "documents"), text_col="text", n=2, k=20
+    )
+
+
+# ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
 
@@ -565,6 +682,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
+        "repetition_stats": q_repetition_stats,
+        "pii_counts": q_pii_counts,
+        "stratified_sample": q_stratified_sample,
+        "ngram_topk": q_ngram_topk,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -735,4 +858,38 @@ def oracle_sql() -> dict[str, str]:
             select c_custkey as custkey, c_name, c_mktsegment, revenue, n_orders
             from rev join customer on o_custkey = c_custkey
             order by revenue desc, custkey asc limit 25""",
+        "url_normalize": f"""
+            with u as (select doc_id, ({_MESSY_URL_SQL}) as raw from documents)
+            select doc_id,
+                   {pipeline.sql_normalize_url('raw')} as url_norm,
+                   {pipeline.sql_domain('raw')} as domain
+            from u""",
+        "domain_stats": f"""
+            with u as (select doc_id, n_chars, ({_MESSY_URL_SQL}) as raw
+                       from documents)
+            select {pipeline.sql_domain('raw')} as domain,
+                   count(*)::bigint as n_pages,
+                   sum(n_chars)::bigint as total_chars
+            from u group by 1""",
+        "repetition_stats": f"""
+            select doc_id,
+                   {pipeline.sql_repetition_ratio('text')} as rep_ratio,
+                   {pipeline.sql_bigram_repetition('text')} as bigram_rep
+            from documents""",
+        "pii_counts": f"""
+            with t as (select doc_id, ({_PII_TEXT_SQL}) as txt from documents)
+            select doc_id,
+                   {', '.join(f'{frag} as {name}' for name, frag in pipeline.sql_pii_counts('txt').items())}
+            from t""",
+        "stratified_sample": f"""
+            select doc_id, lang from documents
+            where {pipeline.sql_stratified_keep('doc_id', 'lang')}""",
+        "ngram_topk": f"""
+            with g as (
+                select unnest({pipeline.sql_shingles('text', 2)}) as ngram
+                from documents
+            )
+            select ngram, count(*)::bigint as cnt
+            from g group by 1
+            order by cnt desc, ngram asc limit 20""",
     }

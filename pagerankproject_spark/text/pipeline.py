@@ -1,0 +1,202 @@
+"""Web-corpus pipeline operators beyond per-document stats: URL
+normalization / domain rollups, repetition-based quality signals, PII
+pattern counts, corpus-level n-gram top-k, and deterministic stratified
+sampling.
+
+All JVM-side column expressions (whole-stage codegen, no UDF) with
+DuckDB SQL twins built from the SAME constants, following
+``text/analysis.py``. No reference anchor — /root/reference/pagerank.py
+has no text layer; these are north-star training-data operators.
+
+Scale notes:
+  * URL normalization / domain extraction are pure projections — they
+    ride the scan, no shuffle.
+  * domain rollup is a hash aggregate (partial+final); domains are a
+    low-cardinality key at web scale, so the map-side partial absorbs
+    almost everything before the exchange.
+  * stratified sampling is a deterministic hash predicate — pushdown-
+    friendly, no sampling state, reproducible across reruns/resumes
+    (unlike df.sample, whose output depends on partitioning).
+  * n-gram top-k = explode -> count -> TakeOrderedAndProject; the
+    explode fan-out is bounded by tokens-per-doc, and the count
+    partial-aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.shingles import shingles_expr, sql_shingles
+from .analysis import tokens_expr, sql_tokens
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+SCHEME_REGEX = r"^[a-z][a-z0-9+.-]*://"
+WWW_REGEX = r"^www\."
+FRAGMENT_REGEX = r"#.*$"
+QUERY_REGEX = r"\?.*$"
+TRAILING_SLASH_REGEX = r"/+$"
+DOMAIN_REGEX = r"^([^/]+)"
+
+# ASCII patterns that parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phones": r"\+[0-9][0-9 -]{7,}[0-9]",
+}
+
+ROUND_DP = 6
+
+# deterministic stratified sampling: per-stratum keep-rate in permille,
+# applied to a content-independent 60-bit hash of the row key.
+SAMPLE_RATES_PERMILLE: dict[str, int] = {"en": 500, "de": 250, "es": 250}
+SAMPLE_DEFAULT_PERMILLE = 100
+SAMPLE_SALT = "stratified-v1:"
+
+
+# ---------------------------------------------------------------------------
+# Spark column builders
+# ---------------------------------------------------------------------------
+
+def normalize_url_expr(url: Column) -> Column:
+    """Canonical URL: lowercase, strip scheme / leading www. / fragment /
+    query string / trailing slashes. Pure projection."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, SCHEME_REGEX, "")
+    u = F.regexp_replace(u, WWW_REGEX, "")
+    u = F.regexp_replace(u, FRAGMENT_REGEX, "")
+    u = F.regexp_replace(u, QUERY_REGEX, "")
+    return F.regexp_replace(u, TRAILING_SLASH_REGEX, "")
+
+
+def domain_expr(url: Column) -> Column:
+    """Registrable host part of a (normalized) URL."""
+    return F.regexp_extract(normalize_url_expr(url), DOMAIN_REGEX, 1)
+
+
+def repetition_ratio_expr(text: Column) -> Column:
+    """Token-level repetition: 1 - distinct/total whitespace tokens
+    (0 for empty text). Gopher-style repetition quality signal."""
+    toks = tokens_expr(F.lower(text))
+    return F.round(
+        F.when(
+            F.size(toks) > 0,
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        ROUND_DP,
+    )
+
+
+def bigram_repetition_expr(text: Column) -> Column:
+    """Same signal over word bigrams — catches phrase-level boilerplate
+    that unigram repetition misses."""
+    grams = shingles_expr(text, n=2)
+    return F.round(
+        F.when(
+            F.size(grams) > 0,
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        ROUND_DP,
+    )
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    return {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def sample_hash_expr(key: Column) -> Column:
+    """Content-independent permille bucket in [0,1000) from the portable
+    md5-derived 60-bit hash (same value in DuckDB)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(1000))
+
+
+def stratified_keep_expr(key: Column, stratum: Column) -> Column:
+    rate = F.lit(SAMPLE_DEFAULT_PERMILLE)
+    for s, r in sorted(SAMPLE_RATES_PERMILLE.items()):
+        rate = F.when(stratum == s, F.lit(r)).otherwise(rate)
+    return sample_hash_expr(key) < rate
+
+
+def ngram_topk(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k n-grams, deterministic ties (count desc, gram
+    asc). explode -> partial/final count -> TakeOrderedAndProject."""
+    grams = F.explode(shingles_expr(F.col(text_col), n=n)).alias("ngram")
+    return (
+        df.select(grams)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins
+# ---------------------------------------------------------------------------
+
+def sql_normalize_url(url: str) -> str:
+    u = f"lower({url})"
+    for pat in (SCHEME_REGEX, WWW_REGEX, FRAGMENT_REGEX, QUERY_REGEX, TRAILING_SLASH_REGEX):
+        u = f"regexp_replace({u}, '{pat}', '')"
+    return u
+
+
+def sql_domain(url: str) -> str:
+    return f"regexp_extract({sql_normalize_url(url)}, '{DOMAIN_REGEX}', 1)"
+
+
+def sql_repetition_ratio(text: str) -> str:
+    toks = sql_tokens(f"lower({text})")
+    return (
+        f"round(case when len({toks}) > 0 then "
+        f"1.0 - len(list_distinct({toks}))::double / len({toks})::double "
+        f"else 0.0 end, {ROUND_DP})"
+    )
+
+
+def sql_bigram_repetition(text: str) -> str:
+    grams = sql_shingles(text, n=2)
+    return (
+        f"round(case when len({grams}) > 0 then "
+        f"1.0 - len(list_distinct({grams}))::double / len({grams})::double "
+        f"else 0.0 end, {ROUND_DP})"
+    )
+
+
+def sql_pii_counts(text: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"len(regexp_extract_all({text}, '{pat}'))::bigint"
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def sql_sample_hash(key: str) -> str:
+    h = f"('0x' || substr(md5('{SAMPLE_SALT}' || ({key})::varchar), 1, 15))::bigint"
+    return f"(({h}) % 1000 + 1000) % 1000"
+
+
+def sql_stratified_keep(key: str, stratum: str) -> str:
+    rate = f"{SAMPLE_DEFAULT_PERMILLE}"
+    for s, r in sorted(SAMPLE_RATES_PERMILLE.items()):
+        rate = f"case when {stratum} = '{s}' then {r} else {rate} end"
+    return f"{sql_sample_hash(key)} < ({rate})"

@@ -281,3 +281,103 @@ def test_minhash_verified_pairs_recipe(spark):
     assert (0, 1) in out  # near-dup: all but the last shingle shared
     assert out[(0, 1)] == pytest.approx(round(py_jaccard(texts[0], texts[1], 3), 6))
     assert all(a != 2 and b != 2 for a, b in out)  # verified: no false positives
+
+
+# ---------------------------------------------------------------------------
+# web-corpus pipeline ops (text/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def test_normalize_url_and_domain(spark):
+    from pagerankproject_spark.text.pipeline import domain_expr, normalize_url_expr
+
+    cases = [
+        ("https://www.Example.COM/Path/Item/?utm=x#frag", "example.com/path/item"),
+        ("http://ex.com/p1", "ex.com/p1"),
+        ("ex.com/p1//", "ex.com/p1"),
+        ("HTTPS://sub.ex.com/a?q=1", "sub.ex.com/a"),
+        ("ftp://files.ex.com/x", "files.ex.com/x"),
+        ("www.only-host.com", "only-host.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = df.select(
+        "url",
+        normalize_url_expr(F.col("url")).alias("norm"),
+        domain_expr(F.col("url")).alias("dom"),
+    ).collect()
+    want = dict(cases)
+    for r in out:
+        assert r["norm"] == want[r["url"]], r
+        assert r["dom"] == want[r["url"]].split("/")[0]
+
+
+def test_repetition_ratio(spark):
+    from pagerankproject_spark.text.pipeline import (
+        bigram_repetition_expr,
+        repetition_ratio_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("a b c d",), ("",), ("a b a b a b",)], "text string"
+    )
+    out = df.select(
+        "text",
+        repetition_ratio_expr(F.col("text")).alias("uni"),
+        bigram_repetition_expr(F.col("text")).alias("bi"),
+    ).collect()
+    got = {r["text"]: (r["uni"], r["bi"]) for r in out}
+    assert got["a a a a"] == (0.75, pytest.approx(2 / 3, abs=1e-6))
+    assert got["a b c d"] == (0.0, 0.0)
+    assert got[""] == (0.0, 0.0)
+    # bigrams of "a b a b a b": [ab, ba, ab, ba, ab] -> 2 distinct of 5
+    assert got["a b a b a b"] == (pytest.approx(1 - 2 / 6, abs=1e-6), 0.6)
+
+
+def test_pii_counts(spark):
+    from pagerankproject_spark.text.pipeline import pii_count_exprs
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.b@x.io or c@y.co.uk thanks",),
+            ("server 10.0.0.1 and 192.168.1.255",),
+            ("call +1 555 123 4567 now",),
+            ("nothing here",),
+        ],
+        "text string",
+    )
+    cols = pii_count_exprs(F.col("text"))
+    out = df.select("text", *(c.alias(n) for n, c in cols.items())).collect()
+    got = {r["text"]: (r["n_emails"], r["n_ipv4s"], r["n_phones"]) for r in out}
+    assert got["mail me at a.b@x.io or c@y.co.uk thanks"][0] == 2
+    assert got["server 10.0.0.1 and 192.168.1.255"][1] == 2
+    assert got["call +1 555 123 4567 now"][2] == 1
+    assert got["nothing here"] == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from pagerankproject_spark.text.pipeline import (
+        SAMPLE_RATES_PERMILLE,
+        stratified_keep_expr,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = df.filter(stratified_keep_expr(F.col("doc_id"), F.col("lang")))
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # deterministic across runs
+    n_en = sum(1 for i in a if i % 2 == 0)
+    n_fr = len(a) - n_en
+    # 1000 docs per stratum; keep-rates 500/1000 (en) and default 100/1000
+    assert abs(n_en - 500 * 1000 // 1000) < 60
+    assert abs(n_fr - 100 * 1000 // 1000) < 40
+    assert SAMPLE_RATES_PERMILLE["en"] == 500
+
+
+def test_ngram_topk_deterministic_ties(spark):
+    from pagerankproject_spark.text.pipeline import ngram_topk
+
+    df = docs_df(spark, ["x y x y", "x y z w", "z w q r"])
+    out = [(r["ngram"], r["cnt"]) for r in ngram_topk(df, n=2, k=3).collect()]
+    assert out[0] == ("x y", 3)
+    assert out[1] == ("z w", 2)  # ties below broken by ngram asc
+    assert out[2][1] <= 2
