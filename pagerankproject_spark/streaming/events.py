@@ -140,6 +140,77 @@ def sql_sessionize(table: str, gap_minutes: int = 30) -> str:
     """
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Custom stateful streaming operator via `applyInPandasWithState`:
+    continuous exact dedup over a document stream.
+
+    State is keyed by content fingerprint (md5 of normalized text,
+    identical to the batch `dedup_exact`); the first micro-batch that
+    sees a fingerprint emits one survivor row (min doc_id within that
+    batch — the batch keep-rule) and pins a state flag; every later
+    occurrence is swallowed. State per key is one int — O(distinct
+    fingerprints) across the stream, the minimum any streaming dedup
+    must hold; the shuffle key is the 16-byte fingerprint, never the
+    text.
+
+    This is the op Spark's built-ins can't express (dropDuplicates on a
+    stream keeps ALL keys in state forever AND can't emit the group's
+    min-id survivor); `applyInPandasWithState` gives Arrow-batched
+    Python over the state store.
+
+    Output: (fingerprint, survivor_id). Batch twin: `dedup_exact`
+    (equal when a fingerprint's min doc_id arrives in the first batch
+    that contains it — asserted in tests with ordered files).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain: every later occurrence is a dupe
+                pass
+            return iter([])
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return iter([])
+        state.update((1,))
+        return iter(
+            [pd.DataFrame({"fingerprint": [key[0]], "survivor_id": [best]})]
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    from ..text.analysis import fingerprint_expr
+
+    keyed = stream.select(
+        "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).groupBy("fingerprint")
+    return keyed.applyInPandasWithState(
+        dedup_fn,
+        outputStructType="fingerprint string, survivor_id long",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     events_dir: str,

@@ -159,3 +159,48 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         assert sn == n
         # session_window's end = last event + gap; batch's = last event
         assert send == end + gap
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    from pagerankproject_spark.dedup.exact import dedup_exact
+    from pagerankproject_spark.streaming.events import stream_dedup_exact
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+
+    def doc(i, text):
+        return (i, text, "en", "s", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # file order = arrival order; each fingerprint's min id is in the
+    # earliest file containing it, so stream output == batch dedup_exact.
+    batch1 = [doc(0, "alpha beta"), doc(1, "gamma delta"), doc(2, "alpha beta")]
+    batch2 = [doc(10, "alpha beta"), doc(11, "epsilon"), doc(12, "gamma delta")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(docs_dir / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(docs_dir / "f1")
+    )
+
+    out = stream_dedup_exact(spark, str(docs_dir) + "/*")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["fingerprint"]: r["survivor_id"]
+        for r in spark.sql("select * from dedup_stream").collect()
+    }
+
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        r["fingerprint"]: r["survivor_id"] for r in dedup_exact(all_docs).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # alpha-beta, gamma-delta, epsilon
