@@ -258,6 +258,44 @@ def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerankproject_spark.graph.hits import hits
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    res = hits(spark, g, epsilon=1e-8, max_iterations=60)
+    return res.scores.select(
+        "url", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def q_hits_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS iteration from uniform h0 — SQL-expressible (h0 cancels
+    in the L2 normalization, so authority1 = indeg/||indeg||)."""
+    e = _edges(spark, sf_dir)
+    ind = e.groupBy("dst").agg(F.count("*").cast("double").alias("c"))
+    anorm = ind.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nm"))
+    a1 = ind.crossJoin(F.broadcast(anorm)).select(
+        "dst", (F.col("c") / F.col("nm")).alias("a")
+    )
+    hraw = (
+        e.join(a1, "dst").groupBy("src").agg(F.sum("a").alias("hr"))
+    )
+    hnorm = hraw.agg(F.sqrt(F.sum(F.col("hr") * F.col("hr"))).alias("nm"))
+    h1 = hraw.crossJoin(F.broadcast(hnorm)).select(
+        "src", (F.col("hr") / F.col("nm")).alias("h")
+    )
+    v = _vertices(spark, sf_dir)
+    return (
+        v.join(a1, v.url == a1.dst, "left")
+        .join(h1, v.url == h1.src, "left")
+        .select(
+            "url",
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_graph_tables(spark, _edges(spark, sf_dir))
     return connected_components(spark, g, max_iterations=50).components
@@ -669,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_csr": q_pagerank_csr,
+        "hits_scores": q_hits_scores,
+        "hits_one_iter": q_hits_one_iter,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "cc_one_iter": q_cc_one_iter,
@@ -730,6 +770,20 @@ def oracle_sql() -> dict[str, str]:
             w as (select dst, 1.0::double / (count(*) over (partition by src)) as weight
                   from edges)
             select dst, round(sum(weight), 6) as msg from w group by 1""",
+        "hits_one_iter": f"""{g},
+            ind as (select dst, count(*)::double as c from edges group by 1),
+            anorm as (select sqrt(sum(c*c)) as nm from ind),
+            a1 as (select dst, c / nm as a from ind, anorm),
+            hraw as (select e.src, sum(a1.a) as hr
+                     from edges e join a1 on e.dst = a1.dst group by 1),
+            hnorm as (select sqrt(sum(hr*hr)) as nm from hraw),
+            h1 as (select src, hr / nm as h from hraw, hnorm)
+            select v.url,
+                   round(coalesce(h1.h, 0), 6) as hub,
+                   round(coalesce(a1.a, 0), 6) as authority
+            from vertices v
+            left join a1 on v.url = a1.dst
+            left join h1 on v.url = h1.src""",
         "cc_one_iter": f"""{g}
             select dst as url, least(dst, min(src)) as component
             from sym group by dst""",

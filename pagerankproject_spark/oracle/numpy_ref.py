@@ -269,3 +269,33 @@ def triangle_counts(
         per_edge[(a, b)] = c
         total += c
     return per_edge, total // 3
+
+
+def hits_by_url(
+    rows: list[tuple[str, str]],
+    epsilon: float = 1e-6,
+    max_iterations: int = 100,
+) -> dict[str, tuple[float, float]]:
+    """float64 HITS oracle over the engine's graph construction (regex
+    filter + dense ids): url -> (hub, authority). Same update order as
+    graph/hits.py: a from h, L2-normalize; h from NEW a, L2-normalize;
+    stop on ||a - a_prev||_2 < epsilon. Duplicate edges count twice
+    (the engine never dedups — duplicates are real links)."""
+    g = build_graph(rows)
+    n = g.n
+    A = np.zeros((n, n), dtype=np.float64)
+    for s, t in g.edges:
+        A[s, t] += 1.0
+    h = np.full(n, 1.0 / math.sqrt(n), dtype=np.float64)
+    a_prev = None
+    a = np.zeros(n)
+    for _ in range(max_iterations):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+        if a_prev is not None and np.linalg.norm(a - a_prev) < epsilon:
+            break
+        a_prev = a
+    inv = {i: u for u, i in g.url_dict.items()}
+    return {inv[i]: (float(h[i]), float(a[i])) for i in range(n)}

@@ -89,3 +89,32 @@ def test_triangles_weblike_matches_oracle(spark):
     per_edge, total = oracle.triangle_counts(post)
     assert got == per_edge
     assert res.total == total
+
+
+def test_hits_star_graph(spark):
+    from pagerankproject_spark.graph.hits import hits
+
+    # hub h0 links to 4 leaves: h(h0)=1, authority(leaf)=1/2 each
+    pairs = [("h0", f"l{i}") for i in range(4)]
+    g = _tables(spark, pairs)
+    res = hits(spark, g, epsilon=1e-9, max_iterations=50)
+    got = {r["url"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    assert abs(got["h0"][0] - 1.0) < 1e-9
+    for i in range(4):
+        assert abs(got[f"l{i}"][1] - 0.5) < 1e-9
+        assert got[f"l{i}"][0] == 0.0
+    assert res.converged
+
+
+def test_hits_weblike_matches_numpy_oracle(spark):
+    from pagerankproject_spark.graph.hits import hits
+
+    pairs = make_weblike(seed=11, n_nodes=60, m_edges=300)
+    g = _tables(spark, pairs)
+    res = hits(spark, g, epsilon=0.0, max_iterations=30)
+    want = oracle.hits_by_url(pairs, epsilon=0.0, max_iterations=30)
+    got = {r["url"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    assert set(got) == set(want)
+    for url, (wh, wa) in want.items():
+        assert abs(got[url][0] - wh) < 1e-6, (url, got[url][0], wh)
+        assert abs(got[url][1] - wa) < 1e-6, (url, got[url][1], wa)
