@@ -44,21 +44,38 @@ class TriangleResult:
 def triangle_counts(
     spark: SparkSession, g: GraphTables | None = None, edges: DataFrame | None = None
 ) -> TriangleResult:
-    """`edges` (src,dst string columns) overrides `g` if given."""
+    """`edges` (src,dst string columns) overrides `g` if given.
+
+    With a GraphTables input the wedge enumeration runs on the dense
+    LONG ids (the dominant shuffles move 8-byte keys, not urls); the
+    translation back to url space happens once, on the per-edge output
+    (two joins against the small vertices dim). Any total order is a
+    valid orientation, so id-order and url-order tie-breaks give
+    identical counts; the output is re-canonicalized by url."""
     if edges is None:
-        ids = g.weighted_edges.select("src_id", "dst_id")
-        v = g.vertices
-        edges = (
-            ids.join(
-                v.select(F.col("id").alias("src_id"), F.col("url").alias("src")),
-                "src_id",
+        und_ids = (
+            g.weighted_edges.select("src_id", "dst_id")
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select(
+                F.least("src_id", "dst_id").alias("a"),
+                F.greatest("src_id", "dst_id").alias("b"),
             )
-            .join(
-                v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst")),
-                "dst_id",
-            )
-            .select("src", "dst")
+            .distinct()
         )
+        per_edge_ids, total = _count(und_ids.persist())
+        v = g.vertices
+        per_edge = (
+            per_edge_ids.join(
+                v.select(F.col("id").alias("a"), F.col("url").alias("url_a")), "a"
+            )
+            .join(v.select(F.col("id").alias("b"), F.col("url").alias("url_b")), "b")
+            .select(
+                F.least("url_a", "url_b").alias("a"),
+                F.greatest("url_a", "url_b").alias("b"),
+                "triangles",
+            )
+        )
+        return TriangleResult(per_edge=per_edge, total=total)
 
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -68,7 +85,13 @@ def triangle_counts(
         .distinct()
         .persist()
     )
+    per_edge, total = _count(und)
+    return TriangleResult(per_edge=per_edge, total=total)
 
+
+def _count(und: DataFrame) -> tuple[DataFrame, int]:
+    """Degree-ordered wedge enumeration over a canonical undirected
+    edge list (a < b, deduped). Key type agnostic (long ids or urls)."""
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -122,4 +145,4 @@ def triangle_counts(
     per_edge = und.join(counts, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
     )
-    return TriangleResult(per_edge=per_edge, total=int(total))
+    return per_edge, int(total)
