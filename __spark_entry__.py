@@ -673,6 +673,30 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style cleaning pass: predicted-lang allowlist +
+    quality floor + repetition cap + token-range gate, then the
+    deterministic stratified sampler — the realistic end-to-end shape a
+    training-data pipeline runs per snapshot. One scan, all predicates
+    ride it as projections; no shuffle at all."""
+    d = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = d.select(
+        "doc_id",
+        lang_id_expr(t).alias("lang_pred"),
+        quality_score_expr(t).alias("quality"),
+        pipeline.repetition_ratio_expr(t).alias("rep_ratio"),
+        token_count_expr(t).alias("n_tokens"),
+    )
+    return enriched.filter(
+        F.col("lang_pred").isin("en", "de", "es")
+        & (F.col("quality") >= 0.25)
+        & (F.col("rep_ratio") <= 0.8)
+        & (F.col("n_tokens") >= 10)
+        & pipeline.stratified_keep_expr(F.col("doc_id"), F.col("lang_pred"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -728,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_counts": q_pii_counts,
         "stratified_sample": q_stratified_sample,
         "ngram_topk": q_ngram_topk,
+        "corpus_filter": q_corpus_filter,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -938,6 +963,27 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             select doc_id, lang from documents
             where {pipeline.sql_stratified_keep('doc_id', 'lang')}""",
+        "corpus_filter": f"""
+            with enriched as (
+                select doc_id,
+                       {sql_token_count('text')}::bigint as n_tokens,
+                       {pipeline.sql_repetition_ratio('text')} as rep_ratio,
+                       {sql_quality_score('text')} as quality,
+                       {sql_lang_hit_columns('text')}
+                from documents
+            ),
+            langed as (
+                select doc_id, n_tokens, rep_ratio, quality,
+                       {sql_lang_id_case()} as lang_pred
+                from enriched
+            )
+            select doc_id, lang_pred, quality, rep_ratio, n_tokens
+            from langed
+            where lang_pred in ('en', 'de', 'es')
+              and quality >= 0.25
+              and rep_ratio <= 0.8
+              and n_tokens >= 10
+              and {pipeline.sql_stratified_keep('doc_id', 'lang_pred')}""",
         "ngram_topk": f"""
             with g as (
                 select unnest({pipeline.sql_shingles('text', 2)}) as ngram
