@@ -245,3 +245,22 @@ def assign_url_ordered_ids(
         .select("id", "url", (F.col("rn") + F.col("offset")).alias("rank_id"))
     )
     return out
+
+
+def build_edges(
+    spark: SparkSession,
+    pages: DataFrame,
+    impl: str = "sql",
+    **kw,
+) -> GraphTables:
+    """Engine lifecycle entry #1 (SURVEY §3.4): Common-Crawl-style
+    `pages` table -> GraphTables, in one call.
+
+    Column pruning makes the scan read only (url, html) here — the
+    binary column never reaches the shuffle (asserted in plan tests).
+    `kw` forwards to build_graph_tables (max_nnz, filter_ratio,
+    salt_buckets, num_partitions...).
+    """
+    from .extract import extract_outlinks
+
+    return build_graph_tables(spark, extract_outlinks(pages, impl=impl), **kw)

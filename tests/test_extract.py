@@ -59,3 +59,22 @@ def test_html_column_pruned_from_text_plan(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "html" not in plan
         assert "ReadSchema" in plan or "Scan" in plan
+
+
+def test_build_edges_pages_to_ranks_end_to_end(spark, tmp_path):
+    """Lifecycle entry #1: pages table -> build_edges -> pagerank."""
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_edges
+    from pagerankproject_spark.oracle import numpy_ref as oracle
+
+    rows, expected_edges, _ = make_pages(seed=13, n_pages=60)
+    pages = spark.createDataFrame(rows)
+    g = build_edges(spark, pages)
+    res = pagerank(spark, g, epsilon=1e-7, max_iterations=100)
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+
+    want, _ = oracle.pagerank_by_url(expected_edges, epsilon=1e-7, max_iterations=100)
+    assert set(got) == set(want)
+    for url, w in want.items():
+        assert abs(got[url] - w) < 1e-6
+    g.unpersist()
