@@ -213,6 +213,18 @@ def q_top_pages_by_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in-degree distribution — the classic power-law view
+    of a web graph. Two partial-aggregating hash aggs, no sort until the
+    tiny bin table."""
+    return (
+        q_degree_in(spark, sf_dir)
+        .select(F.floor(F.log2("indeg")).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+
+
 def q_spmv_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PageRank contribution step (operator #11) with x == 1."""
     w = Window.partitionBy("src")
@@ -727,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_filter": q_ratio_filter,
         "dangling_vertices": q_dangling_vertices,
         "top_pages_by_indegree": q_top_pages_by_indegree,
+        "degree_histogram": q_degree_histogram,
         "spmv_step": q_spmv_step,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
@@ -788,6 +801,11 @@ def oracle_sql() -> dict[str, str]:
         "dangling_vertices": f"""{g}
             select url from vertices
             where url not in (select src from edges)""",
+        "degree_histogram": f"""{g},
+            ind as (select dst, count(*)::bigint as indeg from edges group by 1)
+            select floor(log2(indeg))::bigint as bin,
+                   count(*)::bigint as n_vertices
+            from ind group by 1""",
         "top_pages_by_indegree": f"""{g}
             select dst as url, count(*)::bigint as indeg from edges
             group by 1 order by indeg desc, url asc limit 20""",

@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_lsh_pairs",
+    "corpus_filter",
+    "ngram_topk",
+    "hits_one_iter",
     "events_windowed",
     "events_sessionize",
     "pricing_summary",
