@@ -109,3 +109,35 @@ def resolve_format(
         )
     os.makedirs(base_dir, exist_ok=True)
     return ParquetDirFormat(base_dir=base_dir)
+
+
+def write_bucketed_edges(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str = "src_id",
+) -> None:
+    """Persist an edge table hash-bucketed (and sorted) by the iteration
+    join key. A bucketed scan carries its partitioning into the join, so
+    the per-iteration `edges JOIN ranks` needs NO exchange (and no sort)
+    on the big side — only the small ranks side shuffles into the bucket
+    layout. This is the durable-table twin of the in-memory
+    `repartition(P, key).persist()` the iterative loops use, and the
+    reason the CSR/bucketed layout wins on a real cluster where the edge
+    table outlives one job (BENCH.md 'CSR blocks' note).
+
+    Uses the session catalog (`saveAsTable`) — works on plain Spark with
+    a warehouse dir; with an Iceberg catalog configured, Iceberg's
+    equivalent is a bucket partition transform on the same key.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)

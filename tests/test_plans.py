@@ -109,3 +109,39 @@ def test_pagerank_iteration_plan_is_jvm_only(spark):
     assert "EvalPython" not in plan(contribs), "hot path must stay JVM-side"
     assert has_codegen(contribs)
     g.unpersist()
+
+
+def test_bucketed_edge_table_join_has_no_bigside_exchange(spark, tmp_path):
+    """The per-iteration join against a bucketed edge table shuffles ONLY
+    the ranks side: exactly one Exchange in the whole plan, and the
+    bucketed scan feeds the join directly."""
+    from pagerankproject_spark.io.tables import read_table, write_bucketed_edges
+
+    edges = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("src_id"),
+        (F.col("id") % 89).alias("dst_id"),
+        F.lit(0.5).alias("weight"),
+    )
+    write_bucketed_edges(edges, "bucketed_edges_test", buckets=4)
+    try:
+        be = read_table(spark, "bucketed_edges_test")
+        ranks = spark.range(0, 97).select(
+            F.col("id"), F.lit(1.0).alias("x")
+        )
+        joined = (
+            be.join(ranks, be.src_id == ranks.id)
+            .groupBy("dst_id")
+            .agg(F.sum(F.col("weight") * F.col("x")).alias("msg"))
+        )
+        p = plan(joined)
+        # formatted plans list each physical node once in the detail section
+        detail_exchanges = [
+            ln for ln in p.splitlines() if ln.lstrip().startswith("(") and "Exchange" in ln
+        ]
+        # one exchange for the ranks side + one for the final aggregation;
+        # the 1000-row edge side must NOT appear under an Exchange.
+        scan = scan_detail(p)
+        assert "Bucketed: true" in scan, scan
+        assert len(detail_exchanges) <= 2, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
