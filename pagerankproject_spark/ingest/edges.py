@@ -264,3 +264,78 @@ def build_edges(
     from .extract import extract_outlinks
 
     return build_graph_tables(spark, extract_outlinks(pages, impl=impl), **kw)
+
+
+def append_edges(
+    spark: SparkSession,
+    g: GraphTables,
+    new_edges: DataFrame,
+) -> GraphTables:
+    """Incremental ingest (crawl-delta maintenance): fold a batch of new
+    raw (src,dst) string edges into existing GraphTables WITHOUT
+    rebuilding from the full corpus.
+
+    At 100 TB the full edge table is rebuilt never; a daily crawl delta
+    is orders of magnitude smaller, so the update must cost O(delta +
+    touched-source edges), not O(total):
+
+      * regex filter the delta (same drop-rule);
+      * unseen urls get fresh dense ids ABOVE the existing max
+        (existing ids are never renumbered — ranks/labels keyed on them
+        stay valid as warm-start state);
+      * 1/outdeg weights are recomputed ONLY for sources touched by the
+        delta (join on the touched-src set); every other row of the
+        weighted table is reused as-is;
+      * result is repartitioned on the same key so iteration joins keep
+        their layout.
+
+    Exactly equal to a full rebuild on the concatenated edge list
+    (url-keyed; asserted in tests).
+    """
+    P = g.num_partitions
+    delta = regex_filter(new_edges).persist()
+
+    new_urls = (
+        delta.select(F.col("src").alias("url"))
+        .union(delta.select(F.col("dst").alias("url")))
+        .distinct()
+        .join(g.vertices.select("url"), "url", "left_anti")
+    )
+    fresh = assign_dense_ids(spark, new_urls, P).select(
+        (F.col("id") + F.lit(g.n)).alias("id"), "url"
+    )
+    vertices = g.vertices.union(fresh).repartition(P, "id").persist()
+    n = vertices.count()
+
+    ids_src = vertices.select(F.col("url").alias("src"), F.col("id").alias("src_id"))
+    ids_dst = vertices.select(F.col("url").alias("dst"), F.col("id").alias("dst_id"))
+    delta_ids = delta.join(ids_src, "src").join(ids_dst, "dst").select(
+        "src_id", "dst_id"
+    )
+
+    touched = delta_ids.select("src_id").distinct()
+    old = g.weighted_edges.select("src_id", "dst_id")
+    untouched_rows = g.weighted_edges.join(touched, "src_id", "left_anti")
+    touched_all = (
+        old.join(touched, "src_id").union(delta_ids)
+    )
+    w = Window.partitionBy("src_id")
+    touched_rows = touched_all.withColumn(
+        "weight", F.lit(1.0) / F.count("*").over(w).cast("double")
+    )
+    weighted = (
+        untouched_rows.select("src_id", "dst_id", "weight")
+        .union(touched_rows.select("src_id", "dst_id", "weight"))
+        .repartition(P, "src_id")
+        .persist()
+    )
+    num_edges = weighted.count()
+    delta.unpersist()
+
+    return GraphTables(
+        vertices=vertices,
+        weighted_edges=weighted,
+        n=n,
+        num_partitions=P,
+        num_edges=num_edges,
+    )

@@ -3,6 +3,8 @@ vs hand fixtures and the brute-force oracle."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fixtures.graphs import (
     TRIANGLE_CHAIN_EDGES,
     TRIANGLE_CHAIN_PER_EDGE,
@@ -118,3 +120,45 @@ def test_hits_weblike_matches_numpy_oracle(spark):
     for url, (wh, wa) in want.items():
         assert abs(got[url][0] - wh) < 1e-6, (url, got[url][0], wh)
         assert abs(got[url][1] - wa) < 1e-6, (url, got[url][1], wa)
+
+
+def test_append_edges_equals_full_rebuild(spark):
+    from pagerankproject_spark.ingest.edges import append_edges
+
+    base = make_weblike(seed=5, n_nodes=40, m_edges=200)
+    delta = [
+        ("site.com/article-1", "site.com/brandnew-1"),
+        ("site.com/brandnew-1", "site.com/article-2"),
+        ("site.com/article-1", "site.com/article-3"),  # touches existing src
+        ("site.com/topic/0", "site.com/article-4"),    # regex-dropped
+    ]
+    g0 = _tables(spark, base)
+    g1 = append_edges(spark, g0, edges_df(spark, delta))
+    g_full = _tables(spark, base + delta)
+
+    def url_triples(g):
+        v = g.vertices
+        return sorted(
+            (r["s"], r["d"], round(r["weight"], 12))
+            for r in g.weighted_edges.join(
+                v.select(F.col("id").alias("src_id"), F.col("url").alias("s")),
+                "src_id",
+            )
+            .join(
+                v.select(F.col("id").alias("dst_id"), F.col("url").alias("d")),
+                "dst_id",
+            )
+            .select("s", "d", "weight")
+            .collect()
+        )
+
+    assert g1.n == g_full.n
+    assert g1.num_edges == g_full.num_edges
+    assert url_triples(g1) == url_triples(g_full)
+
+    # existing ids are stable: every url in g0 keeps its id in g1
+    old_ids = dict((r["url"], r["id"]) for r in g0.vertices.collect())
+    new_ids = dict((r["url"], r["id"]) for r in g1.vertices.collect())
+    for url, i in old_ids.items():
+        assert new_ids[url] == i
+    g0.unpersist(); g1.unpersist(); g_full.unpersist()
