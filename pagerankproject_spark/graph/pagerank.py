@@ -109,6 +109,7 @@ def pagerank(
     resume: bool = False,
     job_name: str = "pagerank",
     spmv: str = "dataframe",
+    x0_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """`spmv` picks the physical SpMV: "dataframe" (join+aggregate,
     whole-stage codegen — the default) or "csr" (per-partition CSR
@@ -143,7 +144,37 @@ def pagerank(
         else:
             resume = False
 
-    if start_iter == 0:
+    if start_iter == 0 and x0_ranks is not None:
+        # warm start (incremental re-rank after append_edges: previous
+        # ranks keyed by the SAME stable ids): project onto the current
+        # vertex set, unseen vertices get the uniform value, then
+        # L2-normalize. Power iteration on a primitive matrix converges
+        # to the same fixpoint from any positive start — a near-fixpoint
+        # start just gets there in far fewer iterations. One job: the
+        # norm and dangling mass ride the checkpoint as an Observation.
+        uniform = 1.0 / math.sqrt(n)
+        obs0 = Observation()
+        seeded = (
+            base.join(x0_ranks.withColumnRenamed("x", "x0"), "id", "left")
+            .select(
+                "id",
+                "is_dangling",
+                F.coalesce("x0", F.lit(uniform)).alias("u"),
+            )
+            .observe(
+                obs0,
+                F.sum(F.col("u") * F.col("u")).alias("s_uu"),
+                F.sum(
+                    F.when(F.col("is_dangling"), F.col("u")).otherwise(0.0)
+                ).alias("s_du"),
+            )
+        )
+        seeded = seeded.select("id", "u").localCheckpoint(eager=True)
+        s0 = obs0.get
+        nrm0 = math.sqrt(s0["s_uu"])
+        ranks = seeded.select("id", (F.col("u") / F.lit(nrm0)).alias("x"))
+        dm = s0["s_du"] / nrm0
+    elif start_iter == 0:
         # x0 = uniform 1/sqrt(n) (already unit-L2); dangling mass of x0 is
         # exactly d_cnt / sqrt(n) — no job needed.
         x0 = 1.0 / math.sqrt(n)

@@ -162,3 +162,34 @@ def test_append_edges_equals_full_rebuild(spark):
     for url, i in old_ids.items():
         assert new_ids[url] == i
     g0.unpersist(); g1.unpersist(); g_full.unpersist()
+
+
+def test_warm_start_after_delta_matches_cold_and_converges_faster(spark):
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import append_edges
+
+    base = make_weblike(seed=7, n_nodes=50, m_edges=300)
+    delta = [
+        ("site.com/article-2", "site.com/fresh-1"),
+        ("site.com/fresh-1", "site.com/article-9"),
+    ]
+    g0 = _tables(spark, base)
+    r0 = pagerank(spark, g0, epsilon=1e-8, max_iterations=300)
+
+    g1 = append_edges(spark, g0, edges_df(spark, delta))
+    warm = pagerank(
+        spark,
+        g1,
+        epsilon=1e-8,
+        max_iterations=300,
+        x0_ranks=r0.ranks.select("id", "x"),
+    )
+    cold = pagerank(spark, g1, epsilon=1e-8, max_iterations=300)
+
+    got_w = {r["url"]: r["x"] for r in warm.ranks.collect()}
+    got_c = {r["url"]: r["x"] for r in cold.ranks.collect()}
+    assert set(got_w) == set(got_c)
+    for url, x in got_c.items():
+        assert abs(got_w[url] - x) < 1e-6, (url, got_w[url], x)
+    assert warm.iterations < cold.iterations  # near-fixpoint start
+    g0.unpersist(); g1.unpersist()
