@@ -2,7 +2,7 @@
 """Graph-ops CLI: connected components / label propagation / triangle
 counting over an edge CSV (same source format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|lpa|triangles --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|lpa|triangles|hits --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
 """
@@ -18,7 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles"])
+    p.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles", "hits"])
     p.add_argument("--data", required=True)
     p.add_argument("--max_iterations", type=int, default=100)
     p.add_argument("--salt_buckets", type=int, default=0)
@@ -52,6 +52,12 @@ def main() -> None:
         print(f"iterations= {res.iterations} converged= {res.converged}")
         n_comp = out.select("component").distinct().count()
         print(f"components= {n_comp}")
+    elif args.algo == "hits":
+        from pagerankproject_spark.graph.hits import hits
+
+        res = hits(spark, g, max_iterations=args.max_iterations)
+        out = res.scores.orderBy("url")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
     elif args.algo == "lpa":
         res = label_propagation(
             spark,
