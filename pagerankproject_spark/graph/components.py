@@ -48,12 +48,18 @@ def connected_components(
     spark: SparkSession,
     g: GraphTables,
     max_iterations: int = 100,
-    salt_buckets: int = 0,
+    salt_buckets: int | str = "auto",
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
     job_name: str = "components",
 ) -> ComponentsResult:
+    """`salt_buckets="auto"` (default) probes the symmetrized degree
+    distribution once and enables salting only when a hot vertex would
+    dominate a task (max degree > max(1M, 4 * edges/partitions)) — the
+    measured regime where the salted two-phase aggregation wins 2x+
+    (BENCH.md skew experiment). Pass 0 to force off, an int to force
+    a bucket count."""
     P = g.num_partitions
     # symmetrize once; duplicates are harmless under MIN
     e = g.weighted_edges.select("src_id", "dst_id")
@@ -64,6 +70,10 @@ def connected_components(
         .repartition(P, "src_id")
         .persist()
     )
+    if salt_buckets == "auto":
+        max_deg = sym.groupBy("src_id").count().agg(F.max("count")).first()[0] or 0
+        threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
+        salt_buckets = 8 if max_deg > threshold else 0
     if salt_buckets > 0:
         sym = sym.withColumn(
             "salt", F.pmod(F.hash("src_id"), F.lit(salt_buckets))
