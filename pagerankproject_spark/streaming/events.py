@@ -243,3 +243,68 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+EDGES_SCHEMA = "src string, dst string"
+
+
+def stream_incremental_pagerank(
+    spark: SparkSession,
+    edges_dir: str,
+    state: dict,
+    alpha: float = 0.85,
+    epsilon: float = 1e-6,
+    max_iterations: int = 100,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous rank maintenance: a stream of raw (src,dst) edge
+    batches folds into the graph incrementally and re-ranks warm.
+
+    foreachBatch composes the three engine primitives — the stream side
+    stays tiny (one micro-batch of edges) while the heavy state (graph
+    tables + current ranks) lives as persisted DataFrames across
+    batches, exactly how a daily-crawl ranker runs in production:
+
+      batch 0:  build_graph_tables(batch)            -> cold pagerank
+      batch k:  append_edges(g, batch)               -> warm pagerank
+                (stable ids => previous ranks are valid x0)
+
+    `state` is the caller's dict; after each committed batch it holds
+    {"g": GraphTables, "ranks": DataFrame (id,x), "batches": int}.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from ..graph.pagerank import pagerank
+    from ..ingest.edges import append_edges, build_graph_tables
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select("src", "dst")
+        if "g" not in state:
+            g = build_graph_tables(spark, edges)
+            res = pagerank(
+                spark, g, alpha=alpha, epsilon=epsilon,
+                max_iterations=max_iterations,
+            )
+        else:
+            g = append_edges(spark, state["g"], edges)
+            res = pagerank(
+                spark, g, alpha=alpha, epsilon=epsilon,
+                max_iterations=max_iterations,
+                x0_ranks=state["ranks"],
+            )
+        # pin ranks before the next batch mutates lineage
+        ranks = res.ranks.select("id", "x").localCheckpoint(eager=True)
+        old = state.get("g")
+        state.update({"g": g, "ranks": ranks, "batches": state.get("batches", 0) + 1})
+        if old is not None:
+            old.unpersist()
+
+    stream = (
+        spark.readStream.schema(EDGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(edges_dir, header=True)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

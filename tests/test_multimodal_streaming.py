@@ -204,3 +204,39 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 3  # alpha-beta, gamma-delta, epsilon
+
+
+def test_stream_incremental_pagerank_matches_batch(spark, tmp_path):
+    from pagerankproject_spark.graph.pagerank import pagerank_from_edges
+    from pagerankproject_spark.streaming.events import stream_incremental_pagerank
+
+    edges_dir = tmp_path / "edge_stream"
+    edges_dir.mkdir()
+    b0 = [("a.page", "b.page"), ("b.page", "c.page"), ("c.page", "a.page")]
+    b1 = [("c.page", "d.page"), ("d.page", "a.page"), ("a.page", "c.page")]
+    for i, batch in enumerate((b0, b1)):
+        (edges_dir / f"batch{i}.csv").write_text(
+            "src,dst\n" + "\n".join(f"{s},{d}" for s, d in batch)
+        )
+
+    state: dict = {}
+    q = stream_incremental_pagerank(
+        spark, str(edges_dir), state, epsilon=1e-8, max_iterations=300
+    )
+    q.awaitTermination(300)
+    assert state["batches"] == 2
+
+    got = {
+        r["url"]: r["x"]
+        for r in state["g"].vertices.join(state["ranks"], "id").select("url", "x").collect()
+    }
+    full = pagerank_from_edges(
+        spark,
+        spark.createDataFrame(b0 + b1, "src string, dst string"),
+        epsilon=1e-8,
+        max_iterations=300,
+    )
+    want = {r["url"]: r["x"] for r in full.ranks.collect()}
+    assert set(got) == set(want)
+    for url, x in want.items():
+        assert abs(got[url] - x) < 1e-6, (url, got[url], x)
