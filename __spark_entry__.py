@@ -453,6 +453,25 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_read(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN in its exact configuration (nprobe == nlist probes
+    every cell, so the result IS the brute-force top-k — the SQL oracle
+    is the same as embedding_topk). The approximate nprobe < nlist path
+    and its recall are pinned in pytest (k-means training is not
+    SQL-expressible)."""
+    from pagerankproject_spark.similarity.ivf import ivf_topk
+
+    out = ivf_topk(
+        _read(spark, sf_dir, "embeddings"), k=5, nlist=8, nprobe=8, seed=42
+    )
+    return out.select(
+        F.col("a").alias("query_id"),
+        F.col("b").alias("neighbor_id"),
+        "sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
 
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ivf_topk_fullprobe": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -898,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": sql_simhash_fingerprints("documents"),
         "embedding_near_dup": sql_cosine_similar_pairs("embeddings", threshold=0.3),
         "embedding_topk": sql_cosine_topk("embeddings", k=5),
+        "ivf_topk_fullprobe": sql_cosine_topk("embeddings", k=5),
         "ann_lsh_pairs": sql_ann_lsh_pairs("embeddings", threshold=0.3),
         "media_metadata": """
             select 'doc://' || doc_id as url,

@@ -381,3 +381,56 @@ def test_ngram_topk_deterministic_ties(spark):
     assert out[0] == ("x y", 3)
     assert out[1] == ("z w", 2)  # ties below broken by ngram asc
     assert out[2][1] <= 2
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (similarity/ivf.py)
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(n_per=12, dim=16, n_clusters=4, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    vecs = []
+    for c in centers:
+        for _ in range(n_per):
+            vecs.append([x + rng.uniform(-0.05, 0.05) for x in c])
+    return vecs
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from pagerankproject_spark.similarity.ivf import ivf_topk
+
+    vecs = _clustered_vecs()
+    df = emb_df(spark, vecs)
+    nlist = 4
+    approx = {
+        (r["a"], r["rank"]): (r["b"], r["sim"])
+        for r in ivf_topk(df, k=3, nlist=nlist, nprobe=nlist, seed=7).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in cosine_topk(df, k=3).collect()
+    }
+    assert approx == exact  # probing every cell == exhaustive search
+
+
+def test_ivf_low_probe_recall_and_determinism(spark):
+    from pagerankproject_spark.similarity.ivf import ivf_topk
+
+    vecs = _clustered_vecs()
+    df = emb_df(spark, vecs)
+    run = lambda: {
+        (r["a"], r["rank"]): r["b"]
+        for r in ivf_topk(df, k=3, nlist=4, nprobe=1, seed=7).collect()
+    }
+    got1, got2 = run(), run()
+    assert got1 == got2  # seeded k-means + deterministic ties
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, k=3).collect()
+    }
+    hits = sum(1 for key, b in got1.items() if exact.get(key) == b)
+    # tight clusters: nearest neighbors live in the query's own cell
+    assert hits / len(exact) > 0.9
