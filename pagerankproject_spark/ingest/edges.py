@@ -140,6 +140,12 @@ def build_graph_tables(
     ).distinct()
     vertices = assign_dense_ids(spark, urls, num_partitions).persist()
     n = vertices.count()
+    if n == 0:
+        raise ValueError(
+            "empty graph: no edges survived the filters (the reference "
+            "would build a 0x0 matrix and crash later in power_method; "
+            "failing fast here instead)"
+        )
 
     ids_src = vertices.select(
         F.col("url").alias("src"), F.col("id").alias("src_id")

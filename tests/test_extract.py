@@ -78,3 +78,16 @@ def test_build_edges_pages_to_ranks_end_to_end(spark, tmp_path):
     for url, w in want.items():
         assert abs(got[url] - w) < 1e-6
     g.unpersist()
+
+
+def test_empty_graph_fails_fast(spark):
+    import pytest as _pytest
+
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    # both endpoints match the drop-regex -> nothing survives
+    edges = spark.createDataFrame(
+        [("site.com/", "site.com/a/b/")], "src string, dst string"
+    )
+    with _pytest.raises(ValueError, match="empty graph"):
+        build_graph_tables(spark, edges)
