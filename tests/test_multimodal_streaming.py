@@ -240,3 +240,25 @@ def test_stream_incremental_pagerank_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for url, x in want.items():
         assert abs(got[url] - x) < 1e-6, (url, got[url], x)
+
+
+def test_media_features_feed_ann(spark):
+    """Modality composition: fake image features -> IVF ANN. Exact
+    payload duplicates have identical feature vectors, so each member
+    of a dup pair is the other's top-1 neighbor at sim 1.0."""
+    from pagerankproject_spark.multimodal.media import (
+        extract_image_features,
+        fake_media_bytes,
+    )
+    from pagerankproject_spark.similarity.ivf import ivf_topk
+
+    rows = [(f"img://{i}", fake_media_bytes(f"img://{i}", 8, 6)) for i in range(20)]
+    rows.append(("img://dup", rows[0][1]))  # exact payload duplicate of img://0
+    df = spark.createDataFrame(rows, "url string, media binary")
+    feats = extract_image_features(df, dim=16, fake=True).select(
+        F.col("url").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    top = ivf_topk(feats, k=1, nlist=4, nprobe=4, seed=1)
+    top1 = {r["a"]: (r["b"], r["sim"]) for r in top.collect()}
+    assert top1["img://dup"] == ("img://0", 1.0)
+    assert top1["img://0"] == ("img://dup", 1.0)
