@@ -104,3 +104,20 @@ def test_parquet_dir_format_atomic_overwrite(spark, tmp_path):
     import os
     assert not os.path.exists(str(tmp_path / "ranks.tmp"))
     assert not os.path.exists(str(tmp_path / "ranks.old"))
+
+
+def test_checkpoint_retention_clean(spark, tmp_path):
+    from pagerankproject_spark.io.checkpoint import ParquetCheckpointer
+
+    ck = ParquetCheckpointer(str(tmp_path), "job")
+    df = spark.range(3).selectExpr("id", "id * 0.5 as x")
+    for i in range(5):
+        ck.write(df, i, {"residual": 0.1 / (i + 1)})
+    ck.clean(keep_latest=2)
+    remaining = sorted(
+        int(n.split("=")[1])
+        for n in __import__("os").listdir(str(tmp_path) + "/job")
+        if n.startswith("iter=")
+    )
+    assert remaining == [3, 4]
+    assert ck.latest().iteration == 4

@@ -91,3 +91,35 @@ def test_empty_graph_fails_fast(spark):
     )
     with _pytest.raises(ValueError, match="empty graph"):
         build_graph_tables(spark, edges)
+
+
+def test_pages_job_cli_end_to_end(spark, tmp_path):
+    """Flag wiring of the pages pipeline job (in-process subprocess run
+    on local[4]; the spark-submit path itself is covered in
+    test_spark_submit.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    rows, _, _ = make_pages(seed=3, n_pages=40)
+    pages_path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(rows).write.parquet(pages_path)
+    out_path = str(tmp_path / "ranks")
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [
+            sys.executable, str(repo / "jobs" / "pages_job.py"),
+            "--pages", pages_path,
+            "--output", out_path,
+            "--master", "local[4]",
+            "--epsilon", "1e-6",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    ranks = spark.read.parquet(out_path)
+    assert ranks.columns == ["id", "url", "x"] or set(ranks.columns) == {"id", "url", "x"}
+    assert ranks.count() > 0
