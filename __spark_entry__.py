@@ -588,6 +588,53 @@ def q_top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: 3-way join + agg + top-10. The two dims (customer
+    filter) broadcast; lineitem aggregates map-side before the final
+    TakeOrderedAndProject."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped: 6-way star join (3 broadcastable dims) + per-nation
+    revenue rollup."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # web-corpus pipeline operators (text/pipeline.py): URL normalization,
 # domain rollups, repetition signals, PII counts, n-gram top-k,
@@ -799,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_sum": q_events_json_sum,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "nation_volume": q_nation_volume,
         "top_customers_by_revenue": q_top_customers_by_revenue,
     }
 
@@ -956,6 +1005,27 @@ def oracle_sql() -> dict[str, str]:
                    sum((props ->> 'k')::bigint)::bigint as sum_k,
                    count(*)::bigint as n_events
             from events group by 1""",
+        "shipping_priority": """
+            select l_orderkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) as revenue,
+                   o_orderdate, o_orderpriority
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, l_orderkey asc limit 10""",
+        "nation_volume": """
+            select n_name,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) as revenue,
+                   count(*)::bigint as n_rows
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by n_name""",
         "pricing_summary": """
             select l_returnflag, l_linestatus,
                    sum(l_quantity::decimal(18,2))::double as sum_qty,
