@@ -95,3 +95,19 @@ def test_triangles_direction_invariant(spark, seed):
     assert c1 == c2
     g1.unpersist()
     g2.unpersist()
+
+
+def test_pagerank_invariant_to_partitioning(spark):
+    """Distributed-correctness: the result must not depend on the
+    physical partition count (sum order, id assignment, join layout)."""
+    pairs = _random_graph(11, n=35, m=150)
+    outs = []
+    for p in (2, 8):
+        g = build_graph_tables(spark, edges_df(spark, pairs), num_partitions=p)
+        res = pagerank(spark, g, alpha=0.85, epsilon=1e-9, max_iterations=300)
+        outs.append({r["url"]: r["x"] for r in res.ranks.collect()})
+        g.unpersist()
+    a, b = outs
+    assert set(a) == set(b)
+    for url in a:
+        assert abs(a[url] - b[url]) < 1e-9, (url, a[url], b[url])
