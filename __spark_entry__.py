@@ -751,6 +751,19 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles (percentile is a sort-based
+    exact aggregate; at 100 TB swap for percentile_approx — the
+    t-digest sketch — when 6dp exactness isn't required)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed C4-style cleaning pass: predicted-lang allowlist +
     quality floor + repetition cap + token-range gate, then the
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "ngram_topk": q_ngram_topk,
         "corpus_filter": q_corpus_filter,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1072,6 +1086,13 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             select doc_id, lang from documents
             where {pipeline.sql_stratified_keep('doc_id', 'lang')}""",
+        "doc_length_quantiles": """
+            select lang,
+                   round(quantile_cont(n_chars, 0.25), 6) as p25,
+                   round(quantile_cont(n_chars, 0.5), 6) as p50,
+                   round(quantile_cont(n_chars, 0.75), 6) as p75,
+                   count(*)::bigint as n_docs
+            from documents group by 1""",
         "corpus_filter": f"""
             with enriched as (
                 select doc_id,
