@@ -42,6 +42,7 @@ from pagerankproject_spark.dedup.minhash import (
 )
 from pagerankproject_spark.dedup.simhash import (
     simhash_fingerprints,
+    simhash_pairs,
     sql_simhash_fingerprints,
 )
 from pagerankproject_spark.graph.components import connected_components
@@ -443,6 +444,13 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-LSH simhash near-dup pairs. Exact for max_hamming <=
+    chunks-1 by pigeonhole, so the brute-force hamming self-join is a
+    valid full oracle."""
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -979,6 +988,12 @@ def oracle_sql() -> dict[str, str]:
             "documents", threshold=0.2, n=2
         ),
         "simhash_fingerprints": sql_simhash_fingerprints("documents"),
+        "simhash_pairs": f"""
+            with fp as ({sql_simhash_fingerprints("documents")})
+            select a.doc as a, b.doc as b,
+                   bit_count(xor(a.simhash, b.simhash))::bigint as hamming
+            from fp a join fp b on a.doc < b.doc
+            where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "embedding_near_dup": sql_cosine_similar_pairs("embeddings", threshold=0.3),
         "embedding_topk": sql_cosine_topk("embeddings", k=5),
         "ivf_topk_fullprobe": sql_cosine_topk("embeddings", k=5),
