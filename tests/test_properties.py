@@ -111,3 +111,17 @@ def test_pagerank_invariant_to_partitioning(spark):
     assert set(a) == set(b)
     for url in a:
         assert abs(a[url] - b[url]) < 1e-9, (url, a[url], b[url])
+
+
+def test_lpa_invariant_to_partitioning(spark):
+    """LPA's min-label tie-breaks must not depend on physical layout."""
+    from pagerankproject_spark.graph.labelprop import label_propagation
+
+    pairs = _random_graph(19, n=30, m=100)
+    outs = []
+    for p in (2, 8):
+        g = build_graph_tables(spark, edges_df(spark, pairs), num_partitions=p)
+        res = label_propagation(spark, g, max_iterations=8)
+        outs.append({r["url"]: r["label"] for r in res.labels.collect()})
+        g.unpersist()
+    assert outs[0] == outs[1]
