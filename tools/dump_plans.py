@@ -1,0 +1,67 @@
+"""Generate PLANS.md: the formatted physical plan of each headline
+query at sf0.01, so plan-level claims (pushdown, pruning, broadcast,
+TakeOrderedAndProject, Arrow-only Python) are inspectable without
+running anything.
+
+Usage: python tools/dump_plans.py   (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.01"
+
+# the plan-interesting subset: one per physical pattern
+PLAN_QUERIES = [
+    "edge_regex_filter",       # filter pushdown into scan
+    "top_pages_by_indegree",   # TakeOrderedAndProject
+    "degree_histogram",        # two-level hash aggregate
+    "spmv_step",               # the PageRank iteration join+agg shape
+    "ratio_filter",            # broadcast anti-join
+    "triangles_per_edge",      # wedge join cascade
+    "corpus_filter",           # scan-riding projections, no shuffle
+    "minhash_verified_pairs",  # LSH candidate join + verification
+    "ivf_topk_fullprobe",      # cell-join ANN
+    "events_sessionize",       # window functions
+    "nation_volume",           # 6-way star join w/ broadcasts
+    "outlink_extract",         # extraction (JVM regexp path)
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from pagerankproject_spark.session import get_spark
+
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._sc._jvm
+
+    out = [
+        "# PLANS — physical plans of the headline queries (sf0.01, auto-generated)",
+        "",
+        "Regenerate: `python tools/dump_plans.py`. What to look for:",
+        "`PushedFilters`/`ReadSchema` on scans (pushdown + pruning),",
+        "`TakeOrderedAndProject` for top-k, `BroadcastHashJoin` for dims,",
+        "no `BatchEvalPython` anywhere (row-at-a-time Python is banned;",
+        "the only Python boundary is `ArrowEvalPython`/`MapInPandas`).",
+        "",
+    ]
+    qs = entry.queries()
+    for name in PLAN_QUERIES:
+        df = qs[name](spark, SF)
+        plan = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote {REPO / 'PLANS.md'} ({len(PLAN_QUERIES)} plans)")
+
+
+if __name__ == "__main__":
+    main()
