@@ -309,6 +309,20 @@ def q_hits_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerankproject_spark.graph.kcore import kcore
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return kcore(spark, g, k=3).vertices
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerankproject_spark.graph.kcore import bfs_distances
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return bfs_distances(spark, g, sources=["site.com/p1"]).distances
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_graph_tables(spark, _edges(spark, sf_dir))
     return connected_components(spark, g, max_iterations=50).components
@@ -834,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "hits_one_iter": q_hits_one_iter,
         "connected_components": q_connected_components,
+        "kcore": q_kcore,
+        "bfs_distances": q_bfs_distances,
         "label_propagation": q_label_propagation,
         "cc_one_iter": q_cc_one_iter,
         "lpa_one_iter": q_lpa_one_iter,

@@ -1,0 +1,177 @@
+"""k-core subgraph + BFS hop distances — engine-added classic
+link-graph operators (no reference implementation; standard definitions,
+e.g. Seidman 1983 for cores).
+
+Both reuse the engine's iterative skeleton: DataFrame join/agg body,
+Observation-borne convergence scalar riding a localCheckpoint
+materialization (one Spark job per iteration), lineage truncated every
+iteration.
+
+k-core: iteratively peel vertices whose UNDIRECTED degree < k until a
+fixpoint; returns the surviving vertex set (the k-core). Peeling is a
+broadcast-able anti-join per round — the peeled set per round is small
+relative to the graph.
+
+BFS: multi-source hop distances over the symmetrized graph; frontier
+expansion is the same join+MIN aggregate as connected components with
+distance+1 instead of min-label.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..session import no_aqe
+
+
+@dataclass
+class KCoreResult:
+    vertices: DataFrame  # url: string, degree: long (degree within the core)
+    iterations: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def kcore(
+    spark: SparkSession,
+    g: GraphTables,
+    k: int,
+    max_iterations: int = 100,
+) -> KCoreResult:
+    P = g.num_partitions
+    e = g.weighted_edges.select("src_id", "dst_id").filter(
+        F.col("src_id") != F.col("dst_id")
+    )
+    # undirected simple edges (a < b, deduped) — degree = simple-graph degree
+    und = (
+        e.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .repartition(P, "a")
+        .localCheckpoint(eager=True)
+    )
+
+    metrics: list[dict] = []
+    it = 0
+    with no_aqe(spark):
+        for it in range(max_iterations):
+            t0 = time.time()
+            deg = (
+                und.select(F.col("a").alias("v"))
+                .union(und.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("deg"))
+            )
+            victims = deg.filter(F.col("deg") < k).select("v")
+            n_victims = victims.count()  # tiny driver scalar
+            metrics.append(
+                {"i": it, "peeled": n_victims, "wall_sec": time.time() - t0}
+            )
+            if n_victims == 0:
+                break
+            bv = F.broadcast(victims)
+            und = (
+                und.join(bv, und.a == victims.v, "left_anti")
+                .join(bv, und.b == victims.v, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    out = deg.join(
+        g.vertices.select(F.col("id").alias("v"), "url"), "v"
+    ).select("url", "degree")
+    return KCoreResult(vertices=out, iterations=it + 1, metrics=metrics)
+
+
+@dataclass
+class BFSResult:
+    distances: DataFrame  # url: string, distance: long (unreached omitted)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def bfs_distances(
+    spark: SparkSession,
+    g: GraphTables,
+    sources: list[str],
+    max_iterations: int = 100,
+) -> BFSResult:
+    """Hop distance from the nearest of `sources` (urls), undirected."""
+    P = g.num_partitions
+    e = g.weighted_edges.select("src_id", "dst_id")
+    sym = (
+        e.union(
+            e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+        )
+        .repartition(P, "src_id")
+        .persist()
+    )
+    src_df = spark.createDataFrame([(u,) for u in sources], "url string")
+    dist = (
+        g.vertices.join(F.broadcast(src_df), "url", "left_semi")
+        .select("id", F.lit(0).cast("long").alias("d"))
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+    if dist.rdd.isEmpty():
+        raise ValueError("no source url found in the vertex set")
+
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    with no_aqe(spark):
+        for it in range(max_iterations):
+            t0 = time.time()
+            cand = (
+                sym.join(dist, sym.src_id == dist.id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg((F.min("d") + 1).alias("nd"))
+            )
+            obs = Observation()
+            staged = (
+                dist.join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce(F.col("d"), F.lit(1 << 60)),
+                        F.coalesce(F.col("nd"), F.lit(1 << 60)),
+                    ).alias("nd2"),
+                    F.col("d").alias("old"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("old").isNull() | (F.col("nd2") < F.col("old")), 1
+                        ).otherwise(0)
+                    ).alias("c"),
+                )
+            )
+            dist = staged.select(
+                "id", F.col("nd2").alias("d")
+            ).localCheckpoint(eager=True)
+            changed = int(obs.get["c"] or 0)
+            metrics.append({"i": it, "changed": changed, "wall_sec": time.time() - t0})
+            if changed == 0:
+                converged = True
+                break
+
+    out = dist.join(g.vertices, "id").select(
+        "url", F.col("d").cast("long").alias("distance")
+    )
+    sym.unpersist()
+    return BFSResult(
+        distances=out, iterations=it + 1, converged=converged, metrics=metrics
+    )

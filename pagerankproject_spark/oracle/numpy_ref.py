@@ -299,3 +299,46 @@ def hits_by_url(
         a_prev = a
     inv = {i: u for u, i in g.url_dict.items()}
     return {inv[i]: (float(h[i]), float(a[i])) for i in range(n)}
+
+
+def kcore_vertices(
+    edges: list[tuple[str, str]], k: int
+) -> dict[str, int]:
+    """Brute-force k-core: peel degree<k until fixpoint; returns
+    {vertex: degree-in-core} over the simple undirected graph."""
+    und = {tuple(sorted((s, t))) for s, t in edges if s != t}
+    while True:
+        deg: dict[str, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        victims = {v for v, d in deg.items() if d < k}
+        if not victims:
+            return deg
+        und = {(a, b) for a, b in und if a not in victims and b not in victims}
+
+
+def bfs_distances_by_url(
+    edges: list[tuple[str, str]], sources: list[str]
+) -> dict[str, int]:
+    """Brute-force undirected multi-source BFS over the engine's
+    post-regex vertex set; unreached vertices omitted."""
+    g = build_graph(edges)
+    adj: dict[int, set[int]] = {}
+    for s, t in g.edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    inv = {i: u for u, i in g.url_dict.items()}
+    frontier = {g.url_dict[u] for u in sources if u in g.url_dict}
+    dist = {v: 0 for v in frontier}
+    d = 0
+    while frontier:
+        d += 1
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.add(w)
+        frontier = nxt
+    return {inv[v]: dd for v, dd in dist.items()}

@@ -193,3 +193,31 @@ def test_warm_start_after_delta_matches_cold_and_converges_faster(spark):
         assert abs(got_w[url] - x) < 1e-6, (url, got_w[url], x)
     assert warm.iterations < cold.iterations  # near-fixpoint start
     g0.unpersist(); g1.unpersist()
+
+
+def test_kcore_matches_brute_force(spark):
+    from pagerankproject_spark.graph.kcore import kcore
+
+    pairs = make_weblike(seed=21, n_nodes=60, m_edges=350)
+    g = _tables(spark, pairs)
+    res = kcore(spark, g, k=3)
+    got = {r["url"]: r["degree"] for r in res.vertices.collect()}
+    want = oracle.kcore_vertices(_post_regex(pairs), k=3)
+    assert got == want
+    assert all(d >= 3 for d in got.values())
+    g.unpersist()
+
+
+def test_bfs_distances_match_brute_force(spark):
+    from pagerankproject_spark.graph.kcore import bfs_distances
+
+    pairs = make_weblike(seed=23, n_nodes=50, m_edges=220)
+    g = _tables(spark, pairs)
+    post = _post_regex(pairs)
+    sources = [post[0][0], post[1][1]]
+    res = bfs_distances(spark, g, sources=sources)
+    got = {r["url"]: r["distance"] for r in res.distances.collect()}
+    want = oracle.bfs_distances_by_url(pairs, sources)
+    assert got == want
+    assert res.converged
+    g.unpersist()
