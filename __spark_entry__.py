@@ -60,7 +60,9 @@ from pagerankproject_spark.similarity.cosine import (
 from pagerankproject_spark.similarity.lsh import ann_lsh_pairs, sql_ann_lsh_pairs
 from pagerankproject_spark.streaming.events import (
     sessionize,
+    sliding_event_counts,
     sql_sessionize,
+    sql_sliding_event_counts,
     sql_windowed_event_counts,
     windowed_event_counts,
 )
@@ -534,6 +536,21 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = sliding_event_counts(
+        _read(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+    return out.select(
+        (F.unix_micros(F.col("window_start").cast("timestamp_ltz")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s = sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
@@ -882,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_fullprobe": q_ivf_topk,
         "media_metadata": q_media_metadata,
         "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "events_json_sum": q_events_json_sum,
         "pricing_summary": q_pricing_summary,
@@ -1025,6 +1043,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n_events,
                    round(sum(value), 6) as sum_value
             from events group by 1, 2""",
+        "events_sliding": """
+            with exploded as (
+                select e.*, ((epoch_us(ts) // 1800000000) - g.i) * 1800 as ws
+                from events e
+                cross join (select unnest(range(2)) as i) g
+                where epoch_us(ts) // 1000000 - (((epoch_us(ts) // 1800000000) - g.i) * 1800) < 3600
+            )
+            select ws as window_start_s, event_type,
+                   count(*)::bigint as n_events,
+                   round(sum(value), 6) as sum_value
+            from exploded group by 1, 2""",
         "events_sessionize": f"""
             with gaps as (
                 select user_id, event_id, ts,

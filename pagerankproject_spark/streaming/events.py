@@ -308,3 +308,53 @@ def stream_incremental_pagerank(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window counts per event_type (each event lands in
+    window/slide overlapping windows). Same builder works on batch and
+    streaming inputs; the DuckDB twin enumerates the k overlapping
+    buckets per event explicitly."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), VALUE_ROUND).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sql_sliding_event_counts(
+    table: str, window_minutes: int = 60, slide_minutes: int = 30
+) -> str:
+    """Spark's sliding windows: an event at t belongs to every window
+    whose start is in (t - window, t] aligned to the slide grid."""
+    w = window_minutes * 60
+    s = slide_minutes * 60
+    k = w // s
+    return f"""
+        with exploded as (
+            select e.*, to_timestamp(((epoch(e.ts)::bigint // {s}) - g.i) * {s}) as ws
+            from {table} e
+            cross join (select unnest(range({k})) as i) g
+            where epoch(e.ts)::bigint - (((epoch(e.ts)::bigint // {s}) - g.i) * {s}) < {w}
+        )
+        select ws as window_start,
+               ws + interval {window_minutes} minutes as window_end,
+               event_type,
+               count(*)::bigint as n_events,
+               round(sum(value), {VALUE_ROUND}) as sum_value
+        from exploded
+        group by 1, 2, 3
+    """
