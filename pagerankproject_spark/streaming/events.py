@@ -87,13 +87,16 @@ def stream_windowed_event_counts(
     events_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """Streaming form of `windowed_event_counts` over a parquet
     directory source, watermarked for late data. Caller attaches the
-    sink (tests: memory sink + trigger(availableNow=True))."""
+    sink (tests: memory sink + trigger(availableNow=True)).
+    `max_files_per_trigger` bounds micro-batch size (a SOURCE option —
+    it also controls how the watermark advances between batches)."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
         .withWatermark("ts", watermark)
     )

@@ -262,3 +262,60 @@ def test_media_features_feed_ann(spark):
     top1 = {r["a"]: (r["b"], r["sim"]) for r in top.collect()}
     assert top1["img://dup"] == ("img://0", 1.0)
     assert top1["img://0"] == ("img://dup", 1.0)
+
+
+def test_watermark_drops_late_aggregation_updates(spark, tmp_path):
+    """Late-data semantics: in append mode a window only emits once the
+    watermark passes its end; an event arriving AFTER that (3h late
+    against a 1h watermark) must not re-open the finalized window."""
+    import datetime as dt
+
+    events_dir = tmp_path / "late_events"
+    events_dir.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev(i, minutes, typ="click"):
+        return (i, base + dt.timedelta(minutes=minutes), 1, typ, 1.0, "{}")
+
+    # batch 0: window [10:00,11:00) gets 2 events; max ts 13:30 sets the
+    # 1h watermark to 12:30 at batch END (it takes effect NEXT batch).
+    b0 = [ev(0, 0), ev(1, 30), ev(2, 210)]
+    # batch 1: benign fresh event — runs under wm 12:30, finalizing and
+    # emitting the [10:00,11:00) window.
+    b1 = [ev(3, 240)]
+    # batch 2: a 10:15 event, 2h15m behind the watermark: dropped.
+    b2 = [ev(4, 15)]
+    import time as _time
+
+    for i, batch in enumerate((b0, b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(events_dir / f"f{i}")
+        )
+        _time.sleep(1.2)  # distinct mtimes -> deterministic file order
+
+    from pagerankproject_spark.streaming.events import stream_windowed_event_counts
+
+    stream = stream_windowed_event_counts(
+        spark, str(events_dir) + "/*", window="1 hour", watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("select * from late_counts").collect()
+    }
+    # the finalized 10:00 window counts the 2 on-time events only — the
+    # late third never updates it (batch semantics would count 3).
+    assert got.get(base) == 2, got
