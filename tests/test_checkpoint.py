@@ -121,3 +121,26 @@ def test_checkpoint_retention_clean(spark, tmp_path):
     )
     assert remaining == [3, 4]
     assert ck.latest().iteration == 4
+
+
+def test_iceberg_format_activates_with_catalog(spark):
+    """resolve_format returns IcebergFormat iff an Iceberg catalog is
+    configured; in this sandbox (no runtime jar) the parquet fallback
+    must be chosen and a missing base_dir must be a clear error."""
+    import pytest as _pytest
+
+    from pagerankproject_spark.io.tables import (
+        IcebergFormat,
+        ParquetDirFormat,
+        iceberg_catalogs,
+        resolve_format,
+    )
+
+    cats = iceberg_catalogs(spark)
+    if cats:  # pragma: no cover - only on Iceberg-enabled clusters
+        assert isinstance(resolve_format(spark), IcebergFormat)
+    else:
+        with _pytest.raises(ValueError, match="base_dir"):
+            resolve_format(spark)
+        fmt = resolve_format(spark, base_dir="/tmp/lg_tables_test")
+        assert isinstance(fmt, ParquetDirFormat)

@@ -125,3 +125,22 @@ def test_lpa_invariant_to_partitioning(spark):
         outs.append({r["url"]: r["label"] for r in res.labels.collect()})
         g.unpersist()
     assert outs[0] == outs[1]
+
+
+def test_hits_invariant_to_partitioning(spark):
+    from pagerankproject_spark.graph.hits import hits
+
+    pairs = _random_graph(23, n=25, m=90)
+    outs = []
+    for p in (2, 8):
+        g = build_graph_tables(spark, edges_df(spark, pairs), num_partitions=p)
+        res = hits(spark, g, epsilon=0.0, max_iterations=25)
+        outs.append(
+            {r["url"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+        )
+        g.unpersist()
+    a, b = outs
+    assert set(a) == set(b)
+    for url in a:
+        assert abs(a[url][0] - b[url][0]) < 1e-9
+        assert abs(a[url][1] - b[url][1]) < 1e-9
