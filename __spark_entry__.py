@@ -377,6 +377,22 @@ def _occurrences(url, word: str):
     ).cast("double")
 
 
+def q_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full flow (operators #16-#20 over #9-#15 output):
+    PageRank, then synonym-scored url search with a static synonym
+    table, top 10. Iterative -> rows-only driver check; the components
+    are separately oracle-checked (url_search_score,
+    url_query_predicate, pagerank chain)."""
+    from pagerankproject_spark.search.query import search_df
+
+    res = pagerank_from_edges(
+        spark, _edges(spark, sf_dir), epsilon=1e-6, max_iterations=60
+    )
+    syn = lambda term: [("p1", 0.9), ("p2", 0.5)] if term == "page" else []
+    out = search_df(res.ranks, query="page", max_results=10, synonyms=syn)
+    return out.select("url", F.round("ranking", 6).alias("ranking"))
+
+
 def q_url_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vertices(spark, sf_dir)
     url = F.col("url")
@@ -873,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_edge": q_triangles_per_edge,
         "triangle_total": q_triangle_total,
         "url_search_score": q_url_search_score,
+        "search_top10": q_search_top10,
         "url_query_predicate": q_url_query_predicate,
         "outlink_extract": q_outlink_extract,
         "text_stats": q_text_stats,
