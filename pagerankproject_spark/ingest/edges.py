@@ -52,7 +52,7 @@ def regex_filter(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
 
 def assign_dense_ids(
     spark: SparkSession, urls: DataFrame, num_partitions: int
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Operator #4 (pagerank.py:80-93): url -> dense id in [0, n).
 
     Distributed dense numbering WITHOUT a global sort: hash-repartition by
@@ -61,7 +61,8 @@ def assign_dense_ids(
     NOT reproduced — ids are internal, all outputs key by url (SURVEY §2.4.7).
 
     Input: single-column DataFrame `url` (already distinct).
-    Output: (id: long, url: string).
+    Output: ((id: long, url: string), n) — the offset sum IS the vertex
+    count, so callers get n without a separate count job.
     """
     parts = urls.repartition(num_partitions, "url").withColumn(
         "pid", F.spark_partition_id()
@@ -82,7 +83,7 @@ def assign_dense_ids(
         .join(F.broadcast(offset_df), "pid")
         .select((F.col("rn") + F.col("offset")).alias("id"), "url")
     )
-    return out
+    return out, acc
 
 
 @dataclass
@@ -138,8 +139,8 @@ def build_graph_tables(
     urls = e.select(F.col("src").alias("url")).union(
         e.select(F.col("dst").alias("url"))
     ).distinct()
-    vertices = assign_dense_ids(spark, urls, num_partitions).persist()
-    n = vertices.count()
+    vertices, n = assign_dense_ids(spark, urls, num_partitions)
+    vertices = vertices.persist()
     if n == 0:
         raise ValueError(
             "empty graph: no edges survived the filters (the reference "
@@ -307,11 +308,10 @@ def append_edges(
         .distinct()
         .join(g.vertices.select("url"), "url", "left_anti")
     )
-    fresh = assign_dense_ids(spark, new_urls, P).select(
-        (F.col("id") + F.lit(g.n)).alias("id"), "url"
-    )
+    fresh_df, n_fresh = assign_dense_ids(spark, new_urls, P)
+    fresh = fresh_df.select((F.col("id") + F.lit(g.n)).alias("id"), "url")
     vertices = g.vertices.union(fresh).repartition(P, "id").persist()
-    n = vertices.count()
+    n = g.n + n_fresh
 
     ids_src = vertices.select(F.col("url").alias("src"), F.col("id").alias("src_id"))
     ids_dst = vertices.select(F.col("url").alias("dst"), F.col("id").alias("dst_id"))
