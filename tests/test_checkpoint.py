@@ -144,3 +144,29 @@ def test_iceberg_format_activates_with_catalog(spark):
             resolve_format(spark)
         fmt = resolve_format(spark, base_dir="/tmp/lg_tables_test")
         assert isinstance(fmt, ParquetDirFormat)
+
+
+def test_lpa_resume_identical(spark, tmp_path):
+    from fixtures.graphs import make_two_cliques_bridge
+    from pagerankproject_spark.graph.labelprop import label_propagation
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    pairs = make_two_cliques_bridge(k=5)
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    full = label_propagation(spark, g, max_iterations=12)
+    want = {r["url"]: r["label"] for r in full.labels.collect()}
+
+    ck = str(tmp_path / "lpa")
+    # interrupted run: stop after 2 iterations, checkpointing every one
+    label_propagation(
+        spark, g, max_iterations=2, checkpoint_dir=ck, checkpoint_interval=1
+    )
+    resumed = label_propagation(
+        spark, g, max_iterations=12, checkpoint_dir=ck,
+        checkpoint_interval=1, resume=True,
+    )
+    got = {r["url"]: r["label"] for r in resumed.labels.collect()}
+    assert got == want
+    g.unpersist()
