@@ -474,6 +474,18 @@ def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash-verified pairs -> transitive clusters -> survivors.
+    Iterative (min-label propagation) -> rows-only driver check; exact
+    semantics pinned by the union-find pytest oracle."""
+    from pagerankproject_spark.dedup.clusters import dedup_clusters
+
+    pairs = minhash_verified_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.2, n=2
+    )
+    return dedup_clusters(spark, pairs)
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_read(spark, sf_dir, "documents"))
 
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,

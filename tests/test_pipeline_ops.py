@@ -434,3 +434,63 @@ def test_ivf_low_probe_recall_and_determinism(spark):
     hits = sum(1 for key, b in got1.items() if exact.get(key) == b)
     # tight clusters: nearest neighbors live in the query's own cell
     assert hits / len(exact) > 0.9
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (dedup/clusters.py)
+# ---------------------------------------------------------------------------
+
+def test_dedup_clusters_transitive(spark):
+    from pagerankproject_spark.dedup.clusters import dedup_clusters
+
+    # A~B, B~C (A,C never paired) + isolated pair D~E
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dedup_clusters(spark, pairs).collect()
+    }
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+    }
+
+
+def test_dedup_clusters_end_to_end_with_minhash(spark):
+    """Pair generation -> clustering: transitively-linked near-dups end
+    in one cluster with the min-id survivor (python union-find oracle)."""
+    from pagerankproject_spark.dedup.clusters import dedup_clusters
+    from pagerankproject_spark.dedup.minhash import minhash_verified_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight again",  # 0
+        "the quick brown fox jumps over the lazy dog tonight too",    # 1 ~0
+        "a quick brown fox jumps over the lazy dog tonight too ok",   # 2 ~1
+        "completely unrelated text about spark dataframes and joins", # 3
+        "the quick brown fox jumps over the lazy dog tonight again",  # 4 ==0
+    ]
+    docs = docs_df(spark, texts)
+    pairs = minhash_verified_pairs(docs, threshold=0.5, n=3)
+
+    # python union-find over the same pairs
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    collected = [(r["a"], r["b"]) for r in pairs.collect()]
+    for a, b in collected:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, pairs).collect()
+    }
+    assert got == want
+    assert got[4] == 0 and got[1] == 0  # exact dup + near-dup share cluster 0
