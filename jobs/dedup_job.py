@@ -10,6 +10,8 @@ Writes:
   exact    -> survivors (fingerprint, survivor_id, n_dupes)
   minhash  -> verified near-dup pairs (a, b, jaccard >= threshold)
   simhash  -> near-dup pairs (a, b, hamming <= 3)
+  cluster  -> minhash pairs -> transitive clusters -> survivors
+              (doc_id, cluster_id, is_survivor)
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--documents", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--method", required=True, choices=["exact", "minhash", "simhash"])
+    p.add_argument("--method", required=True, choices=["exact", "minhash", "simhash", "cluster"])
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -44,6 +46,11 @@ def main() -> None:
         out = dedup_exact(docs)
     elif args.method == "minhash":
         out = minhash_verified_pairs(docs, threshold=args.threshold)
+    elif args.method == "cluster":
+        from pagerankproject_spark.dedup.clusters import dedup_clusters
+
+        pairs = minhash_verified_pairs(docs, threshold=args.threshold)
+        out = dedup_clusters(spark, pairs)
     else:
         out = simhash_pairs(docs)
     out.write.mode("overwrite").parquet(args.output)
