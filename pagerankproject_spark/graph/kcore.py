@@ -8,9 +8,10 @@ materialization (one Spark job per iteration), lineage truncated every
 iteration.
 
 k-core: iteratively peel vertices whose UNDIRECTED degree < k until a
-fixpoint; returns the surviving vertex set (the k-core). Peeling is a
-broadcast-able anti-join per round — the peeled set per round is small
-relative to the graph.
+fixpoint; returns the surviving vertex set (the k-core). The peeled
+set is materialized per round and anti-joined WITHOUT a broadcast hint
+(round 1 can peel most of the graph; Spark broadcasts automatically
+only when the set fits).
 
 BFS: multi-source hop distances over the symmetrized graph; frontier
 expansion is the same join+MIN aggregate as connected components with
@@ -68,17 +69,21 @@ def kcore(
                 .groupBy("v")
                 .agg(F.count("*").alias("deg"))
             )
-            victims = deg.filter(F.col("deg") < k).select("v")
-            n_victims = victims.count()  # tiny driver scalar
+            # materialize once (the set is reused 3x: count + 2 anti-joins);
+            # round-1 victims can be MOST of the graph, so no broadcast
+            # hint — Spark picks broadcast only when it actually fits.
+            victims = deg.filter(F.col("deg") < k).select("v").localCheckpoint(
+                eager=True
+            )
+            n_victims = victims.count()
             metrics.append(
                 {"i": it, "peeled": n_victims, "wall_sec": time.time() - t0}
             )
             if n_victims == 0:
                 break
-            bv = F.broadcast(victims)
             und = (
-                und.join(bv, und.a == victims.v, "left_anti")
-                .join(bv, und.b == victims.v, "left_anti")
+                und.join(victims, und.a == victims.v, "left_anti")
+                .join(victims, und.b == victims.v, "left_anti")
                 .localCheckpoint(eager=True)
             )
 
