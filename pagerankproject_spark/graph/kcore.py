@@ -130,7 +130,7 @@ def bfs_distances(
         .repartition(P, "id")
         .localCheckpoint(eager=True)
     )
-    if dist.rdd.isEmpty():
+    if dist.isEmpty():
         raise ValueError("no source url found in the vertex set")
 
     metrics: list[dict] = []

@@ -38,13 +38,19 @@ def train_centroids(
     nlist: int = DEFAULT_NLIST,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Seeded k-means centroids as plain Python lists (driver-side
-    model; nlist x dim floats)."""
+    model; nlist x dim floats). At corpus scale pass `sample_fraction`
+    (seeded, deterministic) — the quantizer needs only a sketch of the
+    distribution, not every vector."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = emb.select(
+    src = emb if sample_fraction is None else emb.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    feats = src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
