@@ -221,3 +221,58 @@ def test_bfs_distances_match_brute_force(spark):
     assert got == want
     assert res.converged
     g.unpersist()
+
+
+def test_append_edges_chained_deltas(spark):
+    """Three consecutive delta folds == one full rebuild (repeated
+    incremental use must not corrupt weights/ids through the chained
+    unions and persists)."""
+    from pagerankproject_spark.ingest.edges import append_edges
+
+    base = make_weblike(seed=31, n_nodes=30, m_edges=120)
+    deltas = [
+        [("site.com/article-1", "site.com/new-a"), ("site.com/new-a", "site.com/article-2")],
+        [("site.com/new-b", "site.com/new-a"), ("site.com/article-3", "site.com/article-1")],
+        [("site.com/new-b", "site.com/new-c"), ("site.com/new-c", "site.com/article-1")],
+    ]
+    g = _tables(spark, base)
+    acc = list(base)
+    for d in deltas:
+        g = append_edges(spark, g, edges_df(spark, d))
+        acc += d
+    g_full = _tables(spark, acc)
+
+    def triples(gt):
+        v = gt.vertices
+        return sorted(
+            (r["s"], r["d"], round(r["weight"], 12))
+            for r in gt.weighted_edges.join(
+                v.select(F.col("id").alias("src_id"), F.col("url").alias("s")), "src_id"
+            ).join(
+                v.select(F.col("id").alias("dst_id"), F.col("url").alias("d")), "dst_id"
+            ).select("s", "d", "weight").collect()
+        )
+
+    assert g.n == g_full.n
+    assert triples(g) == triples(g_full)
+    g.unpersist(); g_full.unpersist()
+
+
+def test_selfloops_and_duplicate_edges_match_oracle(spark):
+    """Reference semantics: duplicate rows are real links (counted in
+    degrees and P) and self-loops are ordinary edges — parity must hold."""
+    from pagerankproject_spark.graph.pagerank import pagerank
+
+    pairs = [
+        ("a.page", "b.page"), ("a.page", "b.page"),  # duplicate
+        ("b.page", "b.page"),                          # self-loop
+        ("b.page", "c.page"), ("c.page", "a.page"),
+        ("c.page", "a.page"), ("c.page", "c.page"),
+    ]
+    g = _tables(spark, pairs)
+    res = pagerank(spark, g, epsilon=1e-9, max_iterations=300)
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+    want, _ = oracle.pagerank_by_url(pairs, epsilon=1e-9, max_iterations=300)
+    for url, w in want.items():
+        assert abs(got[url] - w) < 1e-6, (url, got[url], w)
+    g.unpersist()
