@@ -111,13 +111,31 @@ def pagerank(
     spmv: str = "dataframe",
     x0_ranks: DataFrame | None = None,
 ) -> PageRankResult:
-    """`spmv` picks the physical SpMV: "dataframe" (join+aggregate,
-    whole-stage codegen — the default) or "csr" (per-partition CSR
-    adjacency blocks + numpy kernels via Arrow, operator #8's
-    north-rule physical layout). Same numbers either way (tested);
-    the bench harness measures which wins at a given scale."""
+    """`spmv` picks the physical SpMV:
+      * "dataframe" — join+aggregate, whole-stage codegen (default;
+        the 100-TB path);
+      * "csr" — per-partition CSR adjacency blocks + numpy kernels via
+        Arrow (operator #8's north-rule physical layout);
+      * "local" — collect the edge arrays to the driver once and
+        iterate in-process (numpy scatter-add). Spark's per-job floor
+        (~1 s/iteration) makes distributed iteration pointless below a
+        few million edges; this mode runs the SAME float64 equations at
+        memory speed (matches the reference's single-node throughput at
+        its own scale — BENCH.md). Requires the graph to fit on the
+        driver; checkpoint/resume not supported.
+      * "auto" — "local" when num_edges <= LOCAL_SPMV_MAX_EDGES else
+        "dataframe".
+    Same numbers in every mode (tested)."""
     n = g.n
+    if spmv == "auto":
+        spmv = "local" if g.num_edges <= LOCAL_SPMV_MAX_EDGES else "dataframe"
     base, d_cnt = _build_base(g, v_expr)
+    if spmv == "local":
+        if checkpoint_dir or resume:
+            raise ValueError("spmv='local' does not support checkpoint/resume")
+        return _pagerank_local(
+            spark, g, base, alpha, epsilon, max_iterations, x0_ranks
+        )
 
     ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
 
@@ -199,6 +217,80 @@ def pagerank(
     if csr_blocks is not None:
         csr_blocks.unpersist()
 
+    out = base.select("id", "url").join(ranks, "id")
+    return PageRankResult(
+        ranks=out,
+        iterations=len(residuals),
+        residuals=residuals,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+# above this, distributed iteration is worth its per-job latency;
+# below, one driver-local numpy loop beats the cluster (measured).
+LOCAL_SPMV_MAX_EDGES = 5_000_000
+
+
+def _pagerank_local(
+    spark: SparkSession,
+    g: GraphTables,
+    base: DataFrame,
+    alpha: float,
+    epsilon: float,
+    max_iterations: int,
+    x0_ranks: DataFrame | None,
+) -> PageRankResult:
+    """Driver-local iteration: one collect of the edge arrays + base,
+    then the exact float64 equations of the distributed loop (same as
+    oracle/numpy_ref.power_method) at memory speed."""
+    import numpy as np
+
+    n = g.n
+    edges_pd = g.weighted_edges.select("src_id", "dst_id", "weight").toPandas()
+    base_pd = base.select("id", "v", "is_dangling").toPandas()
+
+    v = np.zeros(n, dtype=np.float64)
+    v[base_pd["id"].to_numpy()] = base_pd["v"].to_numpy()  # already unit-L2
+    a = np.zeros(n, dtype=np.float64)
+    a[base_pd.loc[base_pd["is_dangling"], "id"].to_numpy()] = 1.0
+    src = edges_pd["src_id"].to_numpy()
+    dst = edges_pd["dst_id"].to_numpy()
+    w = edges_pd["weight"].to_numpy()
+
+    if x0_ranks is not None:
+        x = np.full(n, 1.0 / math.sqrt(n), dtype=np.float64)
+        x0_pd = x0_ranks.toPandas()
+        x[x0_pd["id"].to_numpy()] = x0_pd["x"].to_numpy()
+        x = x / np.linalg.norm(x)
+    else:
+        x = np.full(n, 1.0 / math.sqrt(n), dtype=np.float64)
+
+    residuals: list[float] = []
+    metrics: list[dict] = []
+    converged = False
+    for i in range(max_iterations):
+        t0 = time.time()
+        xprev = x
+        pt_x = np.zeros(n, dtype=np.float64)
+        np.add.at(pt_x, dst, w * x[src])
+        dm = float(x @ a)
+        x = alpha * pt_x + (alpha * dm + (1.0 - alpha)) * v
+        x = x / np.linalg.norm(x)
+        residual = float(np.linalg.norm(x - xprev))
+        residuals.append(residual)
+        metrics.append(
+            {"i": i, "residual": residual, "dangling_mass": dm,
+             "edges": g.num_edges, "wall_sec": time.time() - t0}
+        )
+        if residual < epsilon:
+            converged = True
+            break
+
+    import pandas as pd
+
+    ranks_pd = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "x": x})
+    ranks = spark.createDataFrame(ranks_pd)
     out = base.select("id", "url").join(ranks, "id")
     return PageRankResult(
         ranks=out,

@@ -76,3 +76,26 @@ def test_spark_personalization_matches_oracle(spark):
     got = {r["url"]: r["x"] for r in res.ranks.collect()}
     for url, val in oracle.items():
         assert got[url] == pytest.approx(val, abs=1e-6), url
+
+
+def test_local_spmv_matches_dataframe_and_goldens(spark):
+    """spmv='local' (driver numpy loop) returns the same per-url ranks
+    as the distributed path and the README goldens."""
+    from fixtures.graphs import SMALL_GRAPH_EDGES, SMALL_GRAPH_GOLDEN_RANKS
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    df_res = pagerank(spark, g, epsilon=1e-6, max_iterations=1000)
+    lc_res = pagerank(spark, g, epsilon=1e-6, max_iterations=1000, spmv="local")
+    a = {r["url"]: r["x"] for r in df_res.ranks.collect()}
+    b = {r["url"]: r["x"] for r in lc_res.ranks.collect()}
+    assert set(a) == set(b)
+    for url in a:
+        assert abs(a[url] - b[url]) < 1e-12, (url, a[url], b[url])
+    for url, want in SMALL_GRAPH_GOLDEN_RANKS.items():
+        assert abs(b[url] - want) < 1e-4
+    assert lc_res.iterations == df_res.iterations
+    g.unpersist()
