@@ -120,6 +120,21 @@ def main() -> None:
     }
     g.unpersist()
 
+    # reference-scale throughput (1.65M edges): the adaptive local SpMV
+    # (BENCH.md "Reference-scale throughput") — the matches-or-beats
+    # criterion at the reference's own data size.
+    g2 = build_graph(spark, multiplier=11, num_partitions=8)
+    res3 = pagerank(spark, g2, epsilon=0.0, max_iterations=20, spmv="local")
+    walls3 = [m["wall_sec"] for m in res3.metrics]
+    steady3 = statistics.median(walls3[2:] if len(walls3) > 3 else walls3)
+    pagerank_reference_scale = {
+        "edges": g2.num_edges,
+        "spmv": "local (auto below 5M edges)",
+        "sec_per_iteration_steady": round(steady3, 5),
+        "edges_per_sec_per_iteration": round(g2.num_edges / steady3, 1),
+    }
+    g2.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,6 +147,7 @@ def main() -> None:
                 "cpus": cpus,
                 "pagerank": pagerank_stats,
                 "pagerank_scaled": pagerank_scaled,
+                "pagerank_reference_scale": pagerank_reference_scale,
             }
         )
     )

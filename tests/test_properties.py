@@ -102,9 +102,12 @@ def test_pagerank_invariant_to_partitioning(spark):
     physical partition count (sum order, id assignment, join layout)."""
     pairs = _random_graph(11, n=35, m=150)
     outs = []
+    # fixed iteration count: with an epsilon stop, the two layouts can
+    # converge one iteration apart when the residual grazes epsilon
+    # (float sum-order noise), which would leak ~epsilon-sized diffs.
     for p in (2, 8):
         g = build_graph_tables(spark, edges_df(spark, pairs), num_partitions=p)
-        res = pagerank(spark, g, alpha=0.85, epsilon=1e-9, max_iterations=300)
+        res = pagerank(spark, g, alpha=0.85, epsilon=0.0, max_iterations=80)
         outs.append({r["url"]: r["x"] for r in res.ranks.collect()})
         g.unpersist()
     a, b = outs
