@@ -80,12 +80,33 @@ def sql_jaccard_pairs(
     n: int = DEFAULT_SHINGLE_N,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_freq: int | None = None,
 ) -> str:
+    """DuckDB twin of `jaccard_pairs`, including the df-cap semantics
+    when `max_shingle_freq` is given (shingle universe = shingles with
+    document frequency <= cap, on both sides — in lockstep with the
+    Spark path)."""
+    cap = ""
+    if max_shingle_freq is not None:
+        cap = f"""
+            sh_all as (
+                select {id_col} as doc,
+                       unnest(list_distinct({sql_shingles(text_col, n)})) as s
+                from {table}
+            ),
+            hot as (select s from sh_all group by s
+                    having count(*) > {max_shingle_freq}),
+            sh as (select doc, s from sh_all
+                   where s not in (select s from hot)),"""
+    else:
+        cap = f"""
+            sh as (
+                select {id_col} as doc,
+                       unnest(list_distinct({sql_shingles(text_col, n)})) as s
+                from {table}
+            ),"""
     return f"""
-        with sh as (
-            select {id_col} as doc, unnest(list_distinct({sql_shingles(text_col, n)})) as s
-            from {table}
-        ),
+        with {cap}
         sizes as (select doc, count(*) as sz from sh group by doc),
         common as (
             select l.doc as a, r.doc as b, count(*) as common

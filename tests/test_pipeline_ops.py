@@ -264,6 +264,88 @@ def test_hyperplane_buckets_deterministic(spark):
     assert b[0]["bucket"] == b[1]["bucket"]
 
 
+def test_near_dup_pairs_recall_and_exact_sims(spark):
+    """The default bucket-first near-dup path: subset of brute force,
+    exact similarities on every emitted pair, and high recall on
+    planted >=0.95-sim near-duplicate twins (multi-table OR-construction)."""
+    import random
+
+    from pagerankproject_spark.similarity.lsh import near_dup_pairs
+
+    rng = random.Random(11)
+    vecs = []
+    planted = []
+    for i in range(20):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        twin = [x + rng.uniform(-0.02, 0.02) for x in base]
+        planted.append((len(vecs), len(vecs) + 1))
+        vecs += [base, twin]
+    vecs += [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    df = emb_df(spark, vecs)
+
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in cosine_similar_pairs(df, 0.95).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["sim"]
+        for r in near_dup_pairs(df, 0.95, dim=16).collect()
+    }
+    # candidates are rescored exactly: subset with identical sims
+    for pair, sim in approx.items():
+        assert pair in exact and sim == exact[pair]
+    # recall over the planted twins (all have sim >= ~0.998)
+    found = sum(1 for p in planted if p in approx)
+    assert found / len(planted) >= 0.8
+
+
+def test_jaccard_df_cap_bounds_boilerplate_pairs(spark):
+    """Hot-shingle skew bound: a boilerplate shingle shared by every doc
+    would alone generate C(n,2) candidate pairs; the df-cap excludes it
+    from the inverted index, leaving only content-overlap pairs. Capped
+    semantics (sizes over the capped universe) match a python oracle."""
+    from itertools import combinations
+
+    from pagerankproject_spark.dedup.jaccard import jaccard_pairs
+
+    def py_shingles(text, n):
+        toks = text.lower().split()
+        if len(toks) >= n:
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return [" ".join(toks)] if toks else []
+
+    boiler = "all rights reserved terms of service apply here"
+    texts = [f"unique content {i} alpha beta {boiler}" for i in range(12)]
+    texts[5] = texts[4]  # one real duplicate pair
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    uncapped = jaccard_pairs(docs, threshold=0.01, n=3).collect()
+    capped = jaccard_pairs(docs, threshold=0.01, n=3, max_shingle_freq=3).collect()
+    # boilerplate makes every pair a candidate; the cap kills the blowup
+    assert len(uncapped) == 12 * 11 // 2
+    assert 0 < len(capped) < len(uncapped)
+    assert {(r["a"], r["b"]) for r in capped} >= {(4, 5)}
+
+    # python oracle on the capped shingle universe
+    sets = [set(py_shingles(t, 3)) for t in texts]
+    from collections import Counter
+
+    df_counts = Counter(s for st in sets for s in st)
+    capped_sets = [
+        {s for s in st if df_counts[s] <= 3} for st in sets
+    ]
+    expected = {}
+    for a, b in combinations(range(12), 2):
+        inter = len(capped_sets[a] & capped_sets[b])
+        union = len(capped_sets[a] | capped_sets[b])
+        if union and round(inter / union, 6) >= 0.01:
+            expected[(a, b)] = round(inter / union, 6)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped}
+    assert got == expected
+
+
 def test_minhash_verified_pairs_recipe(spark):
     from pagerankproject_spark.dedup.minhash import minhash_verified_pairs
 
