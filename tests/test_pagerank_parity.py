@@ -98,4 +98,24 @@ def test_local_spmv_matches_dataframe_and_goldens(spark):
     for url, want in SMALL_GRAPH_GOLDEN_RANKS.items():
         assert abs(b[url] - want) < 1e-4
     assert lc_res.iterations == df_res.iterations
+
+
+def test_local_spmv_guarded_against_max_result_size(spark, monkeypatch):
+    """Explicit spmv='local' beyond the maxResultSize budget fails fast
+    with a clear message (no opaque Py4J collect error); spmv='auto'
+    silently takes the distributed path instead."""
+    import pagerankproject_spark.graph.pagerank as pr_mod
+    from fixtures.graphs import SMALL_GRAPH_EDGES
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    monkeypatch.setattr(pr_mod, "_max_result_bytes", lambda _s: 64)
+
+    with pytest.raises(ValueError, match="maxResultSize"):
+        pr_mod.pagerank(spark, g, epsilon=1e-6, max_iterations=5, spmv="local")
+
+    res = pr_mod.pagerank(spark, g, epsilon=1e-6, max_iterations=5, spmv="auto")
+    assert res.ranks.count() == g.n  # fell back to the distributed loop
     g.unpersist()
