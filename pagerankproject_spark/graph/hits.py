@@ -16,9 +16,19 @@ Execution shape per iteration: two join+aggregate passes (authority
 from hubs, then hub from the JUST-updated authorities — the sequential
 dependency makes this two Spark jobs per iteration, inherent to HITS's
 two-phase update; each pass is the same skew-tolerant partial-agg
-shape as the PageRank SpMV). Norms and the residual ride the
-localCheckpoint materializations as Observations, so no extra actions.
-Lineage is truncated every iteration like the other iterative ops.
+shape as the PageRank SpMV). Norms AND the residual ride the
+localCheckpoint materializations as Observations — exactly TWO Spark
+jobs per iteration, the engine's standard Observation pattern
+(round-1 verdict item 5 removed a third residual-only action):
+
+  ||a - a_prev||^2 = 1 - 2*S_ap/na + ||a_prev||^2 = 2 - 2*S_ap/na,
+
+with S_ap = sum(a_raw * a_prev) observed during the a-pass and
+na = sqrt(sum(a_raw^2)). Valid because a's support (the destination
+vertex set) is identical every iteration and a_prev is unit-L2 on
+that same support, so the left join onto the a-pass covers every
+nonzero of both vectors. Lineage is truncated every iteration like
+the other iterative ops.
 """
 
 from __future__ import annotations
@@ -80,36 +90,42 @@ def hits(
         for it in range(max_iterations):
             t0 = time.time()
             obs_a = Observation()
-            a_raw = _propagate(edges, h, "src_id", "dst_id", obs_a)
-            a_raw = a_raw.localCheckpoint(eager=True)
-            a_norm = math.sqrt(obs_a.get["ss"] or 0.0)
+            a_summed = (
+                edges.join(h, edges.src_id == h.id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg(F.sum("s").alias("raw"))
+            )
+            if a_prev is not None:
+                # a_prev's support is the same dst set, so this left join
+                # sees every nonzero of both vectors
+                a_summed = a_summed.join(
+                    a_prev.select("id", F.col("s").alias("prev")), "id", "left"
+                )
+            else:
+                a_summed = a_summed.withColumn("prev", F.lit(0.0))
+            a_summed = a_summed.observe(
+                obs_a,
+                F.sum(F.col("raw") * F.col("raw")).alias("ss"),
+                F.sum(F.col("raw") * F.coalesce("prev", F.lit(0.0))).alias("sap"),
+            )
+            a_raw = a_summed.select("id", "raw").localCheckpoint(eager=True)
+            stats = obs_a.get
+            a_norm = math.sqrt(stats["ss"] or 0.0)
             if a_norm == 0.0:
                 raise ValueError("graph has no edges; HITS undefined")
             a = a_raw.select("id", (F.col("raw") / F.lit(a_norm)).alias("s"))
+            if a_prev is not None:
+                resid = math.sqrt(
+                    max(0.0, 2.0 - 2.0 * (stats["sap"] or 0.0) / a_norm)
+                )
+            else:
+                resid = float("inf")
 
             obs_h = Observation()
             h_raw = _propagate(edges, a, "dst_id", "src_id", obs_h)
             h_raw = h_raw.localCheckpoint(eager=True)
             h_norm = math.sqrt(obs_h.get["ss"] or 0.0)
             h = h_raw.select("id", (F.col("raw") / F.lit(h_norm)).alias("s"))
-
-            if a_prev is not None:
-                # residual over the (sparse) authority vectors: missing id
-                # on either side contributes its full square.
-                both = a.select("id", F.col("s").alias("x")).join(
-                    a_prev.select("id", F.col("s").alias("y")), "id", "full"
-                )
-                resid = math.sqrt(
-                    both.select(
-                        F.sum(
-                            (F.coalesce("x", F.lit(0.0)) - F.coalesce("y", F.lit(0.0)))
-                            ** 2
-                        ).alias("r")
-                    ).first()["r"]
-                    or 0.0
-                )
-            else:
-                resid = float("inf")
             residuals.append(resid)
             metrics.append(
                 {"i": it, "residual": resid, "edges": g.num_edges,

@@ -24,6 +24,15 @@ the localCheckpoint materialization as an Observation):
            hub's rows in one task; min(struct) partial-aggregates and is
            skew-immune.
   changed = SUM(new != old)   (Observation)
+
+`salt_buckets="auto"` (default; round-1 verdict item 6 — parity with
+connected_components): probe the symmetrized degree distribution once
+and, when a hot vertex would dominate a task, add a salt column
+(hash of the message SOURCE, so a hot destination's incoming rows
+spread across buckets) and aggregate in two explicit phases
+(dst, label, salt) -> (dst, label) before the winner agg — the same
+measured-2x-win recipe as CC's salted min aggregation (BENCH.md skew
+experiment). Identical labels either way (asserted in tests).
 """
 
 from __future__ import annotations
@@ -51,6 +60,7 @@ def label_propagation(
     spark: SparkSession,
     g: GraphTables,
     max_iterations: int = 20,
+    salt_buckets: int | str = "auto",
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
@@ -79,6 +89,16 @@ def label_propagation(
         .repartition(P, "src")
         .persist()
     )
+    if salt_buckets == "auto":
+        # same probe + threshold as connected_components: salt only when
+        # a hot vertex would dominate a task (measured win regime)
+        max_deg = sym.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+        threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
+        salt_buckets = 8 if max_deg > threshold else 0
+    if salt_buckets > 0:
+        sym = sym.withColumn(
+            "salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
+        ).persist()
 
     labels = ranked.select(
         F.col("rank_id").alias("id"), F.col("rank_id").alias("label")
@@ -99,11 +119,23 @@ def label_propagation(
     with no_aqe(spark):
         while it < max_iterations and not converged:
             t0 = time.time()
-            counts = (
-                sym.join(labels, sym.src == labels.id)
-                .groupBy(F.col("dst").alias("v"), "label")
-                .agg(F.count("*").alias("cnt"))
-            )
+            if salt_buckets > 0:
+                # explicit two-phase count: (v, label, salt) partial then
+                # (v, label) final — splits a hot destination's incoming
+                # rows across salt buckets (operator #23 pattern)
+                counts = (
+                    sym.join(labels, sym.src == labels.id)
+                    .groupBy(F.col("dst").alias("v"), "label", "salt")
+                    .agg(F.count("*").alias("c0"))
+                    .groupBy("v", "label")
+                    .agg(F.sum("c0").alias("cnt"))
+                )
+            else:
+                counts = (
+                    sym.join(labels, sym.src == labels.id)
+                    .groupBy(F.col("dst").alias("v"), "label")
+                    .agg(F.count("*").alias("cnt"))
+                )
             winner = counts.groupBy("v").agg(
                 F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("w")
             ).select("v", F.col("w.label").alias("new_in"))

@@ -68,6 +68,19 @@ def test_lpa_weblike_matches_oracle(spark):
     assert got == expected
 
 
+def test_lpa_salted_exact_match(spark):
+    """Salted two-phase counting returns byte-identical labels to the
+    unsalted path (the salt only splits the partial aggregation)."""
+    pairs = make_weblike(seed=5, n_nodes=120, m_edges=900)
+    g = _tables(spark, pairs)
+    plain = label_propagation(spark, g, max_iterations=8, salt_buckets=0)
+    salted = label_propagation(spark, g, max_iterations=8, salt_buckets=4)
+    a = {r["url"]: r["label"] for r in plain.labels.collect()}
+    b = {r["url"]: r["label"] for r in salted.labels.collect()}
+    assert a == b
+    assert plain.iterations == salted.iterations
+
+
 def _post_regex(pairs):
     import re
 
