@@ -87,6 +87,33 @@ def main() -> None:
         "edges_per_sec_per_iteration": round(edges / per_iter, 1) if iter_walls else None,
     }
 
+    # the same sf-dir graph through spmv='auto' (adaptive: local SpMV at
+    # this scale) — the engine's actual default behavior; reported beside
+    # the forced-distributed number so regressions in either path are
+    # visible round-over-round (round-1 verdict item 9).
+    t0 = time.time()
+    res_auto = pagerank_from_edges(
+        spark,
+        entrymod._edges(spark, sf_dir),
+        alpha=0.85,
+        epsilon=1e-6,
+        max_iterations=40,
+        spmv="auto",
+    )
+    res_auto.ranks.count()
+    timings["pagerank_auto"] = round(time.time() - t0, 3)
+    auto_walls = [m["wall_sec"] for m in res_auto.metrics]
+    auto_per_iter = sum(auto_walls) / len(auto_walls) if auto_walls else float("nan")
+    pagerank_auto_stats = {
+        "edges": edges,
+        "spmv": "auto (local SpMV below 5M edges)",
+        "iterations": res_auto.iterations,
+        "sec_per_iteration": round(auto_per_iter, 5),
+        "edges_per_sec_per_iteration": round(edges / auto_per_iter, 1)
+        if auto_walls
+        else None,
+    }
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = queries[name](spark, sf_dir)
@@ -110,23 +137,31 @@ from jobs.bench_scaling import build_graph
 from pagerankproject_spark.graph.pagerank import pagerank
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
 t0 = time.time()
-# partitions = cpus, not cpus*2: at 45M edges that is ~1.4M edges per
-# partition; halving partition size leaves per-task scheduling overhead
-# dominant (measured 2.52 s/iter at 64 parts vs 1.77 at 32 on local[32]).
-g = build_graph(spark, multiplier=300, num_partitions={cpus})
-res = pagerank(spark, g, epsilon=0.0, max_iterations=6)
-res.ranks.count()
-wall = time.time() - t0
-walls = [m["wall_sec"] for m in res.metrics]
-steady = statistics.median(walls[2:] if len(walls) > 3 else walls)
-print("SCALED " + json.dumps({{
-    "edges": g.num_edges,
-    "vertices": g.n,
-    "iterations": len(walls),
-    "sec_per_iteration_steady": round(steady, 4),
-    "edges_per_sec_per_iteration": round(g.num_edges / steady, 1),
-    "total_wall_sec": round(wall, 2),
-}}))
+# num_partitions autotuned from the edge count (tuned_partitions: full
+# waves of ~2M-edge partitions; at 45M edges on 32 cores that is 32).
+g = build_graph(spark, multiplier=300)
+build_wall = time.time() - t0
+out = {{"edges": g.num_edges, "vertices": g.n,
+       "num_partitions": g.num_partitions,
+       "build_wall_sec": round(build_wall, 2)}}
+# both physical strategies at this scale: the fully-distributed
+# join+agg loop, and the engine's auto pick for 45M edges / 100k
+# vertices — spmv='blocks' (dst-partitioned on-disk CSR blocks +
+# broadcast vertex state, one shuffle-free job per iteration).
+for mode, iters in (("dataframe", 6), ("blocks", 10)):
+    t0 = time.time()
+    res = pagerank(spark, g, epsilon=0.0, max_iterations=iters, spmv=mode)
+    res.ranks.count()
+    wall = time.time() - t0
+    walls = [m["wall_sec"] for m in res.metrics]
+    steady = statistics.median(walls[2:] if len(walls) > 3 else walls)
+    out[mode] = {{
+        "iterations": len(walls),
+        "sec_per_iteration_steady": round(steady, 4),
+        "edges_per_sec_per_iteration": round(g.num_edges / steady, 1),
+        "total_wall_sec": round(wall, 2),
+    }}
+print("SCALED " + json.dumps(out))
 spark.stop()
 """
     proc = subprocess.run(
@@ -134,14 +169,31 @@ spark.stop()
         capture_output=True,
         text=True,
         cwd=str(Path(__file__).resolve().parent),
-        timeout=600,
+        timeout=1200,
     )
     scaled_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("SCALED ")
     ]
     if not scaled_lines:
         raise RuntimeError(f"scaled bench subprocess failed: {proc.stderr[-2000:]}")
-    pagerank_scaled = json.loads(scaled_lines[-1][len("SCALED "):])
+    scaled = json.loads(scaled_lines[-1][len("SCALED "):])
+    shared = {
+        k: scaled[k]
+        for k in ("edges", "vertices", "num_partitions", "build_wall_sec")
+    }
+    # headline mid-scale number = what the engine actually picks at this
+    # scale (spmv auto -> blocks); the forced fully-distributed loop is
+    # reported beside it.
+    pagerank_scaled = {
+        **shared,
+        "spmv": "blocks (auto pick: broadcast-vertex on-disk CSR blocks)",
+        **scaled["blocks"],
+    }
+    pagerank_scaled_dataframe = {
+        **shared,
+        "spmv": "dataframe (forced fully-distributed join+agg)",
+        **scaled["dataframe"],
+    }
 
     from jobs.bench_scaling import build_graph  # noqa: E402
 
@@ -175,7 +227,9 @@ spark.stop()
                 "sf": sf,
                 "cpus": cpus,
                 "pagerank": pagerank_stats,
+                "pagerank_auto": pagerank_auto_stats,
                 "pagerank_scaled": pagerank_scaled,
+                "pagerank_scaled_dataframe": pagerank_scaled_dataframe,
                 "pagerank_reference_scale": pagerank_reference_scale,
             }
         )

@@ -48,20 +48,26 @@ SF_DIR = "/root/testdata/sf0.1"
 NUM_VERTICES = 100_000
 
 
-def build_graph(spark, multiplier: int, num_partitions: int):
+def build_graph(spark, multiplier: int, num_partitions: int | None = None):
     """Deterministic synthetic graph as GraphTables, integer-id layer.
 
     orders x range(multiplier), endpoints hashed into [0, NUM_VERTICES).
     Same rows at any parallelism level (pure arithmetic, no sampling).
+    num_partitions=None autotunes from the known edge count
+    (orders_rows x multiplier) via tuned_partitions.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from pagerankproject_spark.ingest.edges import GraphTables
+    from pagerankproject_spark.ingest.edges import GraphTables, tuned_partitions
 
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
+    if num_partitions is None:
+        num_partitions = tuned_partitions(
+            o.count() * multiplier, spark.sparkContext.defaultParallelism
+        )
     m = spark.range(multiplier).select(F.col("id").alias("m"))
     e = o.crossJoin(m).select(
         F.pmod(

@@ -33,6 +33,14 @@ def main() -> None:
     parser.add_argument("--max_iterations", type=int, default=1000)
     parser.add_argument("--epsilon", type=float, default=1e-6)
     parser.add_argument("--max_results", type=int, default=10)
+    parser.add_argument(
+        "--synonyms_file",
+        default=None,
+        help="word->neighbors table (.json or .parquet) standing in for "
+        "the reference's gensim glove-twitter-50 top-5 expansion; applies "
+        "to both --search_query and --personalization_vector_query, like "
+        "the reference's url_satisfies_query",
+    )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--checkpoint_dir", default=None)
     parser.add_argument("--resume", action="store_true")
@@ -48,10 +56,16 @@ def main() -> None:
     from pagerankproject_spark.graph.pagerank import pagerank
     from pagerankproject_spark.ingest.edges import build_graph_tables, read_edge_csv
     from pagerankproject_spark.search.query import (
+        file_synonyms,
+        no_synonyms,
         query_predicate_expr,
         search,
     )
     from pagerankproject_spark.session import get_spark
+
+    synonyms = (
+        file_synonyms(args.synonyms_file) if args.synonyms_file else no_synonyms
+    )
 
     spark = get_spark(app_name="pagerank-job", master=args.master)
     edges = read_edge_csv(spark, args.data)
@@ -59,7 +73,7 @@ def main() -> None:
     print(f"n= {g.n}")
 
     v_expr = (
-        query_predicate_expr(args.personalization_vector_query)
+        query_predicate_expr(args.personalization_vector_query, synonyms)
         if args.personalization_vector_query
         else None
     )
@@ -76,7 +90,12 @@ def main() -> None:
     for i, r in enumerate(res.residuals):
         log.debug(f"i={i} residual={r}")
 
-    rows = search(res.ranks, args.search_query, max_results=args.max_results)
+    rows = search(
+        res.ranks,
+        args.search_query,
+        max_results=args.max_results,
+        synonyms=synonyms,
+    )
     for rank, (url, ranking) in enumerate(rows):
         log.info(f"rank = {rank} ranking = {ranking:0.4e} url= {url}")
 

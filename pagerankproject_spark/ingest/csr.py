@@ -34,11 +34,13 @@ agreement with the DataFrame path.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import GraphTables
@@ -141,3 +143,142 @@ def spmv_csr(
         .applyInPandas(mul, "dst_id long, partial double")
     )
     return partials.groupBy("dst_id").agg(F.sum("partial").alias("msg"))
+
+
+# ---------------------------------------------------------------------------
+# dst-partitioned on-disk blocks — the broadcast-vertex SpMV layout
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NpyBlockSet:
+    """Handle to a materialized set of dst-partitioned CSR^T blocks.
+
+    Physical layout: for each part p (= pmod(murmur3(dst_id), P)) four
+    .npy arrays under `block_dir`: p{p}.dst (sorted unique dst ids in
+    the part), p{p}.indptr (segment pointers), p{p}.src, p{p}.w (edges
+    grouped by dst). Each dst id lives in EXACTLY ONE block, so the
+    per-iteration partial results concatenate instead of needing a
+    cross-block reduction.
+
+    This is the single-box realization of a bucketed on-disk adjacency
+    layout: iteration tasks read their block from the OS page cache
+    (zero JVM->Python pipe traffic for the edge data). On a real
+    cluster the same blocks live on executor-local storage (or an
+    HDFS/object-store cache) bucketed by part_id, and block tasks
+    schedule against their bucket — the standard persisted-bucketed-
+    table story, with numpy replacing codegen for the per-edge math.
+    """
+
+    block_dir: str
+    part_ids: list[int]
+    num_edges: int
+    parts_df: DataFrame  # one row per part, hash-placed by part_id
+
+    def cleanup(self) -> None:
+        import shutil
+
+        self.parts_df.unpersist()
+        shutil.rmtree(self.block_dir, ignore_errors=True)
+
+
+def write_npy_blocks(
+    spark: SparkSession, g: GraphTables, block_dir: str
+) -> NpyBlockSet:
+    """One pass over the edge table: repartition by pmod(hash(dst_id), P),
+    sort each partition by dst, write the CSR^T arrays as .npy files.
+    numpy's np.save writes the raw little-endian buffer — loading is an
+    mmap, so iteration reads are page-cache hits after the first touch."""
+    os.makedirs(block_dir, exist_ok=True)
+    P = g.num_partitions
+    edges = (
+        g.weighted_edges.select(
+            F.pmod(F.hash("dst_id"), F.lit(P)).alias("part_id"),
+            "src_id",
+            "dst_id",
+            "weight",
+        )
+        .repartition(P, "part_id")
+        .sortWithinPartitions("part_id", "dst_id")
+    )
+
+    def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            return
+        t = pa.concat_tables(tabs)
+        if t.num_rows == 0:
+            return
+        pid = t["part_id"].to_numpy()
+        src = t["src_id"].to_numpy()
+        dst = t["dst_id"].to_numpy()
+        w = t["weight"].to_numpy()
+        # rows are sorted by (part_id, dst_id): each part_id is one
+        # contiguous run, each dst one contiguous segment within it
+        for part in np.unique(pid):
+            sel = pid == part
+            s, d, wt = src[sel], dst[sel], w[sel]
+            uniq, counts = np.unique(d, return_counts=True)
+            indptr = np.zeros(len(uniq) + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            np.save(f"{block_dir}/p{part}.dst.npy", uniq)
+            np.save(f"{block_dir}/p{part}.indptr.npy", indptr)
+            np.save(f"{block_dir}/p{part}.src.npy", s)
+            np.save(f"{block_dir}/p{part}.w.npy", wt)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([int(part)], pa.int32()), pa.array([len(s)], pa.int64())],
+                ["part_id", "nnz"],
+            )
+
+    manifest = edges.mapInArrow(write_blocks, "part_id int, nnz long").collect()
+    part_ids = sorted(r["part_id"] for r in manifest)
+    parts_df = (
+        spark.createDataFrame([(p,) for p in part_ids], "part_id int")
+        .repartition(max(len(part_ids), 1), "part_id")
+        .persist()
+    )
+    parts_df.count()
+    return NpyBlockSet(
+        block_dir=block_dir,
+        part_ids=part_ids,
+        num_edges=int(sum(r["nnz"] for r in manifest)),
+        parts_df=parts_df,
+    )
+
+
+_BLOCKS_OUT_SCHEMA = "dst_ids array<long>, partials array<double>"
+
+
+def blocks_spmv(blocks: NpyBlockSet, x: np.ndarray) -> list:
+    """One SpMV over the block set: y[d] = sum over in-edges w * x[src],
+    for every dst with in-edges. Returns the collected per-block rows
+    (dst_ids, partials); blocks own disjoint dst sets, so the caller
+    scatters them into a dense vector without summation.
+
+    ONE Spark job, no shuffle: the only bytes crossing the JVM/Python
+    boundary are P part ids in and ~n result doubles out; x travels in
+    the (torrent-broadcast) task closure."""
+    bdir = blocks.block_dir
+    xvec = x
+
+    def f(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            for part in b.column("part_id").to_pylist():
+                dst = np.load(f"{bdir}/p{part}.dst.npy")
+                indptr = np.load(f"{bdir}/p{part}.indptr.npy")
+                src = np.load(f"{bdir}/p{part}.src.npy", mmap_mode="r")
+                w = np.load(f"{bdir}/p{part}.w.npy", mmap_mode="r")
+                contrib = np.asarray(w) * xvec[np.asarray(src)]
+                vals = (
+                    np.add.reduceat(contrib, indptr[:-1])
+                    if len(dst)
+                    else np.zeros(0)
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([dst], pa.list_(pa.int64())),
+                        pa.array([vals], pa.list_(pa.float64())),
+                    ],
+                    ["dst_ids", "partials"],
+                )
+
+    return blocks.parts_df.mapInArrow(f, _BLOCKS_OUT_SCHEMA).collect()

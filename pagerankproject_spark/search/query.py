@@ -36,6 +36,52 @@ def no_synonyms(_term: str) -> list[tuple[str, float]]:
     return []
 
 
+def file_synonyms(path: str, top_k: int = 5) -> SynonymProvider:
+    """File-backed SynonymProvider (round-1 verdict item 8): the
+    reference's `similar_words` is gensim glove-twitter-50
+    `.most_similar(term)[:5]` (pagerank.py:17, 259-269) — a
+    non-deterministic network download at import. The deterministic
+    equivalent: export the model's top-k neighbor table ONCE, ship the
+    file with the job (spark-submit --files), load it driver-side here
+    (synonym tables are vocabulary-sized, far below driver memory).
+
+    Formats by extension:
+      * .json        — {"term": [["neighbor", score], ...], ...}
+      * .parquet     — columns (term string, neighbor string,
+                       score double), read via pyarrow
+    Neighbors are returned best-first (score desc, neighbor asc — the
+    gensim ordering with a deterministic tie-break), truncated to
+    `top_k` (the reference's [:5]). Unknown terms -> no expansion, same
+    as an out-of-vocabulary gensim lookup guarded by the caller.
+    """
+    table: dict[str, list[tuple[str, float]]] = {}
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as fh:
+            raw = json.load(fh)
+        for term, neighbors in raw.items():
+            table[term] = [(str(w), float(s)) for w, s in neighbors]
+    elif path.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["term", "neighbor", "score"])
+        for term, neighbor, score in zip(
+            t["term"].to_pylist(), t["neighbor"].to_pylist(), t["score"].to_pylist()
+        ):
+            table.setdefault(term, []).append((neighbor, float(score)))
+    else:
+        raise ValueError(f"unsupported synonym file (want .json/.parquet): {path}")
+    for term, neighbors in table.items():
+        neighbors.sort(key=lambda ws: (-ws[1], ws[0]))
+        table[term] = neighbors[:top_k]
+
+    def provider(term: str) -> list[tuple[str, float]]:
+        return table.get(term, [])
+
+    return provider
+
+
 def _split_terms(query: str) -> tuple[list[str], list[str]]:
     positive, negative = [], []
     for term in query.split():

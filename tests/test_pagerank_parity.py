@@ -100,6 +100,78 @@ def test_local_spmv_matches_dataframe_and_goldens(spark):
     assert lc_res.iterations == df_res.iterations
 
 
+def test_blocks_spmv_matches_dataframe_and_goldens(spark):
+    """spmv='blocks' (dst-partitioned on-disk CSR blocks + broadcast
+    vertex state) returns the same per-url ranks, trajectory, and
+    iteration count as the distributed path and the README goldens —
+    including dangling vertices and a personalization vector."""
+    from pyspark.sql import functions as F
+
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, SMALL_GRAPH_EDGES))
+    df_res = pagerank(spark, g, epsilon=1e-6, max_iterations=1000)
+    bl_res = pagerank(spark, g, epsilon=1e-6, max_iterations=1000, spmv="blocks")
+    a = {r["url"]: r["x"] for r in df_res.ranks.collect()}
+    b = {r["url"]: r["x"] for r in bl_res.ranks.collect()}
+    assert set(a) == set(b)
+    for url in a:
+        assert abs(a[url] - b[url]) < 1e-12, (url, a[url], b[url])
+    for url, want in SMALL_GRAPH_GOLDEN_RANKS.items():
+        assert abs(b[url] - want) < 1e-4
+    assert bl_res.iterations == df_res.iterations
+
+    # weblike graph with dangling vertices + personalization, vs oracle
+    pairs = make_weblike(seed=13, n_nodes=150, m_edges=900)
+    matches = {u for e in pairs for u in e if u.endswith(("2", "5"))}
+    g2 = build_graph_tables(spark, edges_df(spark, pairs))
+    res = pagerank(
+        spark,
+        g2,
+        v_expr=F.col("url").endswith("2") | F.col("url").endswith("5"),
+        epsilon=1e-6,
+        max_iterations=1000,
+        spmv="blocks",
+    )
+    oracle, _ = pagerank_by_url(pairs, personalization_matches=matches)
+    got = {r["url"]: r["x"] for r in res.ranks.collect()}
+    for url, val in oracle.items():
+        assert got[url] == pytest.approx(val, abs=1e-6), url
+    g.unpersist()
+    g2.unpersist()
+
+
+def test_blocks_spmv_checkpoint_resume(spark, tmp_path):
+    """blocks mode writes the same checkpoint protocol as the
+    distributed loop and resumes to an identical fixpoint."""
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    pairs = make_weblike(seed=17, n_nodes=100, m_edges=600)
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    ck = str(tmp_path / "ck")
+
+    full = pagerank(spark, g, epsilon=1e-6, max_iterations=1000, spmv="blocks")
+    # run 1: stop early, checkpointing every iteration
+    pagerank(
+        spark, g, epsilon=1e-6, max_iterations=4, spmv="blocks",
+        checkpoint_dir=ck, checkpoint_interval=1,
+    )
+    # run 2: resume to convergence
+    resumed = pagerank(
+        spark, g, epsilon=1e-6, max_iterations=1000, spmv="blocks",
+        checkpoint_dir=ck, checkpoint_interval=1, resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    a = {r["url"]: r["x"] for r in full.ranks.collect()}
+    b = {r["url"]: r["x"] for r in resumed.ranks.collect()}
+    for url in a:
+        assert abs(a[url] - b[url]) < 1e-12, url
+    g.unpersist()
+
+
 def test_local_spmv_guarded_against_max_result_size(spark, monkeypatch):
     """Explicit spmv='local' beyond the maxResultSize budget fails fast
     with a clear message (no opaque Py4J collect error); spmv='auto'

@@ -145,3 +145,25 @@ def test_bucketed_edge_table_join_has_no_bigside_exchange(spark, tmp_path):
         assert len(detail_exchanges) <= 2, p
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+
+
+def test_near_dup_pairs_plan_is_bucketed_not_cartesian(spark):
+    """The default embedding near-dup path must never produce a
+    cartesian/nested-loop pair space: every candidate join is a bucket
+    equi-join (the brute-force baseline, by contrast, IS a cross join —
+    asserted as the contrast so the test can't pass vacuously)."""
+    from pagerankproject_spark.similarity.cosine import cosine_similar_pairs
+    from pagerankproject_spark.similarity.lsh import near_dup_pairs
+
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    p_fast = plan(near_dup_pairs(emb, 0.9, dim=8))
+    assert "CartesianProduct" not in p_fast and "NestedLoop" not in p_fast, p_fast
+    assert "EvalPython" not in p_fast  # JVM-side fold dot products
+
+    p_brute = plan(cosine_similar_pairs(emb, 0.9))
+    assert "CartesianProduct" in p_brute or "NestedLoop" in p_brute

@@ -71,3 +71,73 @@ def test_search_filters_negation(spark):
     df = spark.createDataFrame(rows, "url string, x double")
     got = search(df, "-a", max_results=10)
     assert [u for u, _ in got] == ["bbb"]
+
+
+def _write_synonym_files(tmp_path):
+    """covid's neighbors include a low scorer beyond top_k=2 that must
+    be truncated, plus a tie broken by neighbor asc."""
+    rows = [
+        ("covid", "vaccine", 0.9),
+        ("covid", "corona", 0.9),
+        ("covid", "mask", 0.1),
+    ]
+    jpath = tmp_path / "syn.json"
+    import json
+
+    jpath.write_text(
+        json.dumps({"covid": [[n, s] for _, n, s in rows]})
+    )
+    ppath = tmp_path / "syn.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "term": [r[0] for r in rows],
+                "neighbor": [r[1] for r in rows],
+                "score": [r[2] for r in rows],
+            }
+        ),
+        ppath,
+    )
+    return jpath, ppath
+
+
+def test_file_synonyms_load_order_and_topk(tmp_path):
+    from pagerankproject_spark.search.query import file_synonyms
+
+    jpath, ppath = _write_synonym_files(tmp_path)
+    for path in (jpath, ppath):
+        prov = file_synonyms(str(path), top_k=2)
+        # score desc, neighbor asc tie-break, truncated to top_k
+        assert prov("covid") == [("corona", 0.9), ("vaccine", 0.9)]
+        assert prov("unknown-term") == []
+    with pytest.raises(ValueError, match="json/.parquet"):
+        file_synonyms("model.bin")
+
+
+def test_file_synonyms_scoring_matches_static_table(spark, tmp_path):
+    """The file-backed provider reproduces the injected-table scoring
+    semantics end-to-end through score_expr / query_predicate_expr —
+    the reference's --search_query flow with a static stand-in for
+    glove (pagerank.py:259-269)."""
+    from pagerankproject_spark.search.query import file_synonyms
+
+    jpath, _ = _write_synonym_files(tmp_path)
+    prov = file_synonyms(str(jpath))
+    static = lambda t: (
+        [("corona", 0.9), ("vaccine", 0.9), ("mask", 0.1)] if t == "covid" else []
+    )
+    rows = [("a/corona-news", 0.5), ("b/vaccine", 0.25), ("c/mask-mask", 0.125)]
+    df = spark.createDataFrame(rows, "url string, x double")
+    got_file = {
+        r["url"]: r["ranking"]
+        for r in df.withColumn("ranking", score_expr("covid", prov, p=3)).collect()
+    }
+    got_static = {
+        r["url"]: r["ranking"]
+        for r in df.withColumn("ranking", score_expr("covid", static, p=3)).collect()
+    }
+    assert got_file == got_static
+    assert df.filter(query_predicate_expr("covid", prov)).count() == 3

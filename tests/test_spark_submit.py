@@ -63,3 +63,43 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         assert abs(got[url] - want) < 1e-4, (url, got[url], want)
     # 24 iterations i=0..23 (README.md:420-443)
     assert re.search(r"i=23 residual=", out), out[-2000:]
+
+
+def test_cli_search_with_synonyms_file(tmp_path):
+    """--synonyms_file end to end: the reference's --search_query flow
+    with a file-backed stand-in for the gensim top-5 expansion
+    (pagerank.py:259-269). score counts ONLY the expanded neighbors
+    (s^45 weighting), so url '4' (neighbor score 0.9) must outrank
+    url '5' (0.5) despite both matching the predicate."""
+    import gzip
+    import json
+    import subprocess
+    import sys
+
+    data = tmp_path / "small.csv.gz"
+    data.write_bytes(gzip.compress(SMALL_CSV.encode()))
+    syn = tmp_path / "syn.json"
+    syn.write_text(json.dumps({"page": [["4", 0.9], ["5", 0.5]]}))
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "pagerank_job.py"),
+            f"--data={data}",
+            "--search_query=page",
+            f"--synonyms_file={syn}",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    ranked = re.findall(r"rank = \d+ ranking = ([0-9.e+-]+) url= (\S+)", out)
+    # predicate keeps only urls containing 'page', '4', or '5'
+    assert [url for _, url in ranked] == ["4", "5"]
+    # ranking = pagerank * occurrences * s^45
+    assert float(ranked[0][0]) == pytest.approx(GOLDEN["4"] * 0.9**45, rel=1e-3)
+    assert float(ranked[1][0]) == pytest.approx(GOLDEN["5"] * 0.5**45, rel=1e-3)
