@@ -261,7 +261,36 @@ def main() -> None:
         "persist()-chain alternative cascades cache invalidations on unpersist",
         "and recomputes whole chains; the four per-iteration scalar reductions",
         "ride the checkpoint materialization as an Observation, giving exactly",
-        "ONE Spark job per iteration.",
+        "ONE Spark job per iteration. (Round 2: HITS likewise dropped its",
+        "separate residual action - the residual rides the authority-pass",
+        "Observation, so HITS runs its inherent 2 jobs/iteration; LPA gained",
+        "the same auto-probed skew salting as CC.) Partition counts are",
+        "autotuned (ingest/edges.py::tuned_partitions): full waves of ~2M-edge",
+        "partitions - measured 1.77 s/iter at 32 partitions vs 2.52 at 64 on a",
+        "45M-edge graph (below ~2M edges/partition, per-task scheduling",
+        "overhead dominates the SpMV).",
+        "",
+        "## Broadcast-vertex blocks SpMV (spmv='blocks', round 2)",
+        "",
+        "In the mid-scale regime the VERTEX state (n x 8 B) fits one machine",
+        "even when the edge set does not. `spmv='blocks'` exploits that:",
+        "dst-partitioned CSR blocks persisted as executor-local .npy arrays",
+        "(each dst in exactly one block), the rank vector broadcast in the",
+        "task closure, teleport/normalize/residual on the driver with the",
+        "exact float64 equations of the distributed loop (parity 1e-12,",
+        "tested). One shuffle-free Spark job per iteration: P part-ids in,",
+        "~n doubles out; the edge bytes never cross the JVM/Python pipe",
+        "(page-cache mmap reads). Measured at 45M edges / 100k vertices,",
+        "local[32], idle box: 0.61 s/iter steady = 74M edges/s/iter (best",
+        "iterations 0.41 s = 110M/s) vs 1.38-1.77 s/iter (25-33M/s) for the",
+        "fully-distributed join+agg loop at its tuned partition count; 47M/s",
+        "under concurrent load. Auto-picked when 40n bytes fit",
+        "spark.driver.maxResultSize; above that bound the engine returns to",
+        "the dataframe loop, which keeps BOTH sides distributed. On a real",
+        "cluster each executor serves its own resident blocks, so added",
+        "executors bring bandwidth the same way added partitions do here;",
+        "the n-sized broadcast is the scalability ceiling (~tens of millions",
+        "of vertices), which is exactly where the dataframe path takes over.",
         "",
         "## Absolute throughput vs reference",
         "",
@@ -288,8 +317,25 @@ def main() -> None:
         "tested for exact numeric agreement (tests/test_csr.py).",
         "",
     ]
-    Path(REPO / "BENCH.md").write_text("\n".join(md))
-    print(f"wrote {REPO / 'BENCH.md'}")
+    # regenerate ONLY the scaling-harness-owned head; preserve the
+    # measured sections after the marker (skew, bucketed, ceiling,
+    # extraction, reference-scale — owned by bench_skew.py / by hand).
+    marker = "<!-- END scaling-harness section"
+    bench_path = REPO / "BENCH.md"
+    tail = ""
+    if bench_path.exists():
+        existing = bench_path.read_text()
+        if marker in existing:
+            tail = existing[existing.index(marker):]
+    if not tail:
+        tail = (
+            marker
+            + " (bench_scaling.py regenerates everything above this marker;"
+            " sections below are appended/maintained by bench_skew.py and"
+            " by hand) -->\n"
+        )
+    bench_path.write_text("\n".join(md) + tail)
+    print(f"wrote {bench_path}")
 
 
 if __name__ == "__main__":
