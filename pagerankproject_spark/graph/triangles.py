@@ -42,9 +42,18 @@ class TriangleResult:
 
 
 def triangle_counts(
-    spark: SparkSession, g: GraphTables | None = None, edges: DataFrame | None = None
+    spark: SparkSession,
+    g: GraphTables | None = None,
+    edges: DataFrame | None = None,
+    materialize: bool = True,
 ) -> TriangleResult:
     """`edges` (src,dst string columns) overrides `g` if given.
+
+    `materialize=True` (default) localCheckpoints the per-edge result
+    and releases every intermediate cache (long-lived sessions stay
+    clean); `materialize=False` keeps the lazy plan — used by
+    tools/dump_plans.py so PLANS.md shows the wedge-join cascade, and
+    by callers that only want the plan. The total count still runs.
 
     With a GraphTables input the wedge enumeration runs on the dense
     LONG ids (the dominant shuffles move 8-byte keys, not urls); the
@@ -62,8 +71,9 @@ def triangle_counts(
             )
             .distinct()
         ).persist()
-        per_edge_ids, total = _count(und_ids)
-        und_ids.unpersist()
+        per_edge_ids, total = _count(und_ids, materialize)
+        if materialize:
+            und_ids.unpersist()
         v = g.vertices
         per_edge = (
             per_edge_ids.join(
@@ -86,12 +96,13 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    per_edge, total = _count(und)
-    und.unpersist()
+    per_edge, total = _count(und, materialize)
+    if materialize:
+        und.unpersist()
     return TriangleResult(per_edge=per_edge, total=total)
 
 
-def _count(und: DataFrame) -> tuple[DataFrame, int]:
+def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     """Degree-ordered wedge enumeration over a canonical undirected
     edge list (a < b, deduped). Key type agnostic (long ids or urls)."""
     deg = (
@@ -151,7 +162,8 @@ def _count(und: DataFrame) -> tuple[DataFrame, int]:
     # repeated triangle_counts calls in a long-lived session must not
     # accumulate blocks (round-1 advice). localCheckpoint also cuts the
     # 5-join lineage, so the caller's downstream plans stay flat.
-    per_edge = per_edge.localCheckpoint(eager=True)
-    oriented.unpersist()
-    triangles.unpersist()
+    if materialize:
+        per_edge = per_edge.localCheckpoint(eager=True)
+        oriented.unpersist()
+        triangles.unpersist()
     return per_edge, int(total)

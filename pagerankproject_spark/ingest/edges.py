@@ -28,13 +28,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Partition autotuning for the iterative edge table (round-1 verdict
-# item 1). Measured on local[32]: at 45M edges, 32 partitions (1.4M
-# edges each) iterate at 1.77 s vs 2.52 s with 64 — below ~2M edges a
-# partition, per-task scheduling overhead dominates the SpMV. So: size
-# partitions to TARGET edges each, but always schedule FULL WAVES of
-# the available parallelism (a partial extra wave serializes behind the
-# others), capped at 8 waves (beyond that, per-partition state is small
-# enough that more splits only add overhead).
+# item 1). Measured on local[32]:
+#   * 45M edges: 32 partitions (1.4M edges each) iterate at 1.77 s vs
+#     2.52 s with 64 — below ~2M edges a partition, per-task scheduling
+#     overhead dominates the SpMV;
+#   * 300M edges: 64 partitions = 4.65 s/iter (64.5M edges/s) vs 160
+#     partitions = 21 s/iter with GC storms — many concurrent hash-agg
+#     buffers over a large cached table thrash old-gen.
+# Rule: schedule FULL WAVES of the available parallelism (a partial
+# extra wave serializes behind the others), at most TWO — big
+# partitions amortize fixed cost; memory per partition is bounded by
+# the executor sizing on a real cluster, where parallelism itself
+# grows with the data.
 TARGET_EDGES_PER_PARTITION = 2_000_000
 
 
@@ -42,7 +47,7 @@ def tuned_partitions(num_edges: int, parallelism: int) -> int:
     waves = max(
         1, math.ceil(num_edges / (TARGET_EDGES_PER_PARTITION * parallelism))
     )
-    return parallelism * min(waves, 8)
+    return parallelism * min(waves, 2)
 
 # Reference drop-regex (pagerank.py:42). Python re.match with leading .* is
 # an unanchored search for the inner group, so Spark's (unanchored) rlike of

@@ -53,7 +53,16 @@ def main() -> None:
     ]
     qs = entry.queries()
     for name in PLAN_QUERIES:
-        df = qs[name](spark, SF)
+        if name == "triangles_per_edge":
+            # plan-inspection mode: skip the eager localCheckpoint so the
+            # wedge-join cascade (not a checkpointed RDD scan) is dumped
+            from pagerankproject_spark.graph.triangles import triangle_counts
+
+            df = triangle_counts(
+                spark, edges=entry._edges(spark, SF), materialize=False
+            ).per_edge
+        else:
+            df = qs[name](spark, SF)
         plan = jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
