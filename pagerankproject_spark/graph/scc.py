@@ -1,0 +1,231 @@
+"""Strongly connected components — engine-added directed-graph operator
+(no SURVEY §2 number; companion of #24 connected components).
+
+The reference computes only PageRank; SCC is the canonical *directed*
+analysis of a web link graph (the Broder et al. 2000 "bow-tie": one
+giant SCC, IN/OUT tendrils, disconnected islands). Public algorithm:
+iterative trimming + forward min-coloring + backward marking (Orzan
+2004 / FW-BW-Trim, the standard distributed SCC recipe — Tarjan's
+stack DFS does not distribute).
+
+Per round over the remaining subgraph:
+
+  1. TRIM to fixpoint: a vertex with no in-edges or no out-edges in
+     the remaining graph cannot lie on a directed cycle — it is a
+     singleton SCC. Removing it may expose new trim candidates, so
+     iterate. This alone finishes any DAG portion (most of a web
+     graph's vertices) in diameter-many cheap rounds.
+  2. FORWARD coloring to fixpoint: color(v) = min id u that reaches v
+     (min-propagation along edge direction, init color(v) = v) — the
+     CC skeleton (components.py) without symmetrization.
+  3. BACKWARD marking to fixpoint: pivots are vertices with
+     color(v) == v; mark u when an edge u -> v has v marked and
+     color(u) == color(v). Marked vertices form complete SCCs: the
+     color class of a pivot c is exactly the set c reaches through
+     vertices of color c, and every v -> c path from a same-colored v
+     stays inside the class (any intermediate w has color(w) = c:
+     c reaches w through v, and a smaller/higher-priority reacher of
+     w would also reach c, contradicting color(c) = c). The pivot is
+     the minimum id in its SCC for the same reason.
+  4. Assign marked vertices scc = color, remove them, repeat. Every
+     round removes at least each color class's pivot SCC, so the loop
+     terminates.
+
+All DataFrame joins/aggs; every fixpoint runs one Spark job per
+iteration (Observation-borne changed-count riding a localCheckpoint,
+the pattern shared with pagerank/components/kcore). Labels are dense
+long ids in flight; the output relabels each SCC by its minimum url
+(ids are not url-ordered — ingest/edges.py:76).
+
+Scale notes (100 TB): trimming is two semi-joins per iteration on an
+ever-shrinking edge set; coloring/marking shuffle 8-byte ids with
+map-side-combinable MIN/MAX aggregates, so web-scale in-degree skew
+partial-aggregates away exactly as in connected_components. The giant
+SCC resolves in one coloring round; the known adversarial case
+(a long chain of small cycles with adversarial id order) degrades to
+O(chain length) rounds — the documented FW-BW-Trim behavior, bounded
+by max_rounds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..session import no_aqe
+
+
+@dataclass
+class SCCResult:
+    components: DataFrame  # url: string, component: string (min url of the SCC)
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    g: GraphTables,
+    max_rounds: int = 50,
+    max_iterations: int = 200,
+) -> SCCResult:
+    """Exact SCCs of the directed graph; every vertex appears once,
+    labeled by the minimum url of its component (singletons label
+    themselves — same output contract as connected_components)."""
+    P = g.num_partitions
+    edges = _ckpt(
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(P, "src_id")
+    )
+    verts = _ckpt(g.vertices.select("id").repartition(P, "id"))
+
+    assigned: list[DataFrame] = []  # (id, scc) fragments, each checkpointed
+    metrics: list[dict] = []
+    rounds = 0
+
+    with no_aqe(spark):
+        while rounds < max_rounds:
+            t0 = time.time()
+            # --- 1. trim: peel no-in or no-out vertices as singletons ---
+            while True:
+                srcs = edges.select(F.col("src_id").alias("id")).distinct()
+                dsts = edges.select(F.col("dst_id").alias("id")).distinct()
+                live = _ckpt(verts.join(srcs, "id", "semi").join(dsts, "id", "semi"))
+                n_live = live.count()
+                n_trimmed = verts.count() - n_live
+                if n_trimmed > 0:
+                    assigned.append(
+                        _ckpt(
+                            verts.join(live, "id", "anti").select(
+                                "id", F.col("id").alias("scc")
+                            )
+                        )
+                    )
+                    verts = live
+                    edges = _ckpt(
+                        edges.join(
+                            live.select(F.col("id").alias("src_id")), "src_id", "semi"
+                        ).join(
+                            live.select(F.col("id").alias("dst_id")), "dst_id", "semi"
+                        )
+                    )
+                else:
+                    verts = live
+                    break
+            if verts.isEmpty():
+                break
+
+            # --- 2. forward coloring: color(v) = min id reaching v ---
+            color = _ckpt(
+                verts.select("id", F.col("id").alias("color")).repartition(P, "id")
+            )
+            for _ in range(max_iterations):
+                msgs = (
+                    edges.join(color, edges.src_id == color.id)
+                    .groupBy(F.col("dst_id").alias("id"))
+                    .agg(F.min("color").alias("min_in"))
+                )
+                obs = Observation()
+                staged = (
+                    color.join(msgs, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("color"),
+                            F.coalesce(F.col("min_in"), F.col("color")),
+                        ).alias("new_color"),
+                        F.col("color").alias("old_color"),
+                    )
+                    .observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("new_color") < F.col("old_color"), 1).otherwise(0)
+                        ).alias("c"),
+                    )
+                )
+                color = _ckpt(staged.select("id", F.col("new_color").alias("color")))
+                if obs.get["c"] == 0:
+                    break
+
+            # --- 3. backward marking from pivots within color classes ---
+            state = _ckpt(
+                color.select(
+                    "id", "color", (F.col("id") == F.col("color")).alias("marked")
+                ).repartition(P, "id")
+            )
+            for _ in range(max_iterations):
+                # message to u along u -> v: v's (marked, color); u adopts
+                # marked when some same-colored out-neighbor is marked.
+                msgs = (
+                    edges.join(state, edges.dst_id == state.id)
+                    .select(F.col("src_id").alias("id"), "color", "marked")
+                    .groupBy("id", F.col("color").alias("mcolor"))
+                    .agg(F.max(F.col("marked").cast("int")).alias("m"))
+                )
+                obs = Observation()
+                staged = (
+                    state.join(
+                        msgs,
+                        (state.id == msgs.id) & (state.color == msgs.mcolor),
+                        "left",
+                    )
+                    .select(
+                        state.id,
+                        state.color,
+                        (
+                            state.marked
+                            | (F.coalesce(F.col("m"), F.lit(0)) == 1)
+                        ).alias("new_marked"),
+                        state.marked.alias("old_marked"),
+                    )
+                    .observe(
+                        obs,
+                        F.sum(
+                            F.when(
+                                F.col("new_marked") & ~F.col("old_marked"), 1
+                            ).otherwise(0)
+                        ).alias("c"),
+                    )
+                )
+                state = _ckpt(
+                    staged.select("id", "color", F.col("new_marked").alias("marked"))
+                )
+                if obs.get["c"] == 0:
+                    break
+
+            # --- 4. settle marked SCCs, shrink the remaining graph ---
+            done = _ckpt(
+                state.filter("marked").select("id", F.col("color").alias("scc"))
+            )
+            assigned.append(done)
+            verts = _ckpt(verts.join(done.select("id"), "id", "anti"))
+            edges = _ckpt(
+                edges.join(
+                    done.select(F.col("id").alias("src_id")), "src_id", "anti"
+                ).join(done.select(F.col("id").alias("dst_id")), "dst_id", "anti")
+            )
+            metrics.append({"round": rounds, "wall_sec": time.time() - t0})
+            rounds += 1
+            if verts.isEmpty():
+                break
+
+    labels = assigned[0]
+    for frag in assigned[1:]:
+        labels = labels.union(frag)
+
+    # relabel each SCC by its minimum url (exact-match output contract;
+    # ids are not url-ordered so min-id != min-url)
+    v = g.vertices
+    lab_urls = labels.join(v, "id").select("url", "scc")
+    rep = lab_urls.groupBy("scc").agg(F.min("url").alias("component"))
+    out = lab_urls.join(rep, "scc").select("url", "component")
+    return SCCResult(components=out, rounds=rounds, metrics=metrics)

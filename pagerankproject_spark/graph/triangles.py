@@ -102,6 +102,52 @@ def triangle_counts(
     return TriangleResult(per_edge=per_edge, total=total)
 
 
+def clustering_coefficients(
+    spark: SparkSession, g: GraphTables
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over the simple
+    undirected graph (Watts-Strogatz 1998):
+
+        lcc(v) = 2 * tri(v) / (deg(v) * (deg(v) - 1))
+
+    Composed from the per-edge triangle counts: a triangle at v covers
+    exactly two edges incident to v, so tri(v) = sum of t(e) over v's
+    incident edges / 2, and lcc(v) = sum_incident(t) / (deg*(deg-1)).
+    One explode of the (already materialized) per-edge table + one
+    combinable sum/count aggregation — no new wedge work, so the scale
+    profile is the per-edge counter's. Vertices of degree < 2 (and
+    vertices isolated after simplification) get lcc = 0.0.
+
+    Output: url, degree (simple undirected), triangles (long), lcc
+    (double in [0, 1]).
+    """
+    per_edge = triangle_counts(spark, g).per_edge
+    incident = per_edge.select(
+        F.col("a").alias("url"), "triangles"
+    ).union(per_edge.select(F.col("b").alias("url"), "triangles"))
+    stats = incident.groupBy("url").agg(
+        F.count("*").alias("degree"),
+        (F.sum("triangles") / 2).cast("long").alias("triangles"),
+    )
+    return (
+        g.vertices.select("url")
+        .join(stats, "url", "left")
+        .select(
+            "url",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+
+
 def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     """Degree-ordered wedge enumeration over a canonical undirected
     edge list (a < b, deduped). Key type agnostic (long ids or urls)."""

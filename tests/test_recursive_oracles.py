@@ -1,0 +1,263 @@
+"""Pin the DuckDB recursive-CTE oracles (oracle/recursive_sql.py)
+against independent Python/NumPy references.
+
+These oracles are the driver-side truth for the iterative contract keys
+(pagerank*, hits_scores, connected_components, kcore, bfs_distances,
+label_propagation, search_top10, dedup_clusters). The Spark engine is
+compared against them by tools/check_contract.py and the external
+driver; THIS file closes the loop by checking the oracles themselves
+against a third implementation — the float64 numpy reference chain
+(oracle/numpy_ref.py, itself pinned to the reference README goldens)
+and small hand-rolled fixpoint simulators. Pure DuckDB + numpy: no
+SparkSession, so the whole file runs in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pytest
+
+import __spark_entry__ as entry
+from pagerankproject_spark.dedup.minhash import sql_minhash_verified_pairs
+from pagerankproject_spark.oracle import recursive_sql as rs
+from pagerankproject_spark.oracle.numpy_ref import pagerank_by_url
+
+SF_DIR = Path("/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("orders", "documents"):
+        c.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def g():
+    return "with " + entry._EDGES_CTE
+
+
+@pytest.fixture(scope="module")
+def graph(con, g):
+    edges = con.execute(g + " select src, dst from edges").fetchall()
+    verts = sorted(
+        r[0] for r in con.execute(g + " select url from vertices").fetchall()
+    )
+    return edges, verts
+
+
+def test_pagerank_oracle_matches_numpy(con, g):
+    rows = con.execute(g + " select src, dst from edges_raw").fetchall()
+    ranks, residuals = pagerank_by_url(rows, epsilon=1e-6, max_iterations=60)
+    want = {u: round(x, 6) for u, x in ranks.items()}
+    got = dict(con.execute(g + "," + rs.sql_pagerank_ranks()).fetchall())
+    assert got == want
+    assert 1 < len(residuals) <= 60
+
+
+def test_personalized_pagerank_oracle_matches_numpy(con, g, graph):
+    _, verts = graph
+    rows = con.execute(g + " select src, dst from edges_raw").fetchall()
+    matches = {u for u in verts if "p1" in u}
+    ranks, _ = pagerank_by_url(
+        rows, epsilon=1e-6, max_iterations=60, personalization_matches=matches
+    )
+    want = {u: round(x, 6) for u, x in ranks.items()}
+    got = dict(
+        con.execute(
+            g + "," + rs.sql_pagerank_ranks(v_pred="url like '%p1%'")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hits_oracle_matches_numpy_twin(con, g, graph):
+    edges, verts = graph
+    idx = {u: i for i, u in enumerate(verts)}
+    n = len(verts)
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[t] for _, t in edges])
+    h = np.full(n, 1.0 / math.sqrt(n))
+    aprev = np.zeros(n)
+    for it in range(60):
+        araw = np.zeros(n)
+        np.add.at(araw, dst, h[src])
+        na = np.linalg.norm(araw)
+        anew = araw / na
+        resid = (
+            float("inf")
+            if it == 0
+            else math.sqrt(max(0.0, 2.0 - 2.0 * float(araw @ aprev) / na))
+        )
+        hraw = np.zeros(n)
+        np.add.at(hraw, src, anew[dst])
+        h = hraw / np.linalg.norm(hraw)
+        aprev = anew
+        if resid < 1e-6:
+            break
+    want = {
+        verts[i]: (round(h[i], 6), round(aprev[i], 6)) for i in range(n)
+    }
+    got = {
+        r[0]: (float(r[1]), float(r[2]))
+        for r in con.execute(g + "," + rs.sql_hits_scores()).fetchall()
+    }
+    assert got == want
+
+
+def test_connected_components_oracle_matches_union_find(con, g, graph):
+    edges, verts = graph
+    parent = {u: u for u in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs_, rd = find(s), find(d)
+        if rs_ != rd:
+            parent[max(rs_, rd)] = min(rs_, rd)
+    # min url per component
+    comp_min: dict[str, str] = {}
+    for u in verts:
+        r = find(u)
+        comp_min[r] = min(comp_min.get(r, u), u)
+    want = {u: comp_min[find(u)] for u in verts}
+    got = dict(con.execute(g + "," + rs.sql_connected_components()).fetchall())
+    assert got == want
+
+
+def test_bfs_oracle_matches_python_bfs(con, g, graph):
+    edges, verts = graph
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    want = {}
+    frontier = {"site.com/p1"}
+    d = 0
+    while frontier:
+        for u in frontier:
+            want[u] = d
+        frontier = {
+            w for u in frontier for w in adj[u] if w not in want
+        }
+        d += 1
+    got = dict(
+        con.execute(g + "," + rs.sql_bfs_distances("site.com/p1")).fetchall()
+    )
+    assert got == want
+
+
+def _python_kcore(edges, k):
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    alive = set(adj)
+    while True:
+        victims = {
+            v for v in alive if sum(1 for w in adj[v] if w in alive) < k
+        }
+        if not victims:
+            break
+        alive -= victims
+    return {v: sum(1 for w in adj[v] if w in alive) for v in alive}
+
+
+@pytest.mark.parametrize("k", [3, 9, 10_000])
+def test_kcore_oracle_matches_python_peeler(con, g, graph, k):
+    """k=3 is the contract key; k=9 forces several peel rounds at this
+    SF; k=10000 empties the core (the recursion's empty-stop path)."""
+    edges, _ = graph
+    want = _python_kcore(edges, k)
+    got = dict(con.execute(g + "," + rs.sql_kcore(k)).fetchall())
+    assert got == want
+
+
+def test_lpa_oracle_matches_python_simulator(con, g, graph):
+    edges, verts = graph
+    incoming = defaultdict(list)  # multiplicities matter
+    for s, d in edges:
+        incoming[d].append(s)
+        incoming[s].append(d)
+    lbl = {v: v for v in verts}
+    for _ in range(5):
+        new = {}
+        for v in verts:
+            c = Counter(lbl[s] for s in incoming[v])
+            new[v] = (
+                min((-cnt, l) for l, cnt in c.items())[1] if c else lbl[v]
+            )
+        if new == lbl:
+            break
+        lbl = new
+    got = dict(con.execute(g + "," + rs.sql_label_propagation(5)).fetchall())
+    assert got == lbl
+
+
+def test_scc_oracle_matches_tarjan(con, g, graph):
+    from .test_scc import python_scc
+
+    edges, _ = graph
+    want = python_scc(edges)
+    got = dict(con.execute(g + "," + rs.sql_scc()).fetchall())
+    assert got == want
+    # sanity: the fixture graph must actually contain a non-trivial SCC
+    assert any(v != c for v, c in got.items())
+
+
+def test_dedup_clusters_oracle_matches_union_find(con):
+    pairs_sql = sql_minhash_verified_pairs("documents", threshold=0.2, n=2)
+    pairs = con.execute(pairs_sql).fetchall()
+    assert pairs, "fixture should produce near-dup pairs"
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: (find(x), x == find(x)) for x in parent}
+    got = {
+        r[0]: (r[1], bool(r[2]))
+        for r in con.execute(rs.sql_dedup_clusters(pairs_sql)).fetchall()
+    }
+    assert got == want
+
+
+def test_search_top10_oracle_matches_numpy_composition(con, g):
+    rows = con.execute(g + " select src, dst from edges_raw").fetchall()
+    ranks, _ = pagerank_by_url(rows, epsilon=1e-6, max_iterations=60)
+    scored = []
+    for u, x in ranks.items():
+        if "page" in u or "p1" in u or "p2" in u:
+            occ1 = (len(u) - len(u.replace("p1", ""))) / 2
+            occ2 = (len(u) - len(u.replace("p2", ""))) / 2
+            scored.append(
+                (u, round(x * (occ1 * 0.9**45 + occ2 * 0.5**45), 6))
+            )
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    want = scored[:10]
+    got = [
+        (r[0], float(r[1]))
+        for r in con.execute(g + "," + rs.sql_search_top10()).fetchall()
+    ]
+    assert got == want
