@@ -53,13 +53,26 @@ def connected_components(
     checkpoint_interval: int = 5,
     resume: bool = False,
     job_name: str = "components",
+    init_labels: DataFrame | None = None,
 ) -> ComponentsResult:
     """`salt_buckets="auto"` (default) probes the symmetrized degree
     distribution once and enables salting only when a hot vertex would
     dominate a task (max degree > max(1M, 4 * edges/partitions)) — the
     measured regime where the salted two-phase aggregation wins 2x+
     (BENCH.md skew experiment). Pass 0 to force off, an int to force
-    a bucket count."""
+    a bucket count.
+
+    `init_labels` warm-starts from a previous run's output (url,
+    component) — the incremental-maintenance path after `append_edges`:
+    adding edges can only MERGE components, and min-propagation from
+    any per-old-component-constant start converges to one value per NEW
+    component (each old component starts uniform; new vertices start at
+    their own id), so the final min-url relabeling yields exactly the
+    cold-rebuild output while iterating only until the merged regions
+    settle — O(delta diameter), not O(graph diameter). Vertices absent
+    from `init_labels` (new in this crawl) fall back to their own id.
+    Ignored when `resume` finds a checkpoint (the checkpoint is newer
+    state)."""
     P = g.num_partitions
     # symmetrize once; duplicates are harmless under MIN
     e = g.weighted_edges.select("src_id", "dst_id")
@@ -85,12 +98,32 @@ def connected_components(
 
     start_iter, converged = 0, False
     ckpt = ParquetCheckpointer(checkpoint_dir, job_name) if checkpoint_dir else None
+    resumed = False
     if ckpt and resume:
         info = ckpt.latest()
         if info is not None:
             labels = ckpt.read(spark, info.iteration).repartition(P, "id")
             start_iter = info.iteration + 1
             converged = bool(info.metrics.get("converged", False))
+            resumed = True
+    if init_labels is not None and not resumed:
+        # map the previous output's representative urls to CURRENT dense
+        # ids (append_edges keeps old ids stable, but the representative
+        # is keyed by url); unseen vertices start at their own id.
+        # checkpointed leaf: init_labels usually shares lineage with this
+        # graph (append_edges keeps the old build in the plan), and
+        # Spark's ambiguous self-join resolution over shared plans can
+        # silently match zero rows (seen in incremental_scc).
+        init = init_labels.select("url", "component").localCheckpoint(eager=True)
+        rep = g.vertices.select(
+            F.col("url").alias("component"), F.col("id").alias("warm")
+        )
+        warm = init.join(rep, "component").select("url", "warm")
+        labels = (
+            g.vertices.join(warm, "url", "left")
+            .select("id", F.coalesce("warm", F.col("id")).alias("label"))
+            .repartition(P, "id")
+        )
 
     labels = labels.localCheckpoint(eager=True)
     metrics: list[dict] = []
@@ -148,14 +181,152 @@ def connected_components(
             it += 1
 
     # relabel components by their minimum url (exact-match output contract)
-    v = g.vertices
-    lab_urls = labels.join(v, "id").select("url", "label")
-    rep = lab_urls.groupBy("label").agg(F.min("url").alias("component"))
-    out = lab_urls.join(rep, "label").select("url", "component")
+    out = _relabel_min_url(g, labels)
     sym.unpersist()
     return ComponentsResult(
         components=out,
         iterations=it - start_iter,
+        converged=converged,
+        metrics=metrics,
+    )
+
+
+def _relabel_min_url(g: GraphTables, labels: DataFrame) -> DataFrame:
+    """(id, label) -> (url, component=min url of the label class)."""
+    v = g.vertices
+    lab_urls = labels.join(v, "id").select("url", "label")
+    rep = lab_urls.groupBy("label").agg(F.min("url").alias("component"))
+    return lab_urls.join(rep, "label").select("url", "component")
+
+
+def connected_components_twophase(
+    spark: SparkSession,
+    g: GraphTables,
+    max_rounds: int = 64,
+) -> ComponentsResult:
+    """Connected components via alternating large-star / small-star
+    edge rewriting (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond" — the Cracker/two-phase family), converging
+    in O(log^2 n) ROUNDS instead of min-propagation's O(diameter)
+    iterations.
+
+    Why a second algorithm: web graphs have long tendrils and chain
+    structures; a diameter-D region costs `connected_components` D
+    shuffle rounds, while star-contraction collapses it in ~log^2
+    rounds. At 100 TB the round count IS the wall clock (each round is
+    a full shuffle), so on high-diameter inputs this is the scale path;
+    on low-diameter inputs the default min-propagation wins (fewer,
+    cheaper phases per round). Both produce the identical partition and
+    the identical min-url labels (exact-match tested against each other
+    and the union-find oracle).
+
+    Per round, on the current edge multiset E (dense long ids):
+
+      large-star: for each u, m = min(N(u) ∪ {u}); rewrite every edge
+        (u, v) with v > u into (v, m). Strictly-larger neighbors hook
+        onto u's minimum.
+      small-star: orient each edge big->small; for each u,
+        m = min(N_<=(u)); rewrite to (v, m) for every smaller neighbor
+        v and add (u, m). Smaller neighbors and u itself hook onto the
+        minimum.
+
+    Both phases are one groupBy(MIN) + one equi-join + DISTINCT —
+    map-side-combinable aggregates, so hub skew partial-aggregates
+    away; the intermediate edge count never exceeds |E| + |V|. The
+    fixpoint is a star forest: every vertex points at its component's
+    minimum id. The changed-edge count of each phase rides the
+    checkpoint materialization as an Observation (2 jobs per round);
+    converged when a full round rewrites nothing.
+    """
+    P = g.num_partitions
+    e = (
+        g.weighted_edges.select(
+            F.col("src_id").alias("u"), F.col("dst_id").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(P, "u")
+        .localCheckpoint(eager=True)
+    )
+    verts = g.vertices.select("id").repartition(P, "id")
+
+    metrics: list[dict] = []
+    rounds, converged = 0, False
+    with no_aqe(spark):
+        while rounds < max_rounds and not converged:
+            t0 = time.time()
+            # --- large-star ---
+            nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = nbr.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            obs_l = Observation()
+            rewired = (
+                nbr.filter(F.col("v") > F.col("u"))
+                .join(mins, "u")
+                .observe(
+                    obs_l,
+                    F.sum(
+                        F.when(F.col("m") != F.col("u"), 1).otherwise(0)
+                    ).alias("c"),
+                )
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            e = (
+                rewired.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .repartition(P, "u")
+                .localCheckpoint(eager=True)
+            )
+            changed_large = int(obs_l.get["c"] or 0)
+
+            # --- small-star ---
+            d = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins = d.groupBy("u").agg(F.min("v").alias("m"))
+            obs_s = Observation()
+            rewired = (
+                d.join(mins, "u")
+                .observe(
+                    obs_s,
+                    F.sum(
+                        F.when(F.col("m") != F.col("v"), 1).otherwise(0)
+                    ).alias("c"),
+                )
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            )
+            e = (
+                rewired.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .repartition(P, "u")
+                .localCheckpoint(eager=True)
+            )
+            changed_small = int(obs_s.get["c"] or 0)
+
+            metrics.append(
+                {
+                    "round": rounds,
+                    "changed_large": changed_large,
+                    "changed_small": changed_small,
+                    "wall_sec": time.time() - t0,
+                }
+            )
+            converged = changed_large == 0 and changed_small == 0
+            rounds += 1
+
+    # fixpoint edges form a star forest (non-root, root); roots and
+    # isolated vertices label themselves. min() guards the not-yet-
+    # converged (max_rounds hit) case where a node still has two labels.
+    labels = verts.join(
+        e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("label")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    return ComponentsResult(
+        components=_relabel_min_url(g, labels),
+        iterations=rounds,
         converged=converged,
         metrics=metrics,
     )

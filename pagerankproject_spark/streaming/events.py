@@ -313,6 +313,60 @@ def stream_incremental_pagerank(
     )
 
 
+def stream_incremental_components(
+    spark: SparkSession,
+    edges_dir: str,
+    state: dict,
+    max_iterations: int = 100,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous connected-components maintenance — the CC twin of
+    stream_incremental_pagerank: each micro-batch of raw (src,dst)
+    edges folds in via append_edges and re-labels warm from the
+    previous batch's components (exact — new edges only merge
+    components, and min-propagation from a per-component-uniform start
+    converges to the cold-rebuild partition; see
+    graph/components.py::connected_components init_labels).
+
+    `state` after each batch: {"g": GraphTables, "components":
+    DataFrame (url, component), "batches": int}.
+    """
+    from ..graph.components import connected_components
+    from ..ingest.edges import append_edges, build_graph_tables
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select("src", "dst")
+        if "g" not in state:
+            g = build_graph_tables(spark, edges)
+            res = connected_components(spark, g, max_iterations=max_iterations)
+        else:
+            g = append_edges(spark, state["g"], edges)
+            res = connected_components(
+                spark,
+                g,
+                max_iterations=max_iterations,
+                init_labels=state["components"],
+            )
+        comps = res.components.localCheckpoint(eager=True)
+        old = state.get("g")
+        state.update(
+            {"g": g, "components": comps, "batches": state.get("batches", 0) + 1}
+        )
+        if old is not None:
+            old.unpersist()
+
+    stream = (
+        spark.readStream.schema(EDGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(edges_dir, header=True)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sliding_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -306,3 +306,102 @@ def test_selfloops_and_duplicate_edges_match_oracle(spark):
     for url, w in want.items():
         assert abs(got[url] - w) < 1e-6, (url, got[url], w)
     g.unpersist()
+
+
+def test_incremental_cc_warm_start_matches_cold_rebuild(spark):
+    """Crawl-delta CC maintenance: append_edges + init_labels ==
+    cold rebuild on the concatenated edge list. The delta merges two
+    previously separate components AND introduces brand-new vertices."""
+    from pagerankproject_spark.ingest.edges import append_edges
+
+    base = [
+        ("a.page", "b.page"), ("b.page", "c.page"),   # component a
+        ("x.page", "y.page"), ("y.page", "z.page"),   # component x
+        ("m.page", "n.page"),                          # component m
+    ]
+    delta = [
+        ("c.page", "x.page"),                          # merges a + x
+        ("new1.page", "new2.page"),                    # brand-new component
+        ("n.page", "n2.page"),                         # grows m
+    ]
+    g1 = _tables(spark, base)
+    cold1 = connected_components(spark, g1)
+    g2 = append_edges(spark, g1, edges_df(spark, delta))
+    warm = connected_components(spark, g2, init_labels=cold1.components)
+    got = {r["url"]: r["component"] for r in warm.components.collect()}
+
+    g_full = _tables(spark, base + delta)
+    cold = connected_components(spark, g_full)
+    want = {r["url"]: r["component"] for r in cold.components.collect()}
+    assert got == want
+    assert warm.converged
+    g1.unpersist(); g2.unpersist(); g_full.unpersist()
+
+
+def test_incremental_cc_warm_start_random_deltas(spark):
+    """Randomized: split a clustered graph into two halves, maintain
+    incrementally, compare against the union-find oracle."""
+    pairs, _ = make_clustered_random(seed=17, k_clusters=4, n=120, p_in=0.1)
+    cut = len(pairs) // 2
+    base, delta = pairs[:cut], pairs[cut:]
+    from pagerankproject_spark.ingest.edges import append_edges
+
+    g1 = _tables(spark, base)
+    first = connected_components(spark, g1)
+    g2 = append_edges(spark, g1, edges_df(spark, delta))
+    warm = connected_components(spark, g2, init_labels=first.components)
+    got = {r["url"]: r["component"] for r in warm.components.collect()}
+    assert got == oracle.connected_components(pairs)
+    g1.unpersist(); g2.unpersist()
+
+
+def test_twophase_cc_matches_oracle_and_propagation(spark):
+    """Alternating large-star/small-star CC: identical partition AND
+    identical min-url labels vs both the union-find oracle and the
+    default min-propagation implementation."""
+    from pagerankproject_spark.graph.components import (
+        connected_components_twophase,
+    )
+
+    pairs, k = make_clustered_random(seed=11, k_clusters=5, n=150, p_in=0.08)
+    g = _tables(spark, pairs)
+    res = connected_components_twophase(spark, g)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert got == oracle.connected_components(pairs)
+    assert res.converged
+    base = connected_components(spark, g)
+    assert got == {r["url"]: r["component"] for r in base.components.collect()}
+    g.unpersist()
+
+
+def test_twophase_cc_path_graph_logarithmic_rounds(spark):
+    """The reason the algorithm exists: a diameter-D chain costs
+    min-propagation ~D iterations but star-contraction O(log^2 D)
+    rounds. 200-vertex path: propagation needs ~199 iterations,
+    two-phase must finish in far fewer rounds."""
+    from pagerankproject_spark.graph.components import (
+        connected_components_twophase,
+    )
+
+    n = 200
+    pairs = [(f"p{i:04d}.x", f"p{i+1:04d}.x") for i in range(n - 1)]
+    g = _tables(spark, pairs)
+    res = connected_components_twophase(spark, g, max_rounds=20)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert set(got.values()) == {"p0000.x"}
+    assert len(got) == n
+    assert res.converged
+    assert res.iterations <= 12, res.metrics  # log2(200)^2/4 ~ 15; measured ~5
+    g.unpersist()
+
+
+def test_twophase_cc_two_components_and_selfloops(spark):
+    from pagerankproject_spark.graph.components import (
+        connected_components_twophase,
+    )
+
+    g = _tables(spark, TWO_COMPONENTS_EDGES + [("a", "a")])
+    res = connected_components_twophase(spark, g)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+    g.unpersist()

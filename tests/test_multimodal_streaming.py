@@ -319,3 +319,35 @@ def test_watermark_drops_late_aggregation_updates(spark, tmp_path):
     # the finalized 10:00 window counts the 2 on-time events only — the
     # late third never updates it (batch semantics would count 3).
     assert got.get(base) == 2, got
+
+
+def test_stream_incremental_components_matches_batch(spark, tmp_path):
+    from pagerankproject_spark.graph.components import connected_components
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+    from pagerankproject_spark.streaming.events import stream_incremental_components
+
+    edges_dir = tmp_path / "cc_edge_stream"
+    edges_dir.mkdir()
+    b0 = [("a.page", "b.page"), ("x.page", "y.page"), ("m.page", "n.page")]
+    b1 = [("b.page", "x.page"), ("new1.page", "new2.page")]
+    for i, batch in enumerate((b0, b1)):
+        (edges_dir / f"batch{i}.csv").write_text(
+            "src,dst\n" + "\n".join(f"{s},{d}" for s, d in batch)
+        )
+
+    state: dict = {}
+    q = stream_incremental_components(spark, str(edges_dir), state)
+    q.awaitTermination(300)
+    assert state["batches"] == 2
+
+    got = {r["url"]: r["component"] for r in state["components"].collect()}
+    g_full = build_graph_tables(
+        spark, spark.createDataFrame(b0 + b1, "src string, dst string")
+    )
+    want = {
+        r["url"]: r["component"]
+        for r in connected_components(spark, g_full).components.collect()
+    }
+    assert got == want
+    assert got["x.page"] == "a.page"  # the merge actually happened
+    g_full.unpersist()

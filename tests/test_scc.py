@@ -215,3 +215,53 @@ def test_clustering_coefficient_triangle_and_path(spark):
         "c": (3, 1, 1.0 / 3),
         "d": (1, 0, 0.0),
     }
+
+
+def test_incremental_scc_matches_cold_rebuild(spark):
+    """Condensation maintenance: delta edges merge two previous SCCs
+    into one (closing a cycle through both), add brand-new vertices,
+    and extend a tendril — result must equal the cold rebuild."""
+    from pagerankproject_spark.graph.scc import incremental_scc
+
+    base = [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # SCC {a,b,c}
+        ("c", "e"), ("e", "f"), ("f", "e"),       # SCC {e,f}, fed by c
+        ("g", "h"),                                 # DAG tendril
+    ]
+    delta = [
+        ("f", "a"),                                 # merges {a,b,c} + {e,f}
+        ("h", "i"), ("i", "g"),                     # new cycle {g,h,i}
+        ("new", "a"),                               # new DAG vertex
+    ]
+    g1 = _tables(spark, base)
+    prev = strongly_connected_components(spark, g1).components
+    got_df = incremental_scc(
+        spark, prev, edges_df(spark, base), edges_df(spark, delta)
+    )
+    got = {r["url"]: r["component"] for r in got_df.collect()}
+
+    g_full = _tables(spark, base + delta)
+    want = {
+        r["url"]: r["component"]
+        for r in strongly_connected_components(spark, g_full).components.collect()
+    }
+    assert got == want
+    assert got == python_scc(base + delta)
+    assert got["f"] == "a" and got["i"] == "g"
+
+
+def test_incremental_scc_random_digraph(spark):
+    from pagerankproject_spark.graph.scc import incremental_scc
+
+    pairs = make_random_digraph(seed=23, n=50, m=220)
+    cut = len(pairs) * 2 // 3
+    base, delta = pairs[:cut], pairs[cut:]
+    g1 = _tables(spark, base)
+    prev = strongly_connected_components(spark, g1).components
+    got = {
+        r["url"]: r["component"]
+        for r in incremental_scc(
+            spark, prev, edges_df(spark, base), edges_df(spark, delta)
+        ).collect()
+    }
+    assert got == python_scc(pairs)
