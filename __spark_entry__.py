@@ -73,6 +73,8 @@ from pagerankproject_spark.streaming.events import (
     windowed_event_counts,
 )
 from pagerankproject_spark.text import pipeline
+from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
+from pagerankproject_spark.text.packing import sql_pack_chunks
 from pagerankproject_spark.text.analysis import (
     fingerprint_expr,
     lang_id_expr,
@@ -930,6 +932,30 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_MOD = 19  # deterministic benchmark split: doc_id % 19 == 0 is "eval"
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any distinct
+    5-gram with the held-out split (broadcast eval shingle probe —
+    text/decontaminate.py)."""
+    from pagerankproject_spark.text.decontaminate import decontaminate_overlap
+
+    d = _read(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return decontaminate_overlap(d.filter(~is_eval), d.filter(is_eval), n=4)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing offsets (distributed two-phase
+    prefix sum — text/packing.py), context length 512 tokens."""
+    from pagerankproject_spark.text.packing import pack_offsets
+
+    return pack_offsets(
+        _read(spark, sf_dir, "documents"), context_len=512
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -971,7 +997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window: 50 oracle-backed keys ---
         "edge_regex_filter": q_edge_regex_filter,
-        "degree_out": q_degree_out,
         "degree_in": q_degree_in,
         "weight_normalize": q_weight_normalize,
         "ratio_filter": q_ratio_filter,
@@ -1011,9 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "corpus_filter": q_corpus_filter,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "decontaminate_overlap": q_decontaminate_overlap,
+        "sequence_pack": q_sequence_pack,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs_capped": q_jaccard_pairs_capped,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,
@@ -1023,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver window: each subsumed by an in-window twin,
         # all still oracle-backed and locally gated by check_contract ---
         "degree_histogram": q_degree_histogram,       # ⊂ degree_in
+        "degree_out": q_degree_out,                   # ⊂ weight_normalize (w = 1/outdeg)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,     # ⊂ minhash_verified_pairs
         "triangle_total": q_triangle_total,           # ⊂ triangles_per_edge (sum/3)
         "pagerank_csr": q_pagerank_csr,               # physical-path twin of pagerank
         "hits_one_iter": q_hits_one_iter,             # ⊂ hits_scores
@@ -1306,6 +1334,10 @@ def oracle_sql() -> dict[str, str]:
               and rep_ratio <= 0.8
               and n_tokens >= 10
               and {pipeline.sql_stratified_keep('doc_id', 'lang_pred')}""",
+        "decontaminate_overlap": sql_decontaminate_overlap(
+            f"doc_id % {_EVAL_MOD} <> 0", f"doc_id % {_EVAL_MOD} = 0", n=4
+        ),
+        "sequence_pack": sql_pack_chunks(sql_token_count("text"), context_len=512),
         "ngram_topk": f"""
             with g as (
                 select unnest({pipeline.sql_shingles('text', 2)}) as ngram

@@ -576,3 +576,75 @@ def test_dedup_clusters_end_to_end_with_minhash(spark):
     }
     assert got == want
     assert got[4] == 0 and got[1] == 0  # exact dup + near-dup share cluster 0
+
+
+# ---------------------------------------------------------------------------
+# decontamination + sequence packing (training-data prep additions)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_overlap_hand_fixture(spark):
+    from pagerankproject_spark.text.decontaminate import decontaminate_overlap
+
+    train = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",        # 0: 3 shared 4-grams w/ eval0
+            "nothing in common with the benchmark rows",  # 1: clean
+            "alpha beta gamma delta unrelated tail here", # 2: 1 shared 4-gram
+        ],
+    )
+    evals = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",  # eval 0
+            "delta epsilon zeta eta theta",         # eval 1: shares w/ train0 too? no 4-gram
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["overlap_ngrams"], r["eval_docs_hit"])
+        for r in decontaminate_overlap(train, evals, n=4).collect()
+    }
+    # train0 == eval0: all 3 of its 4-grams shared; 'delta epsilon zeta' is
+    # only a 3-gram so eval1 contributes nothing at n=4
+    assert out == {0: (3, 1), 2: (1, 1)}
+
+
+def test_decontaminate_broadcast_plan(spark):
+    """The eval side must broadcast: the training-corpus scan never
+    shuffles for the probe (the 100 TB shape)."""
+    from pagerankproject_spark.text.decontaminate import decontaminate_overlap
+
+    train = docs_df(spark, ["a b c d e", "f g h i j"])
+    evals = docs_df(spark, ["a b c d x"])
+    plan = decontaminate_overlap(train, evals, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_offsets_matches_serial_cumsum(spark):
+    from pagerankproject_spark.text.packing import pack_offsets
+
+    texts = ["one two three", "", "four five", "six", "seven eight nine ten", "x " * 600]
+    docs = docs_df(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_offset"], r["first_chunk"], r["last_chunk"])
+        for r in pack_offsets(docs, context_len=4, num_partitions=3).collect()
+    }
+    counts = [len(t.split()) for t in texts]
+    off, want = 0, {}
+    for i, c in enumerate(counts):
+        want[i] = (c, off, off // 4, (off + max(c, 1) - 1) // 4)
+        off += c
+    assert got == want
+    # a long doc spans many chunks
+    assert got[5][3] - got[5][2] >= 100
+
+
+def test_pack_offsets_partition_invariance(spark):
+    from pagerankproject_spark.text.packing import pack_offsets
+
+    texts = [f"w{i} " * (i % 17 + 1) for i in range(200)]
+    docs = docs_df(spark, texts)
+    a = sorted(map(tuple, pack_offsets(docs, context_len=64, num_partitions=2).collect()))
+    b = sorted(map(tuple, pack_offsets(docs, context_len=64, num_partitions=13).collect()))
+    assert a == b
