@@ -73,6 +73,7 @@ from pagerankproject_spark.streaming.events import (
     windowed_event_counts,
 )
 from pagerankproject_spark.text import pipeline
+from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
 from pagerankproject_spark.text.packing import sql_pack_chunks
 from pagerankproject_spark.text.analysis import (
@@ -364,6 +365,14 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "url", "degree", "triangles", F.round("lcc", 6).alias("lcc")
     )
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus: md5-derived neighbor choices, so
+    the DuckDB oracle replays the exact walks (graph/walks.py)."""
+    from pagerankproject_spark.graph.walks import random_walks
+
+    return random_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_filter": q_ratio_filter,
         "dangling_vertices": q_dangling_vertices,
         "top_pages_by_indegree": q_top_pages_by_indegree,
-        "spmv_step": q_spmv_step,
+        "random_walks": q_random_walks,
         "triangles_per_edge": q_triangles_per_edge,
         "clustering_coefficient": q_clustering_coefficient,
         "pagerank": q_pagerank,
@@ -1052,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_out": q_degree_out,                   # ⊂ weight_normalize (w = 1/outdeg)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,     # ⊂ minhash_verified_pairs
         "triangle_total": q_triangle_total,           # ⊂ triangles_per_edge (sum/3)
+        "spmv_step": q_spmv_step,                     # ⊂ pagerank (one SpMV iteration)
         "pagerank_csr": q_pagerank_csr,               # physical-path twin of pagerank
         "hits_one_iter": q_hits_one_iter,             # ⊂ hits_scores
         "cc_one_iter": q_cc_one_iter,                 # ⊂ connected_components
@@ -1376,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         # --- iterative fixpoints: recursive-CTE oracles
         #     (oracle/recursive_sql.py; round-2 upgrade from rows-only) ---
         "scc": f"{g},{rsql.sql_scc()}",
+        "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",
         "pagerank_personalized": g + "," + rsql.sql_pagerank_ranks(
             epsilon=1e-6, max_iterations=60, v_pred="url like '%p1%'"

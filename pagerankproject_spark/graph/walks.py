@@ -1,0 +1,155 @@
+"""Deterministic random walks — DeepWalk-style training-corpus
+generation over the link graph (Perozzi et al. 2014: truncated random
+walks as "sentences" for skip-gram embedding training).
+
+Determinism instead of RNG: step t of walk (start, w) standing at
+vertex v moves to neighbor number
+
+    H(v | start | w | t)  mod  outdeg(v)
+
+where H is the engine's portable 60-bit md5 hash (text/analysis.py:
+hash60_expr — bit-identical in DuckDB, so the contract oracle replays
+the exact walks) and neighbors are ranked by destination url. Same
+distribution properties as seeded pseudo-randomness, plus exact
+reproducibility across engines, partitionings, and reruns — which is
+what a training pipeline actually wants from its corpus generator.
+
+Walks stop early at dangling vertices (no out-edges), like the
+truncated walks in the paper.
+
+Execution shape, per step (no Python in the hot path, no fixpoint —
+the step count is the literal walk length):
+
+    state(cur) JOIN outdeg ON cur          -> idx = H(...) % outdeg
+    ... JOIN adj ON (cur, idx)             -> next vertex
+
+Both are plain equi-joins: the first shuffles walkers to their current
+vertex (skew = vertex popularity, partial-aggregation-free but the
+(src, idx) second join spreads a hub's walkers across its neighbor
+index space). State is (start, w, cur) strings here for oracle
+portability; at corpus scale run the identical plan on the dense ids
+(ingest/edges.py dictionary) and join urls back once at the end.
+Lineage is cut per step (localCheckpoint) so the plan stays flat for
+long walks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..text.analysis import hash60_expr, sql_hash60
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(src, dst, idx, outdeg): neighbors deduplicated and ranked by
+    dst; idx in [0, outdeg)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    return e.select(
+        "src",
+        "dst",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("src")).alias("outdeg"),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+) -> DataFrame:
+    """`edges`: (src, dst) string urls. Returns (walk_id, step, url)
+    long-format walk corpus: walk_id = start || '#' || w, step 0 is the
+    start vertex, early-stopped at dangling vertices."""
+    adj = _adjacency(edges).localCheckpoint(eager=True)
+    deg = adj.select("src", "outdeg").distinct()
+
+    verts = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    state = verts.crossJoin(
+        F.broadcast(
+            verts.sparkSession.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    ).select(F.col("url").alias("start"), "w", F.col("url").alias("cur"))
+
+    out = state.select(
+        "start", "w", F.lit(0).alias("step"), F.col("cur").alias("url")
+    )
+    for t in range(1, walk_length + 1):
+        choice = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|",
+                    F.col("cur"),
+                    F.col("start"),
+                    F.col("w").cast("string"),
+                    F.lit(str(t)),
+                )
+            ),
+            F.col("outdeg"),
+        )
+        state = (
+            state.join(deg, state.cur == deg.src)  # dangling cur drops: walk ends
+            .select("start", "w", "cur", choice.alias("idx"))
+            .join(
+                adj.select(F.col("src").alias("cur"), "idx", "dst"),
+                ["cur", "idx"],
+            )
+            .select("start", "w", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(
+            state.select("start", "w", F.lit(t).alias("step"), F.col("cur").alias("url"))
+        )
+    return out.select(
+        F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias(
+            "walk_id"
+        ),
+        "step",
+        "url",
+    )
+
+
+def sql_random_walks(
+    walk_length: int = 4, walks_per_vertex: int = 2
+) -> str:
+    """DuckDB twin over the `edges`/`vertices` CTEs (unrolled — one CTE
+    per step), replaying the identical md5-derived choices."""
+    walks = ", ".join(f"({w})" for w in range(walks_per_vertex))
+    parts = [
+        f"""adj as (
+            select src, dst,
+                   row_number() over (partition by src order by dst) - 1 as idx,
+                   count(*) over (partition by src) as outdeg
+            from (select distinct src, dst from edges where src <> dst)
+        ),
+        deg as (select distinct src, outdeg from adj),
+        s0 as (
+            select url as start, w, url as cur
+            from vertices cross join (values {walks}) t(w)
+        )"""
+    ]
+    for t in range(1, walk_length + 1):
+        h = sql_hash60(
+            f"concat_ws('|', s.cur, s.start, s.w::varchar, '{t}')"
+        )
+        parts.append(
+            f"""s{t} as (
+            select s.start, s.w, a.dst as cur
+            from s{t - 1} s
+            join deg d on d.src = s.cur
+            join adj a on a.src = s.cur and a.idx = ({h}) % d.outdeg
+        )"""
+        )
+    union = "\nunion all\n".join(
+        f"select start || '#' || w::varchar as walk_id, {t} as step, cur as url from s{t}"
+        for t in range(walk_length + 1)
+    )
+    return ",\n".join(parts) + "\n" + union

@@ -405,3 +405,41 @@ def test_twophase_cc_two_components_and_selfloops(spark):
     got = {r["url"]: r["component"] for r in res.components.collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
     g.unpersist()
+
+
+def test_random_walks_structure_and_determinism(spark):
+    """Walk corpus: correct counts, every step follows a real edge,
+    dangling vertices stop walks early, and the output is identical
+    across partitionings and reruns (md5-derived choices, no RNG)."""
+    from pagerankproject_spark.graph.walks import random_walks
+
+    pairs = [
+        ("a.x", "b.x"), ("a.x", "c.x"), ("b.x", "c.x"),
+        ("c.x", "a.x"), ("c.x", "d.x"), ("e.x", "a.x"),
+    ]  # d.x is dangling
+    e = edges_df(spark, pairs)
+    out = random_walks(e, walk_length=5, walks_per_vertex=3)
+    rows = [(r["walk_id"], r["step"], r["url"]) for r in out.collect()]
+
+    walks: dict[str, dict[int, str]] = {}
+    for wid, step, url in rows:
+        walks.setdefault(wid, {})[step] = url
+    assert len(walks) == 5 * 3  # every vertex starts walks_per_vertex walks
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    for wid, steps in walks.items():
+        start = wid.rsplit("#", 1)[0]
+        assert steps[0] == start
+        seq = [steps[i] for i in sorted(steps)]
+        assert sorted(steps) == list(range(len(seq)))  # contiguous, stops once
+        for u, v in zip(seq, seq[1:]):
+            assert v in adj[u], (wid, u, v)
+        # walks end only at full length or at a dangling vertex
+        if len(seq) < 6:
+            assert seq[-1] not in adj, (wid, seq)
+
+    again = sorted(
+        map(tuple, random_walks(e.repartition(7), 5, 3).collect())
+    )
+    assert again == sorted(rows)
