@@ -76,6 +76,7 @@ from pagerankproject_spark.text import pipeline
 from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
 from pagerankproject_spark.text.packing import sql_pack_chunks
+from pagerankproject_spark.text.tfidf import sql_tfidf_topterms
 from pagerankproject_spark.text.analysis import (
     fingerprint_expr,
     lang_id_expr,
@@ -941,6 +942,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per doc, ranked by 6dp-rounded score with a
+    term tie-break (text/tfidf.py)."""
+    from pagerankproject_spark.text.tfidf import tfidf_topterms
+
+    return tfidf_topterms(_read(spark, sf_dir, "documents"), k=3)
+
+
 _EVAL_MOD = 19  # deterministic benchmark split: doc_id % 19 == 0 is "eval"
 
 
@@ -1036,7 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
+        "tfidf_topterms": q_tfidf_topterms,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "repetition_stats": q_repetition_stats,
@@ -1058,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver window: each subsumed by an in-window twin,
         # all still oracle-backed and locally gated by check_contract ---
         "degree_histogram": q_degree_histogram,       # ⊂ degree_in
+        "doc_fingerprint": q_doc_fingerprint,         # ⊂ dedup_exact (same md5 key)
         "degree_out": q_degree_out,                   # ⊂ weight_normalize (w = 1/outdeg)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,     # ⊂ minhash_verified_pairs
         "triangle_total": q_triangle_total,           # ⊂ triangles_per_edge (sum/3)
@@ -1348,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id % {_EVAL_MOD} <> 0", f"doc_id % {_EVAL_MOD} = 0", n=4
         ),
         "sequence_pack": sql_pack_chunks(sql_token_count("text"), context_len=512),
+        "tfidf_topterms": sql_tfidf_topterms(k=3),
         "ngram_topk": f"""
             with g as (
                 select unnest({pipeline.sql_shingles('text', 2)}) as ngram

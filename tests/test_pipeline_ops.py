@@ -648,3 +648,42 @@ def test_pack_offsets_partition_invariance(spark):
     a = sorted(map(tuple, pack_offsets(docs, context_len=64, num_partitions=2).collect()))
     b = sorted(map(tuple, pack_offsets(docs, context_len=64, num_partitions=13).collect()))
     assert a == b
+
+
+def test_tfidf_topterms_hand_oracle(spark):
+    import math
+
+    from pagerankproject_spark.text.tfidf import tfidf_topterms
+
+    texts = [
+        "apple apple banana cherry",
+        "banana banana banana date",
+        "apple cherry cherry cherry date",
+    ]
+    docs = docs_df(spark, texts)
+    got = {
+        (r["doc_id"], r["pos"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_topterms(docs, k=2).collect()
+    }
+
+    # python oracle
+    tf: dict[tuple[int, str], int] = {}
+    for i, t in enumerate(texts):
+        for w in t.lower().split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(texts)
+    want = {}
+    for i in range(n):
+        scored = sorted(
+            (
+                (-round(c * (math.log((n + 1) / (df[w] + 1)) + 1), 6), w, c)
+                for (d, w), c in tf.items()
+                if d == i
+            )
+        )
+        for pos, (neg, w, c) in enumerate(scored[:2], start=1):
+            want[(i, pos)] = (w, c, -neg)
+    assert got == want
