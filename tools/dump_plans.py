@@ -30,6 +30,9 @@ PLAN_QUERIES = [
     "events_sessionize",       # window functions
     "nation_volume",           # 6-way star join w/ broadcasts
     "outlink_extract",         # extraction (JVM regexp path)
+    "decontaminate_overlap",   # broadcast eval-shingle probe
+    "sequence_pack",           # two-phase prefix sum (no global window)
+    "tfidf_topterms",          # two-level aggs + vocab join + per-doc top-k
 ]
 
 
