@@ -73,7 +73,9 @@ from pagerankproject_spark.streaming.events import (
     windowed_event_counts,
 )
 from pagerankproject_spark.text import pipeline
+from pagerankproject_spark.graph.metrics import sql_degree_assortativity
 from pagerankproject_spark.graph.walks import sql_random_walks
+from pagerankproject_spark.similarity.centroids import sql_embedding_centroids_long
 from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
 from pagerankproject_spark.text.packing import sql_pack_chunks
 from pagerankproject_spark.text.tfidf import sql_tfidf_topterms
@@ -942,6 +944,21 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity from exact integer moments
+    (graph/metrics.py — bit-identical across engines)."""
+    from pagerankproject_spark.graph.metrics import degree_assortativity
+
+    return degree_assortativity(_edges(spark, sf_dir))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long format (similarity/centroids.py)."""
+    from pagerankproject_spark.similarity.centroids import embedding_centroids_long
+
+    return embedding_centroids_long(_read(spark, sf_dir, "embeddings"))
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per doc, ranked by 6dp-rounded score with a
     term tie-break (text/tfidf.py)."""
@@ -1050,7 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "repetition_stats": q_repetition_stats,
         "pii_counts": q_pii_counts,
-        "stratified_sample": q_stratified_sample,
+        "degree_assortativity": q_degree_assortativity,
         "ngram_topk": q_ngram_topk,
         "corpus_filter": q_corpus_filter,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1061,7 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "embedding_centroids": q_embedding_centroids,
         "ivf_topk_fullprobe": q_ivf_topk,
         "media_metadata": q_media_metadata,
         # --- past the driver window: each subsumed by an in-window twin,
@@ -1079,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_search_score": q_url_search_score,       # ⊂ search_top10
         "url_query_predicate": q_url_query_predicate, # ⊂ search_top10
         "jaccard_pairs": q_jaccard_pairs,             # uncapped twin
+        "stratified_sample": q_stratified_sample,     # ⊂ corpus_filter (same predicate)
+        "ann_lsh_pairs": q_ann_lsh_pairs,             # ⊂ embedding_near_dup_at_scale
         "simhash_fingerprints": q_simhash_fingerprints,  # ⊂ simhash_pairs
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
@@ -1191,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {sql_quality_score('text')} as quality from documents""",
         "doc_fingerprint": f"""
             select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
+        "degree_assortativity": f"{g},{sql_degree_assortativity()}",
+        "embedding_centroids": sql_embedding_centroids_long(),
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),
         "jaccard_pairs_capped": sql_jaccard_pairs(

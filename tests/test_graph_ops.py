@@ -443,3 +443,36 @@ def test_random_walks_structure_and_determinism(spark):
         map(tuple, random_walks(e.repartition(7), 5, 3).collect())
     )
     assert again == sorted(rows)
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    """Star graph: every edge joins a degree-n hub to a degree-1 leaf
+    -> assortativity -1. Cycle: all degrees equal -> undefined (0/0,
+    null). Mixed fixture checked against a numpy Pearson oracle."""
+    import numpy as np
+
+    from pagerankproject_spark.graph.metrics import degree_assortativity
+
+    star = [("hub.x", f"leaf{i}.x") for i in range(6)]
+    row = degree_assortativity(edges_df(spark, star)).collect()[0]
+    assert row["n_pairs"] == 12
+    assert abs(row["assortativity"] - (-1.0)) < 1e-9
+
+    cyc = [(f"c{i}.x", f"c{(i+1)%5}.x") for i in range(5)]
+    row = degree_assortativity(edges_df(spark, cyc)).collect()[0]
+    assert row["assortativity"] is None  # zero variance -> 0/0
+
+    pairs, _ = make_clustered_random(seed=5, k_clusters=3, n=80, p_in=0.15)
+    row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
+    # numpy oracle over the same symmetrized multiset
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(row["assortativity"] - want) < 1e-6, (row, want)

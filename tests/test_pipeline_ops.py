@@ -687,3 +687,31 @@ def test_tfidf_topterms_hand_oracle(spark):
         for pos, (neg, w, c) in enumerate(scored[:2], start=1):
             want[(i, pos)] = (w, c, -neg)
     assert got == want
+
+
+def test_embedding_centroids_exact_means(spark):
+    from pagerankproject_spark.similarity.centroids import (
+        embedding_centroids,
+        embedding_centroids_long,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], "a"),
+        (1, [3.0, 0.0, 3.0], "a"),
+        (2, [10.0, 10.0, 10.0], "b"),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["centroid"])
+        for r in embedding_centroids(vecs).collect()
+    }
+    assert got == {"a": (2, [2.0, 1.0, 3.0]), "b": (1, [10.0, 10.0, 10.0])}
+
+    long = {
+        (r["label"], r["pos"]): (r["m"], r["c"])
+        for r in embedding_centroids_long(vecs).collect()
+    }
+    assert long[("a", 0)] == (2.0, 2) and long[("a", 1)] == (1.0, 2)
+    assert long[("b", 2)] == (10.0, 1)
