@@ -148,6 +148,75 @@ def clustering_coefficients(
     )
 
 
+@dataclass
+class KTrussResult:
+    edges: DataFrame  # a: string, b: string (a<b), support: long
+    rounds: int
+    converged: bool
+
+
+def ktruss(
+    spark: SparkSession, g: GraphTables, k: int, max_rounds: int = 100
+) -> KTrussResult:
+    """Maximal k-truss (Cohen 2008): the largest subgraph in which every
+    edge participates in >= k-2 triangles WITHIN the subgraph — the
+    edge-level analog of k-core, the standard cohesive-community
+    extractor on web/social graphs (k=3 is "every edge closes a
+    triangle").
+
+    Peel to fixpoint: count per-edge support on the CURRENT edge set
+    (the degree-ordered wedge join above — orientation keeps hubs from
+    fanning out wedges each round), drop edges below k-2, repeat until
+    no edge drops. Support shrinks monotonically as edges leave, so the
+    fixpoint is the maximal k-truss (greedy peel is exact here, like
+    k-core). Each round is one triangle pass over a shrinking edge set;
+    round count is bounded by the peel depth (small on power-law
+    graphs). Output edges are relabeled (a, b = min/max url) with their
+    final in-truss support.
+    """
+    und = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    rounds, converged = 0, False
+    per_edge = None
+    while rounds < max_rounds:
+        per_edge, _ = _count(und)
+        survivors = per_edge.filter(
+            F.col("triangles") >= k - 2
+        ).localCheckpoint(eager=True)
+        n_new = survivors.count()
+        rounds += 1
+        if n_new == n_edges:
+            converged = True
+            break
+        n_edges = n_new
+        und = survivors.select("a", "b")
+        if n_new == 0:
+            converged = True
+            break
+
+    v = g.vertices
+    out = (
+        per_edge.filter(F.col("triangles") >= k - 2)
+        .join(v.select(F.col("id").alias("a"), F.col("url").alias("url_a")), "a")
+        .join(v.select(F.col("id").alias("b"), F.col("url").alias("url_b")), "b")
+        .select(
+            F.least("url_a", "url_b").alias("a"),
+            F.greatest("url_a", "url_b").alias("b"),
+            F.col("triangles").alias("support"),
+        )
+    )
+    return KTrussResult(edges=out, rounds=rounds, converged=converged)
+
+
 def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     """Degree-ordered wedge enumeration over a canonical undirected
     edge list (a < b, deduped). Key type agnostic (long ids or urls)."""

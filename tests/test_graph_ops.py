@@ -476,3 +476,57 @@ def test_degree_assortativity_star_and_cycle(spark):
         ys += [deg[b], deg[a]]
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(row["assortativity"] - want) < 1e-6, (row, want)
+
+
+def _python_ktruss(pairs, k):
+    """Brute-force peel oracle: (edge -> in-truss support) dict."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj: dict[str, set[str]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        support = {
+            (a, b): len(adj[a] & adj[b]) for a, b in edges
+        }
+        drop = {e for e, s in support.items() if s < k - 2}
+        if not drop:
+            return support
+        edges -= drop
+
+
+def test_ktruss_hand_and_random(spark):
+    from pagerankproject_spark.graph.triangles import ktruss
+
+    # K4 plus a pendant triangle and a tail: the 4-truss is exactly K4
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    pairs = [(f"{x}.x", f"{y}.x") for x, y in k4] + [
+        ("d.x", "e.x"), ("e.x", "f.x"), ("d.x", "f.x"),  # triangle d-e-f
+        ("f.x", "tail.x"),
+    ]
+    g = _tables(spark, pairs)
+    res = ktruss(spark, g, k=4)
+    got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
+    assert res.converged
+    assert got == {
+        (f"{x}.x", f"{y}.x"): 2 for x, y in k4
+    }  # every K4 edge closes 2 triangles; d-e-f and the tail peel away
+
+    # k=3 keeps both cliques' triangles, drops only the tail
+    res3 = ktruss(spark, g, k=3)
+    got3 = {(r["a"], r["b"]): r["support"] for r in res3.edges.collect()}
+    want3 = {
+        (min(a, b), max(a, b)): s
+        for (a, b), s in _python_ktruss(pairs, 3).items()
+    }
+    assert got3 == want3
+    assert ("f.x", "tail.x") not in got3
+
+    pairs2, _ = make_clustered_random(seed=29, k_clusters=3, n=90, p_in=0.25)
+    g2 = _tables(spark, pairs2)
+    for k in (3, 4, 5):
+        res_r = ktruss(spark, g2, k=k)
+        got_r = {(r["a"], r["b"]): r["support"] for r in res_r.edges.collect()}
+        assert got_r == _python_ktruss(pairs2, k), f"k={k}"
+        assert res_r.converged
+    g.unpersist(); g2.unpersist()
