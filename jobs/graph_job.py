@@ -1,8 +1,10 @@
 #!/usr/bin/env python3
 """Graph-ops CLI: connected components / label propagation / triangle
-counting over an edge CSV (same source format as pagerank_job).
+counting / SCC / k-core / k-truss / BFS / clustering coefficients /
+assortativity / deterministic random walks over an edge CSV (same
+source format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|lpa|triangles|hits --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
 """
@@ -18,7 +20,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--algo", required=True, choices=["cc", "lpa", "triangles", "hits"])
+    p.add_argument(
+        "--algo",
+        required=True,
+        choices=[
+            "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
+            "ktruss", "bfs", "lcc", "assortativity", "walks",
+        ],
+    )
+    p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss")
+    p.add_argument("--source", default=None, help="BFS source url")
+    p.add_argument("--walk_length", type=int, default=10)
+    p.add_argument("--walks_per_vertex", type=int, default=2)
     p.add_argument("--data", required=True)
     p.add_argument("--max_iterations", type=int, default=100)
     p.add_argument("--salt_buckets", type=int, default=0)
@@ -68,6 +81,59 @@ def main() -> None:
         )
         out = res.labels.orderBy("label", "url")
         print(f"iterations= {res.iterations} converged= {res.converged}")
+    elif args.algo == "cc2":
+        from pagerankproject_spark.graph.components import (
+            connected_components_twophase,
+        )
+
+        res = connected_components_twophase(spark, g)
+        out = res.components.orderBy("component", "url")
+        print(f"rounds= {res.iterations} converged= {res.converged}")
+    elif args.algo == "scc":
+        from pagerankproject_spark.graph.scc import strongly_connected_components
+
+        res = strongly_connected_components(spark, g)
+        out = res.components.orderBy("component", "url")
+        print(f"rounds= {res.rounds}")
+    elif args.algo == "kcore":
+        from pagerankproject_spark.graph.kcore import kcore
+
+        res = kcore(spark, g, k=args.k)
+        out = res.vertices.orderBy("url")
+        print(f"iterations= {res.iterations}")
+    elif args.algo == "ktruss":
+        from pagerankproject_spark.graph.triangles import ktruss
+
+        res = ktruss(spark, g, k=args.k)
+        out = res.edges.orderBy("a", "b")
+        print(f"rounds= {res.rounds} converged= {res.converged}")
+    elif args.algo == "bfs":
+        from pagerankproject_spark.graph.kcore import bfs_distances
+
+        if not args.source:
+            p.error("--source required for bfs")
+        res = bfs_distances(spark, g, [args.source])
+        out = res.distances.orderBy("distance", "url")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
+    elif args.algo == "lcc":
+        from pagerankproject_spark.graph.triangles import clustering_coefficients
+
+        out = clustering_coefficients(spark, g).orderBy("url")
+    elif args.algo == "assortativity":
+        from pagerankproject_spark.graph.metrics import degree_assortativity
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = degree_assortativity(regex_filter(read_edge_csv(spark, args.data)))
+    elif args.algo == "walks":
+        from pagerankproject_spark.graph.walks import random_walks
+
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = random_walks(
+            regex_filter(read_edge_csv(spark, args.data)),
+            walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+        ).orderBy("walk_id", "step")
     else:
         res = triangle_counts(spark, g)
         out = res.per_edge.orderBy("a", "b")
