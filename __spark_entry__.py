@@ -77,7 +77,7 @@ from pagerankproject_spark.graph.metrics import sql_degree_assortativity
 from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.similarity.centroids import sql_embedding_centroids_long
 from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
-from pagerankproject_spark.text.packing import sql_pack_chunks
+from pagerankproject_spark.text.packing import sql_doc_chunks, sql_pack_chunks
 from pagerankproject_spark.text.tfidf import sql_tfidf_topterms
 from pagerankproject_spark.text.analysis import (
     fingerprint_expr,
@@ -981,6 +981,16 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_overlap(d.filter(~is_eval), d.filter(is_eval), n=4)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking, 128-token chunks / 96 stride
+    (text/packing.py::doc_chunks)."""
+    from pagerankproject_spark.text.packing import doc_chunks
+
+    return doc_chunks(
+        _read(spark, sf_dir, "documents"), chunk_len=128, stride=96
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-chunk packing offsets (distributed two-phase
     prefix sum — text/packing.py), context length 512 tokens."""
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,  # ⊂ simhash_pairs
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
+        "doc_chunks": q_doc_chunks,                   # ⊂ sequence_pack family
     }
 
 
@@ -1379,6 +1390,9 @@ def oracle_sql() -> dict[str, str]:
             f"doc_id % {_EVAL_MOD} <> 0", f"doc_id % {_EVAL_MOD} = 0", n=4
         ),
         "sequence_pack": sql_pack_chunks(sql_token_count("text"), context_len=512),
+        "doc_chunks": sql_doc_chunks(
+            sql_token_count("text"), chunk_len=128, stride=96
+        ),
         "tfidf_topterms": sql_tfidf_topterms(k=3),
         "ngram_topk": f"""
             with g as (

@@ -86,6 +86,63 @@ def pack_offsets(
     )
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_len: int = 256,
+    stride: int = 192,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunking (the RAG / long-doc
+    pretraining splitter): chunk i of a doc covers tokens
+    [i*stride, i*stride + chunk_len), emitted while i*stride < n_tokens
+    (the final chunks are shorter; overlap = chunk_len - stride).
+    Output (doc_id, chunk_id, start_token, chunk_tokens).
+
+    Pure projection + sequence explode — embarrassingly parallel, no
+    shuffle at all (the 100 TB shape: chunking rides the corpus scan)."""
+    n = token_count_expr(F.col("text"))
+    d = docs.select(F.col(order_col), n.alias("n_tokens"))
+    idx = F.explode(
+        F.when(
+            F.col("n_tokens") > 0,
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n_tokens") - 1) / stride).cast("int"),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    out = d.select(order_col, "n_tokens", idx.alias("chunk_id"))
+    start = F.col("chunk_id").cast("long") * stride
+    return out.select(
+        order_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_token"),
+        F.least(F.lit(chunk_len), F.col("n_tokens") - start).alias(
+            "chunk_tokens"
+        ),
+    )
+
+
+def sql_doc_chunks(
+    token_count_sql: str,
+    chunk_len: int = 256,
+    stride: int = 192,
+    order_col: str = "doc_id",
+) -> str:
+    return f"""
+    with t as (
+        select {order_col}, {token_count_sql}::bigint as n_tokens
+        from documents
+    )
+    select {order_col}, i::bigint as chunk_id,
+           (i * {stride})::bigint as start_token,
+           least({chunk_len}, n_tokens - i * {stride})::bigint
+               as chunk_tokens
+    from t, unnest(range(0, (n_tokens - 1) // {stride} + 1)) as u(i)
+    where n_tokens > 0
+    """
+
+
 def sql_pack_offsets(
     token_count_sql: str,
     context_len: int = DEFAULT_CONTEXT_LEN,

@@ -715,3 +715,26 @@ def test_embedding_centroids_exact_means(spark):
     }
     assert long[("a", 0)] == (2.0, 2) and long[("a", 1)] == (1.0, 2)
     assert long[("b", 2)] == (10.0, 1)
+
+
+def test_doc_chunks_sliding_windows(spark):
+    from pagerankproject_spark.text.packing import doc_chunks
+
+    texts = ["w " * 10, "", "x " * 3, "y " * 25]
+    docs = docs_df(spark, texts)
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["chunk_tokens"])
+        for r in doc_chunks(docs, chunk_len=8, stride=6).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        j = 0
+        while j * 6 < n:
+            want.append((i, j, j * 6, min(8, n - j * 6)))
+            j += 1
+    assert got == sorted(want)
+    # doc 3 (25 tokens): chunks at 0,6,12,18,24 — last is a 1-token tail
+    assert (3, 4, 24, 1) in got
+    # empty doc emits nothing
+    assert not any(d == 1 for d, *_ in got)
