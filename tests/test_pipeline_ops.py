@@ -738,3 +738,33 @@ def test_doc_chunks_sliding_windows(spark):
     assert (3, 4, 24, 1) in got
     # empty doc emits nothing
     assert not any(d == 1 for d, *_ in got)
+
+
+def test_approx_corpus_stats_within_tolerance_of_exact(spark):
+    """The sketch path (HLL++ distinct, GK quantiles) must land within
+    its documented error of the exact twins — the production gate for
+    switching a 100 TB pipeline from exact to sketch aggregates."""
+    from pagerankproject_spark.text.approx import approx_corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["lang"]: r for r in approx_corpus_stats(docs, rsd=0.02).collect()
+    }
+    exact = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count_distinct(F.md5(F.lower(F.trim(F.col("text"))))).alias("d"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for lang, r in got.items():
+        e = exact[lang]
+        # HLL++ rsd=0.02: allow 5 sigma
+        assert abs(r["approx_distinct_docs"] - e["d"]) <= max(3, 0.10 * e["d"]), (
+            lang, r["approx_distinct_docs"], e["d"],
+        )
+        # GK sketch at accuracy 10k on ~100-row groups is near-exact
+        assert abs(r["p50"] - e["p50"]) <= 0.05 * e["p50"] + 1, (lang, r, e)

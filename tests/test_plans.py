@@ -167,3 +167,39 @@ def test_near_dup_pairs_plan_is_bucketed_not_cartesian(spark):
 
     p_brute = plan(cosine_similar_pairs(emb, 0.9))
     assert "CartesianProduct" in p_brute or "NestedLoop" in p_brute
+
+
+def test_sequence_pack_has_no_global_sort_window(spark):
+    """The distributed prefix sum must never plan a single-partition
+    global window: the only windows run per-pid partitions and the
+    plan contains no 'Exchange SinglePartition'."""
+    from pagerankproject_spark.text.packing import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(50)], "doc_id long, text string"
+    )
+    p = plan(pack_offsets(docs, context_len=16, num_partitions=4))
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_random_walks_step_is_jvm_only(spark):
+    from pagerankproject_spark.graph.walks import random_walks
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    p = plan(random_walks(e, walk_length=2, walks_per_vertex=1))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p  # pure column expressions end-to-end
+
+
+def test_tfidf_plan_no_python_no_cartesian(spark):
+    from pagerankproject_spark.text.tfidf import tfidf_topterms
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d " * (i + 1)) for i in range(5)], "doc_id long, text string"
+    )
+    p = plan(tfidf_topterms(docs, k=2))
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
