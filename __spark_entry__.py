@@ -73,7 +73,10 @@ from pagerankproject_spark.streaming.events import (
     windowed_event_counts,
 )
 from pagerankproject_spark.text import pipeline
-from pagerankproject_spark.graph.metrics import sql_degree_assortativity
+from pagerankproject_spark.graph.metrics import (
+    sql_degree_assortativity,
+    sql_katz_centrality,
+)
 from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.similarity.centroids import sql_embedding_centroids_long
 from pagerankproject_spark.text.decontaminate import sql_decontaminate_overlap
@@ -944,6 +947,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, fixed 10 iterations at alpha=0.05
+    (graph/metrics.py — recursive-CTE oracle replays the iterations)."""
+    from pagerankproject_spark.graph.metrics import katz_centrality
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return katz_centrality(spark, g, alpha=0.05, iterations=10)
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity from exact integer moments
     (graph/metrics.py — bit-identical across engines)."""
@@ -1112,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "doc_chunks": q_doc_chunks,                   # ⊂ sequence_pack family
+        "katz_centrality": q_katz_centrality,         # ⊂ pagerank-family SpMV loop
     }
 
 
@@ -1222,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
         "degree_assortativity": f"{g},{sql_degree_assortativity()}",
+        "katz_centrality": f"{g},{sql_katz_centrality(alpha=0.05, iterations=10)}",
         "embedding_centroids": sql_embedding_centroids_long(),
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),

@@ -58,6 +58,84 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def katz_centrality(
+    spark,
+    g,
+    alpha: float = 0.05,
+    iterations: int = 10,
+) -> DataFrame:
+    """Katz centrality (Katz 1953), fixed-iteration form:
+
+        x_{t+1}(v) = 1 + alpha * sum over in-edges (u, v) of x_t(u)
+
+    x_0 = 1; edge multiplicity counts (parallel links add influence,
+    the same convention as the engine's degree/PageRank accounting).
+    A fixed iteration count (not a convergence test) keeps the value
+    exactly defined for the cross-engine oracle; for the measure to be
+    the convergent Katz series pick alpha < 1/lambda_max — on web-ish
+    graphs alpha in [0.01, 0.1] is the usual safe band.
+
+    Execution shape = the PageRank skeleton without normalization:
+    per iteration one equi-join of the edge table with the x vector
+    and one map-side-combinable SUM keyed by dst, lineage cut per
+    iteration. Returns (url, katz) with katz rounded to 6dp.
+    """
+    from ..session import no_aqe
+
+    P = g.num_partitions
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .repartition(P, "src_id")
+        .localCheckpoint(eager=True)
+    )
+    x = g.vertices.select("id", F.lit(1.0).alias("x")).repartition(P, "id")
+    with no_aqe(spark):
+        for _ in range(iterations):
+            msgs = (
+                e.join(x, e.src_id == x.id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg(F.sum("x").alias("m"))
+            )
+            x = (
+                x.select("id")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    (1.0 + alpha * F.coalesce(F.col("m"), F.lit(0.0))).alias("x"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return x.join(g.vertices, "id").select(
+        "url", F.round("x", 6).alias("katz")
+    )
+
+
+def sql_katz_centrality(alpha: float = 0.05, iterations: int = 10) -> str:
+    """DuckDB recursive-CTE twin over the edges/vertices CTEs (the
+    self-row trick keeps in-degree-0 vertices in every iteration)."""
+    return f"""
+kew as (
+    select src, dst, 1.0 as w from edges
+    union all
+    select url, url, 0.0 from vertices
+),
+katz as (
+    with recursive st(i, v, x) as (
+        select 0, url, 1.0::double from vertices
+        union all
+        select s.i + 1, e.dst as v,
+               1.0 + {alpha} * sum(s.x * e.w)
+        from st s join kew e on e.src = s.v
+        where s.i < {iterations}
+        group by s.i, e.dst
+    )
+    select v as url, round(x, 6) as katz
+    from st where i = {iterations}
+)
+select url, katz from katz
+"""
+
+
 def sql_degree_assortativity() -> str:
     """DuckDB twin over the `edges` CTE, identical integer moments."""
     return """

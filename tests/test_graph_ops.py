@@ -530,3 +530,26 @@ def test_ktruss_hand_and_random(spark):
         assert got_r == _python_ktruss(pairs2, k), f"k={k}"
         assert res_r.converged
     g.unpersist(); g2.unpersist()
+
+
+def test_katz_centrality_matches_numpy(spark):
+    import numpy as np
+
+    from pagerankproject_spark.graph.metrics import katz_centrality
+
+    pairs = [("a.x", "b.x"), ("a.x", "b.x"), ("b.x", "c.x"), ("c.x", "a.x"),
+             ("d.x", "a.x"), ("d.x", "c.x")]
+    g = _tables(spark, pairs)
+    got = {r["url"]: r["katz"] for r in katz_centrality(spark, g, alpha=0.1, iterations=8).collect()}
+
+    urls = sorted({u for p in pairs for u in p})
+    idx = {u: i for i, u in enumerate(urls)}
+    A = np.zeros((len(urls), len(urls)))
+    for s, d in pairs:
+        A[idx[s], idx[d]] += 1.0  # multiplicity counts
+    x = np.ones(len(urls))
+    for _ in range(8):
+        x = 1.0 + 0.1 * (A.T @ x)
+    for u in urls:
+        assert abs(got[u] - round(x[idx[u]], 6)) < 1e-9, (u, got[u], x[idx[u]])
+    g.unpersist()
