@@ -19,13 +19,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401 (katz ordering)
     p = argparse.ArgumentParser()
     p.add_argument(
         "--algo",
         required=True,
         choices=[
             "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
-            "ktruss", "bfs", "lcc", "assortativity", "walks",
+            "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
         ],
     )
     p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss")
@@ -115,6 +116,12 @@ def main() -> None:
         res = bfs_distances(spark, g, [args.source])
         out = res.distances.orderBy("distance", "url")
         print(f"iterations= {res.iterations} converged= {res.converged}")
+    elif args.algo == "katz":
+        from pagerankproject_spark.graph.metrics import katz_centrality
+
+        out = katz_centrality(
+            spark, g, iterations=min(args.max_iterations, 20)
+        ).orderBy(F.desc("katz"), "url")
     elif args.algo == "lcc":
         from pagerankproject_spark.graph.triangles import clustering_coefficients
 
