@@ -947,6 +947,22 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-edge -> host-edge contraction (text/pipeline.py::host_graph)
+    over a multi-host derived edge table (the contract's main graph is
+    single-host by construction, so this key derives its own)."""
+    o = _read(spark, sf_dir, "orders")
+    src = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 37).cast("string"),
+        F.lit(".com/p"), (F.col("o_custkey") % 500).cast("string"),
+    )
+    dst = F.concat(
+        F.lit("h"), (F.col("o_orderkey") % 41).cast("string"),
+        F.lit(".com/p"), (F.col("o_orderkey") % 700).cast("string"),
+    )
+    return pipeline.host_graph(o.select(src.alias("src"), dst.alias("dst")))
+
+
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality, fixed 10 iterations at alpha=0.05
     (graph/metrics.py — recursive-CTE oracle replays the iterations)."""
@@ -1125,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "doc_chunks": q_doc_chunks,                   # ⊂ sequence_pack family
         "katz_centrality": q_katz_centrality,         # ⊂ pagerank-family SpMV loop
+        "host_graph": q_host_graph,                   # ⊂ domain_stats rollup family
     }
 
 
@@ -1236,6 +1253,13 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
         "degree_assortativity": f"{g},{sql_degree_assortativity()}",
         "katz_centrality": f"{g},{sql_katz_centrality(alpha=0.05, iterations=10)}",
+        "host_graph": f"""
+            with hedges as (
+                select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,
+                       'h' || (o_orderkey % 41) || '.com/p' || (o_orderkey % 700) as dst
+                from orders
+            )
+            {pipeline.sql_host_graph('hedges')}""",
         "embedding_centroids": sql_embedding_centroids_long(),
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),

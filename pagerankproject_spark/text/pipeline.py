@@ -78,6 +78,40 @@ def domain_expr(url: Column) -> Column:
     return F.regexp_extract(normalize_url_expr(url), DOMAIN_REGEX, 1)
 
 
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Contract the page-level link graph to the HOST level — the
+    Common-Crawl host-graph construction: extract the registrable host
+    from both endpoints, drop intra-host links, and aggregate parallel
+    links into a weighted host edge (src_host, dst_host, n_links).
+
+    At 100 TB this is the standard first reduction (host graphs are
+    3-4 orders of magnitude smaller than page graphs and most ranking/
+    spam analyses run there): one projection riding the edge scan plus
+    one partial-aggregatable count shuffle keyed by the host pair. The
+    output feeds build_graph_tables/pagerank unchanged — host-level
+    PageRank is `pagerank(build_graph_tables(host_graph(e)))`."""
+    return (
+        edges.select(
+            domain_expr(F.col("src")).alias("src_host"),
+            domain_expr(F.col("dst")).alias("dst_host"),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def sql_host_graph(edges_rel: str = "edges") -> str:
+    src_h, dst_h = sql_domain("src"), sql_domain("dst")
+    return f"""
+    select {src_h} as src_host, {dst_h} as dst_host,
+           count(*)::bigint as n_links
+    from {edges_rel}
+    where {src_h} <> {dst_h}
+    group by 1, 2
+    """
+
+
 def repetition_ratio_expr(text: Column) -> Column:
     """Token-level repetition: 1 - distinct/total whitespace tokens
     (0 for empty text). Gopher-style repetition quality signal."""

@@ -768,3 +768,22 @@ def test_approx_corpus_stats_within_tolerance_of_exact(spark):
         )
         # GK sketch at accuracy 10k on ~100-row groups is near-exact
         assert abs(r["p50"] - e["p50"]) <= 0.05 * e["p50"] + 1, (lang, r, e)
+
+
+def test_host_graph_contraction(spark):
+    from pagerankproject_spark.text.pipeline import host_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("a.com/2", "b.com/y"),            # same host pair, no scheme
+            ("a.com/3", "a.com/4"),            # intra-host: dropped
+            ("b.com/z", "c.com/w"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(edges).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "c.com"): 1}
