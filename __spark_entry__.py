@@ -1029,6 +1029,49 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (Small 1973) with the hub-citer df-cap
+    (graph/linkpred.py::cocitation)."""
+    from pagerankproject_spark.graph.linkpred import cocitation
+
+    return cocitation(_edges(spark, sf_dir), min_count=2, max_out_degree=40)
+
+
+def q_bibliographic_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic-coupling pairs (Kessler 1963), mega-indegree
+    targets capped (graph/linkpred.py::bibliographic_coupling)."""
+    from pagerankproject_spark.graph.linkpred import bibliographic_coupling
+
+    return bibliographic_coupling(
+        _edges(spark, sf_dir), min_count=2, max_in_degree=60
+    )
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores over 2-hop pairs, wedge
+    centers degree-capped (graph/linkpred.py::adamic_adar)."""
+    from pagerankproject_spark.graph.linkpred import adamic_adar
+
+    return adamic_adar(_edges(spark, sf_dir), max_degree=60)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity summary (graph/linkpred.py::reciprocity)."""
+    from pagerankproject_spark.graph.linkpred import reciprocity
+
+    return reciprocity(_edges(spark, sf_dir))
+
+
+def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 3-hop ball-size estimates, fixed depth (deterministic
+    md5-register HLL — graph/hyperball.py; the recursive-CTE oracle
+    replays the register maxima over exact 3-hop reachability)."""
+    from pagerankproject_spark.graph.hyperball import hyperball
+
+    res = hyperball(spark, _edges(spark, sf_dir), t_max=3, early_stop=False)
+    return res.balls
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1051,7 +1094,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 60 keys are oracle-backed as of round 2: the iterative
+    """ALL 76 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1071,10 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver window: 50 oracle-backed keys ---
         "edge_regex_filter": q_edge_regex_filter,
         "degree_in": q_degree_in,
-        "weight_normalize": q_weight_normalize,
-        "ratio_filter": q_ratio_filter,
-        "dangling_vertices": q_dangling_vertices,
-        "top_pages_by_indegree": q_top_pages_by_indegree,
+        "katz_centrality": q_katz_centrality,
+        "host_graph": q_host_graph,
+        "doc_chunks": q_doc_chunks,
+        "pagerank_csr": q_pagerank_csr,
         "random_walks": q_random_walks,
         "triangles_per_edge": q_triangles_per_edge,
         "clustering_coefficient": q_clustering_coefficient,
@@ -1098,14 +1141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_volume": q_nation_volume,
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        "cocitation": q_cocitation,
         "quality_score": q_quality_score,
         "tfidf_topterms": q_tfidf_topterms,
-        "url_normalize": q_url_normalize,
-        "domain_stats": q_domain_stats,
-        "repetition_stats": q_repetition_stats,
-        "pii_counts": q_pii_counts,
+        "bibliographic_coupling": q_bibliographic_coupling,
         "degree_assortativity": q_degree_assortativity,
+        "adamic_adar": q_adamic_adar,
+        "reciprocity": q_reciprocity,
+        "hyperball_nf": q_hyperball_nf,
         "ngram_topk": q_ngram_topk,
         "corpus_filter": q_corpus_filter,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -1119,7 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "ivf_topk_fullprobe": q_ivf_topk,
         "media_metadata": q_media_metadata,
-        # --- past the driver window: each subsumed by an in-window twin,
+        # --- past the driver window: each either subsumed by an in-window
+        # twin or permanently driver-green since round 1 (CORRECTNESS_r01),
         # all still oracle-backed and locally gated by check_contract ---
         "degree_histogram": q_degree_histogram,       # ⊂ degree_in
         "doc_fingerprint": q_doc_fingerprint,         # ⊂ dedup_exact (same md5 key)
@@ -1127,7 +1171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,     # ⊂ minhash_verified_pairs
         "triangle_total": q_triangle_total,           # ⊂ triangles_per_edge (sum/3)
         "spmv_step": q_spmv_step,                     # ⊂ pagerank (one SpMV iteration)
-        "pagerank_csr": q_pagerank_csr,               # physical-path twin of pagerank
+        "weight_normalize": q_weight_normalize,       # r01 driver-green
+        "ratio_filter": q_ratio_filter,               # r01 driver-green
+        "dangling_vertices": q_dangling_vertices,     # r01 driver-green
+        "top_pages_by_indegree": q_top_pages_by_indegree,  # r01 driver-green
         "hits_one_iter": q_hits_one_iter,             # ⊂ hits_scores
         "cc_one_iter": q_cc_one_iter,                 # ⊂ connected_components
         "lpa_one_iter": q_lpa_one_iter,               # ⊂ label_propagation
@@ -1139,13 +1186,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,  # ⊂ simhash_pairs
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
-        "doc_chunks": q_doc_chunks,                   # ⊂ sequence_pack family
-        "katz_centrality": q_katz_centrality,         # ⊂ pagerank-family SpMV loop
-        "host_graph": q_host_graph,                   # ⊂ domain_stats rollup family
+        "lang_id": q_lang_id,                         # r01 driver-green
+        "domain_stats": q_domain_stats,               # r01 driver-green
+        "url_normalize": q_url_normalize,             # r01 driver-green
+        "repetition_stats": q_repetition_stats,       # r01 driver-green
+        "pii_counts": q_pii_counts,                   # r01 driver-green
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerankproject_spark.graph.hyperball import (
+        sql_hyperball_balls as _sql_hyperball_balls,
+    )
+
     g = f"with {_EDGES_CTE}"
     return {
         "edge_regex_filter": f"{g} select src, dst from edges",
@@ -1260,6 +1313,44 @@ def oracle_sql() -> dict[str, str]:
                 from orders
             )
             {pipeline.sql_host_graph('hedges')}""",
+        "cocitation": f"""{g},
+            simple as (select distinct src, dst from edges where src <> dst),
+            keep as (select src from simple group by src having count(*) <= 40),
+            e as (select s.src, s.dst from simple s join keep k using (src))
+            select e1.dst as a, e2.dst as b, count(*)::bigint as cocitations
+            from e e1 join e e2 on e1.src = e2.src and e1.dst < e2.dst
+            group by 1, 2 having count(*) >= 2""",
+        "bibliographic_coupling": f"""{g},
+            rsimple as (select distinct dst as src, src as dst from edges where src <> dst),
+            keep as (select src from rsimple group by src having count(*) <= 60),
+            e as (select s.src, s.dst from rsimple s join keep k using (src))
+            select e1.dst as a, e2.dst as b, count(*)::bigint as couplings
+            from e e1 join e e2 on e1.src = e2.src and e1.dst < e2.dst
+            group by 1, 2 having count(*) >= 2""",
+        "adamic_adar": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            usym as (select a as w, b as x from und
+                     union all select b as w, a as x from und),
+            deg as (select w, count(*) as deg from usym group by 1),
+            ctr as (select w, 1.0 / ln(deg::double) as wgt
+                    from deg where deg between 2 and 60),
+            wsym as (select s.w, s.x, c.wgt from usym s join ctr c using (w))
+            select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as aa_score
+            from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
+            group by 1, 2""",
+        "reciprocity": f"""{g},
+            simple as (select distinct src, dst from edges where src <> dst)
+            select (select count(*) from simple)::bigint as total_edges,
+                   (select count(*) from simple s
+                    where exists (select 1 from simple t
+                                  where t.src = s.dst and t.dst = s.src))::bigint
+                       as reciprocated,
+                   (select count(*) from simple s
+                    where exists (select 1 from simple t
+                                  where t.src = s.dst and t.dst = s.src))::double
+                       / (select count(*) from simple)::double as reciprocity""",
+        "hyperball_nf": f"{g},{_sql_hyperball_balls(3)}",
         "embedding_centroids": sql_embedding_centroids_long(),
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),

@@ -1,0 +1,246 @@
+"""HyperBall: per-vertex neighborhood-function estimation with
+HyperLogLog counters (Boldi & Vigna 2013, "In-Core Computation of
+Geometric Centralities with HyperBall"; the HyperANF successor used
+for the "four degrees of separation" measurement) — engine-added
+operator (SURVEY.md §2 round-2 additions; no reference implementation).
+
+Why this exists at 100 TB: the exact out-ball B(v,t) = {w reachable
+from v in <= t hops} needs O(n^2) state; HyperBall keeps ONE m-register
+HLL counter per vertex (m * 1 small int) and exploits that HLL union is
+register-wise max, so
+
+    sketch_t(v) = elementwise_max( sketch_{t-1}(v),
+                                   max over v->u of sketch_{t-1}(u) )
+
+is EXACTLY the sketch of B(v,t). Each iteration is one equi-join of the
+edge table with the sketch table plus one groupBy with m max-aggregates
+— map-side combinable, hub-skew-immune (max collapses per partition),
+the same dataflow skeleton as the engine's PageRank/CC loops. From the
+per-iteration global sums the neighborhood function N(t) and the
+effective diameter (90th-percentile interpolation, the HyperANF
+definition) fall out.
+
+Determinism (the reason this operator is driver-oracle-checkable even
+though it is an *approximate* sketch): registers derive from md5(url),
+identical in Spark and DuckDB —
+
+  - register index j  = first hex digit of md5(url)   (m = 16)
+  - rho(url)          = 1 + #leading zero BITS of the next 31 hex
+                        digits, computed with integer/string ops only
+                        (hex-zero prefix length * 4 + a 16-way CASE on
+                        the first nonzero digit) — no floats, no clz
+  - estimator         = HLL-84: E = alpha_16 * 16^2 / sum_j 2^-r_j with
+                        the standard small-range linear-counting
+                        correction E <= 2.5m & V>0 -> m*ln(m/V); the
+                        2^-r_j sum is written as one fixed-order chain
+                        so both engines round identically; the final
+                        estimate is rounded to 6dp (module convention).
+
+Iterated max = max over the ball, so a recursive-CTE oracle that
+computes exact t-hop reachability and takes the same register maxima
+reproduces the Spark output bit-for-bit (tests + contract key
+`hyperball_nf`). Accuracy vs the exact ball sizes is a separate pytest
+(HLL m=16 has ~26% rse; small balls hit the linear-counting regime and
+are near-exact).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+M = 16  # registers per counter; alpha_16 from Flajolet et al. 2007
+ALPHA_M = 0.673
+_REG_COLS = [f"r{k}" for k in range(M)]
+
+
+def _rho_sql(hex31: str) -> str:
+    """SQL for 1 + leading-zero-bit count of a 31-hex-digit string —
+    portable across Spark SQL and DuckDB (string + integer ops only)."""
+    z = f"length(regexp_extract({hex31}, '^(0*)', 1))"
+    first = f"substring({hex31}, {z} + 1, 1)"
+    extra = (
+        f"(case {first} when '1' then 3 when '2' then 2 when '3' then 2 "
+        f"when '4' then 1 when '5' then 1 when '6' then 1 when '7' then 1 "
+        f"when '' then 0 else 0 end)"
+    )
+    return f"(4 * {z} + {extra} + 1)"
+
+
+def _init_register_sql(url: str, k: int) -> str:
+    """Register k of the singleton sketch {url}: rho if the url hashes
+    to bucket k, else 0 (empty)."""
+    md5 = f"md5({url})"
+    # first hex digit -> bucket 0..15 (engine-specific hex->int spelled
+    # by the caller); substring(md5, 2, 31) -> rho bits
+    return (
+        f"(case when {{hex1int}} = {k} then {_rho_sql(f'substring({md5}, 2, 31)')} "
+        f"else 0 end)"
+    )
+
+
+def _spark_hex1int(url: str) -> str:
+    return f"cast(conv(substring(md5({url}), 1, 1), 16, 10) as int)"
+
+
+def _duckdb_hex1int(url: str) -> str:
+    return f"cast(('0x' || substring(md5({url}), 1, 1))::bigint as int)"
+
+
+def init_sketches(vertices: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per vertex: url, r0..r15 (the singleton-set sketch)."""
+    exprs = [url_col] + [
+        F.expr(
+            _init_register_sql(url_col, k).format(hex1int=_spark_hex1int(url_col))
+        ).alias(f"r{k}")
+        for k in range(M)
+    ]
+    return vertices.select(*exprs)
+
+
+def estimate_expr() -> F.Column:
+    """HLL-84 estimate from columns r0..r15 — one fixed-order expression
+    (identical operation order in the DuckDB twin), rounded to 6dp."""
+    s = " + ".join(f"pow(2.0, -r{k})" for k in range(M))
+    v = " + ".join(f"(case when r{k} = 0 then 1 else 0 end)" for k in range(M))
+    raw = f"({ALPHA_M} * {M * M} / ({s}))"
+    return F.expr(
+        f"round(case when {raw} <= {2.5 * M} and ({v}) > 0 "
+        f"then {M} * ln({M} / cast(({v}) as double)) "
+        f"else {raw} end, 6)"
+    )
+
+
+def sql_estimate(prefix: str = "") -> str:
+    """The DuckDB twin of estimate_expr() over columns {prefix}r0..r15."""
+    s = " + ".join(f"pow(2.0, -{prefix}r{k})" for k in range(M))
+    v = " + ".join(f"(case when {prefix}r{k} = 0 then 1 else 0 end)" for k in range(M))
+    raw = f"({ALPHA_M} * {M * M} / ({s}))"
+    return (
+        f"round(case when {raw} <= {2.5 * M} and ({v}) > 0 "
+        f"then {M} * ln({M} / cast(({v}) as double)) "
+        f"else {raw} end, 6)"
+    )
+
+
+@dataclass
+class HyperBallResult:
+    balls: DataFrame  # url, ball_est (double): estimated |B(v, t_final)|
+    nf: list[float]  # N(t) = sum_v est|B(v,t)| for t = 0..t_final
+    effective_diameter: float | None  # 90th-pct interpolated; None if t_max hit
+    iterations: int
+    converged: bool
+
+
+def hyperball(
+    spark: SparkSession,
+    edges: DataFrame,
+    t_max: int = 32,
+    early_stop: bool = True,
+) -> HyperBallResult:
+    """Run HyperBall over the directed simple graph of `edges`
+    (src, dst string columns). Convergence is detected on the global
+    register sum — an integer that grows monotonically and is constant
+    iff every sketch is at its fixpoint (all balls closed), so the test
+    is exact and rides the same action that materializes the iteration.
+
+    `early_stop=False` runs exactly t_max merge rounds with no
+    per-round action (the fixed-depth mode the contract key uses —
+    deterministic work, single final job)."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    sketch = init_sketches(verts).localCheckpoint(eager=True)
+
+    nf = []
+    if early_stop:
+        first = sketch.agg(
+            F.round(F.sum(estimate_expr()), 6).alias("n"),
+            F.sum(sum(F.col(c) for c in _REG_COLS)).alias("regsum"),
+        ).collect()[0]
+        nf.append(float(first["n"]))
+        prev_regsum = first["regsum"]
+
+    iterations, converged = 0, False
+    for _ in range(t_max):
+        msgs = e.join(
+            sketch.withColumnRenamed("url", "dst"), "dst"
+        ).select(F.col("src").alias("url"), *_REG_COLS)
+        merged = (
+            sketch.unionByName(msgs)
+            .groupBy("url")
+            .agg(*[F.max(c).alias(c) for c in _REG_COLS])
+        )
+        sketch = merged.localCheckpoint(eager=True)
+        iterations += 1
+        if not early_stop:
+            continue
+        row = sketch.agg(
+            F.round(F.sum(estimate_expr()), 6).alias("n"),
+            F.sum(sum(F.col(c) for c in _REG_COLS)).alias("regsum"),
+        ).collect()[0]
+        nf.append(float(row["n"]))
+        if row["regsum"] == prev_regsum:
+            converged = True
+            nf.pop()  # the stable round added no information
+            iterations -= 1
+            break
+        prev_regsum = row["regsum"]
+
+    eff_d = None
+    if converged and len(nf) >= 1:
+        target = 0.9 * nf[-1]
+        for t, n in enumerate(nf):
+            if n >= target:
+                if t == 0 or nf[t] == nf[t - 1]:
+                    eff_d = float(t)
+                else:
+                    eff_d = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+                break
+
+    balls = sketch.select("url", estimate_expr().alias("ball_est"))
+    return HyperBallResult(
+        balls=balls,
+        nf=nf,
+        effective_diameter=eff_d,
+        iterations=iterations,
+        converged=converged,
+    )
+
+
+def sql_hyperball_balls(t: int, edges_rel: str = "edges") -> str:
+    """DuckDB oracle for the fixed-depth contract key: exact t-hop
+    reachability by recursive CTE, then the same register maxima and
+    the same estimator expression as the Spark path (iterated max over
+    neighbors == max over the ball, so the two agree bit-for-bit)."""
+    rho = _rho_sql("substring(md5(w), 2, 31)")
+    regs = ", ".join(
+        f"max(case when {_duckdb_hex1int('w')} = {k} then {rho} else 0 end) as r{k}"
+        for k in range(M)
+    )
+    return f"""
+simple as (select distinct src, dst from {edges_rel} where src <> dst),
+ball as (
+    with recursive reach(v, w, d) as (
+        select src as v, src as w, 0 from simple
+        union
+        select dst as v, dst as w, 0 from simple
+        union
+        select r.v, s.dst as w, r.d + 1
+        from reach r join simple s on s.src = r.w
+        where r.d < {t}
+    )
+    select distinct v, w from reach
+),
+sk as (select v as url, {regs} from ball group by v)
+select url, {sql_estimate()} as ball_est from sk"""

@@ -1,0 +1,106 @@
+"""Brute-force oracles for graph/linkpred.py on a hand-sized graph."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+from pagerankproject_spark.graph.linkpred import (
+    adamic_adar,
+    bibliographic_coupling,
+    cocitation,
+    reciprocity,
+)
+
+from .conftest import edges_df
+
+# hub cites everything; a/b co-cited by x and y; b->a reciprocated by a->b
+PAIRS = [
+    ("x", "a"), ("x", "b"),
+    ("y", "a"), ("y", "b"), ("y", "c"),
+    ("z", "c"), ("z", "z"),          # self-loop dropped
+    ("x", "a"),                      # duplicate dropped
+    ("a", "b"), ("b", "a"),          # reciprocated pair
+    ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "x"), ("hub", "y"),
+]
+
+
+def _simple():
+    return {(s, d) for s, d in PAIRS if s != d}
+
+
+def _brute_copairs(edges, cap):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    kept = [(s, d) for s, d in edges if outdeg[s] <= cap]
+    by_src = {}
+    for s, d in kept:
+        by_src.setdefault(s, set()).add(d)
+    counts = {}
+    for nbrs in by_src.values():
+        for a, b in combinations(sorted(nbrs), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
+
+
+def test_cocitation_matches_brute_force(spark):
+    got = {
+        (r["a"], r["b"]): r["cocitations"]
+        for r in cocitation(edges_df(spark, PAIRS), max_out_degree=4).collect()
+    }
+    assert got == _brute_copairs(_simple(), 4)
+
+
+def test_cocitation_hub_cap_drops_hub_citations(spark):
+    capped = cocitation(edges_df(spark, PAIRS), max_out_degree=4).collect()
+    uncapped = cocitation(edges_df(spark, PAIRS)).collect()
+    # hub has outdeg 5: its C(5,2)=10 pair contributions exist only uncapped
+    assert sum(r["cocitations"] for r in uncapped) - sum(
+        r["cocitations"] for r in capped
+    ) == 10
+
+
+def test_bibliographic_coupling_is_cocitation_of_reverse(spark):
+    got = {
+        (r["a"], r["b"]): r["couplings"]
+        for r in bibliographic_coupling(edges_df(spark, PAIRS)).collect()
+    }
+    rev = {(d, s) for s, d in _simple()}
+    assert got == _brute_copairs(rev, 10**9)
+
+
+def test_adamic_adar_matches_brute_force(spark):
+    und = {tuple(sorted(p)) for p in _simple()}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    nodes = sorted(adj)
+    for u, v in combinations(nodes, 2):
+        common = adj[u] & adj[v]
+        score = sum(1.0 / math.log(len(adj[w])) for w in common if len(adj[w]) >= 2)
+        if score > 0:
+            expect[(u, v)] = round(score, 6)
+    got = {
+        (r["a"], r["b"]): r["aa_score"]
+        for r in adamic_adar(edges_df(spark, PAIRS)).collect()
+    }
+    assert got == expect
+
+
+def test_adamic_adar_exclude_existing(spark):
+    und = {tuple(sorted(p)) for p in _simple()}
+    got = adamic_adar(edges_df(spark, PAIRS), exclude_existing=True).collect()
+    assert all((r["a"], r["b"]) not in und for r in got)
+    assert len(got) > 0
+
+
+def test_reciprocity(spark):
+    simple = _simple()
+    recip = sum(1 for s, d in simple if (d, s) in simple)
+    row = reciprocity(edges_df(spark, PAIRS)).collect()[0]
+    assert row["total_edges"] == len(simple)
+    assert row["reciprocated"] == recip  # (a,b) and (b,a)
+    assert row["reciprocity"] == recip / len(simple)
