@@ -1072,6 +1072,15 @@ def q_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.balls
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality, depth 3 (graph/hyperball.py::
+    harmonic_centrality; per-depth estimates + harmonic fold replayed
+    exactly by the recursive-CTE oracle)."""
+    from pagerankproject_spark.graph.hyperball import harmonic_centrality
+
+    return harmonic_centrality(spark, _edges(spark, sf_dir), t_max=3)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1140,7 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "nation_volume": q_nation_volume,
         "top_customers_by_revenue": q_top_customers_by_revenue,
-        "text_stats": q_text_stats,
+        "harmonic_centrality": q_harmonic_centrality,
         "cocitation": q_cocitation,
         "quality_score": q_quality_score,
         "tfidf_topterms": q_tfidf_topterms,
@@ -1187,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "lang_id": q_lang_id,                         # r01 driver-green
+        "text_stats": q_text_stats,                   # r01 driver-green
         "domain_stats": q_domain_stats,               # r01 driver-green
         "url_normalize": q_url_normalize,             # r01 driver-green
         "repetition_stats": q_repetition_stats,       # r01 driver-green
@@ -1196,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.hyperball import (
+        sql_harmonic_centrality as _sql_harmonic,
         sql_hyperball_balls as _sql_hyperball_balls,
     )
 
@@ -1351,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
                                   where t.src = s.dst and t.dst = s.src))::double
                        / (select count(*) from simple)::double as reciprocity""",
         "hyperball_nf": f"{g},{_sql_hyperball_balls(3)}",
+        "harmonic_centrality": f"{g},{_sql_harmonic(3)}",
         "embedding_centroids": sql_embedding_centroids_long(),
         "dedup_exact": sql_dedup_exact("documents"),
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),

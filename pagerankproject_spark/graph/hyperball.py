@@ -100,29 +100,34 @@ def init_sketches(vertices: DataFrame, url_col: str = "url") -> DataFrame:
     return vertices.select(*exprs)
 
 
-def estimate_expr() -> F.Column:
-    """HLL-84 estimate from columns r0..r15 — one fixed-order expression
-    (identical operation order in the DuckDB twin), rounded to 6dp."""
-    s = " + ".join(f"pow(2.0, -r{k})" for k in range(M))
-    v = " + ".join(f"(case when r{k} = 0 then 1 else 0 end)" for k in range(M))
-    raw = f"({ALPHA_M} * {M * M} / ({s}))"
-    return F.expr(
-        f"round(case when {raw} <= {2.5 * M} and ({v}) > 0 "
-        f"then {M} * ln({M} / cast(({v}) as double)) "
-        f"else {raw} end, 6)"
-    )
-
-
-def sql_estimate(prefix: str = "") -> str:
-    """The DuckDB twin of estimate_expr() over columns {prefix}r0..r15."""
+def _estimate_sql(prefix: str = "", rounded: bool = True) -> str:
+    """HLL-84 estimate over columns {prefix}r0..r15 as one fixed-order
+    expression — the string is engine-portable (Spark SQL == DuckDB), so
+    both sides evaluate the identical operation sequence. `rounded=False`
+    is for folds that accumulate several estimates: per-term 6dp rounding
+    would park /2- and /3-divided differences exactly on the 7th-decimal
+    .5 boundary, where cross-engine decimal rounding diverges (HALF_UP on
+    the shortest repr vs binary) — round ONCE at the end instead (the
+    module-wide convention, cf. __spark_entry__'s money aggregates)."""
     s = " + ".join(f"pow(2.0, -{prefix}r{k})" for k in range(M))
     v = " + ".join(f"(case when {prefix}r{k} = 0 then 1 else 0 end)" for k in range(M))
     raw = f"({ALPHA_M} * {M * M} / ({s}))"
-    return (
-        f"round(case when {raw} <= {2.5 * M} and ({v}) > 0 "
+    est = (
+        f"(case when {raw} <= {2.5 * M} and ({v}) > 0 "
         f"then {M} * ln({M} / cast(({v}) as double)) "
-        f"else {raw} end, 6)"
+        f"else {raw} end)"
     )
+    return f"round({est}, 6)" if rounded else est
+
+
+def estimate_expr(rounded: bool = True) -> F.Column:
+    """Spark Column form of _estimate_sql over columns r0..r15."""
+    return F.expr(_estimate_sql("", rounded))
+
+
+def sql_estimate(prefix: str = "", rounded: bool = True) -> str:
+    """The DuckDB twin of estimate_expr()."""
+    return _estimate_sql(prefix, rounded)
 
 
 @dataclass
@@ -216,6 +221,115 @@ def hyperball(
         iterations=iterations,
         converged=converged,
     )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    t_max: int = 3,
+) -> DataFrame:
+    """HyperBall harmonic-centrality estimates — the paper's headline
+    application (Boldi & Vigna 2013 §3): H(v) = sum over reachable w of
+    1/d(v,w), estimated from per-round ball growth as
+
+        H(v) ~= sum_{t=1..t_max} ( est|B(v,t)| - est|B(v,t-1)| ) / t .
+
+    The per-round estimates use the UNROUNDED estimator (see
+    _estimate_sql on why per-term rounding breaks cross-engine ties),
+    the running sum folds left-to-right with the same literal divisors,
+    and only the final sum is rounded, so the DuckDB twin
+    (sql_harmonic_centrality) reproduces the output despite the float
+    accumulation. The h/prev_est scalars
+    ride the register groupBy as max-of-one-non-null (messages carry
+    nulls), keeping the loop at one join + one combinable aggregate per
+    round — the engine's standard iteration shape.
+
+    Output: url, harmonic (double, 6dp). Fixed depth: run t_max rounds,
+    no early stop (balls past t_max contribute (e_t - e_{t-1})/t ~ 0
+    once growth stops, and fixed work keeps the contract deterministic).
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    sketch = (
+        init_sketches(verts)
+        .withColumn("h", F.lit(0.0))
+        .withColumn("prev_est", estimate_expr(rounded=False))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(1, t_max + 1):
+        msgs = (
+            e.join(sketch.withColumnRenamed("url", "dst"), "dst")
+            .select(F.col("src").alias("url"), *_REG_COLS)
+            .withColumn("h", F.lit(None).cast("double"))
+            .withColumn("prev_est", F.lit(None).cast("double"))
+        )
+        merged = (
+            sketch.unionByName(msgs)
+            .groupBy("url")
+            .agg(
+                *[F.max(c).alias(c) for c in _REG_COLS],
+                F.max("h").alias("h"),
+                F.max("prev_est").alias("prev_est"),
+            )
+        )
+        stepped = (
+            merged.withColumn("est", estimate_expr(rounded=False))
+            .withColumn(
+                "h", F.col("h") + (F.col("est") - F.col("prev_est")) / F.lit(float(t))
+            )
+            .withColumn("prev_est", F.col("est"))
+            .drop("est")
+        )
+        sketch = stepped.localCheckpoint(eager=True)
+    return sketch.select("url", F.round("h", 6).alias("harmonic"))
+
+
+def sql_harmonic_centrality(t_max: int, edges_rel: str = "edges") -> str:
+    """DuckDB oracle for harmonic_centrality at fixed depth: min-hop
+    distances by recursive CTE, per-depth register maxima as conditional
+    aggregates (dist <= t), the same per-depth estimator, and the same
+    left-to-right harmonic fold."""
+    rho = _rho_sql("substring(md5(w), 2, 31)")
+    regsets = []
+    for t in range(t_max + 1):
+        regsets.append(
+            ", ".join(
+                f"max(case when dist <= {t} and {_duckdb_hex1int('w')} = {k} "
+                f"then {rho} else 0 end) as t{t}_r{k}"
+                for k in range(M)
+            )
+        )
+    ests = ", ".join(
+        f"{sql_estimate(f't{t}_', rounded=False)} as e{t}"
+        for t in range(t_max + 1)
+    )
+    fold = " + ".join(f"(e{t} - e{t - 1}) / {float(t)}" for t in range(1, t_max + 1))
+    return f"""
+simple as (select distinct src, dst from {edges_rel} where src <> dst),
+dists as (
+    with recursive reach(v, w, d) as (
+        select src as v, src as w, 0 from simple
+        union
+        select dst as v, dst as w, 0 from simple
+        union
+        select r.v, s.dst as w, r.d + 1
+        from reach r join simple s on s.src = r.w
+        where r.d < {t_max}
+    )
+    select v, w, min(d) as dist from reach group by 1, 2
+),
+sk as (select v as url, {', '.join(regsets)} from dists group by v),
+es as (select url, {ests} from sk)
+select url, round({fold}, 6) as harmonic from es"""
 
 
 def sql_hyperball_balls(t: int, edges_rel: str = "edges") -> str:

@@ -3,8 +3,12 @@ convergence semantics, and effective-diameter geometry."""
 
 from __future__ import annotations
 
+import hashlib
+
 from pagerankproject_spark.graph.hyperball import (
+    ALPHA_M,
     M,
+    harmonic_centrality,
     hyperball,
     init_sketches,
 )
@@ -85,6 +89,71 @@ def test_singleton_sketch_has_exactly_one_register(spark):
         regs = [r[f"r{k}"] for k in range(M)]
         assert sum(1 for x in regs if x > 0) == 1
         assert all(x >= 0 for x in regs)
+
+
+def _py_estimate(regs):
+    import math
+
+    s = sum(2.0 ** -r for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    raw = ALPHA_M * M * M / s
+    if raw <= 2.5 * M and v > 0:
+        return M * math.log(M / float(v))
+    return raw
+
+
+def _py_registers(urls):
+    regs = [0] * M
+    for u in urls:
+        h = hashlib.md5(u.encode()).hexdigest()
+        j = int(h[0], 16)
+        rest = h[1:32]
+        z = len(rest) - len(rest.lstrip("0"))
+        extra = 0
+        if z < len(rest):
+            extra = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}.get(
+                rest[z], 0
+            )
+        rho = 4 * z + extra + 1
+        regs[j] = max(regs[j], rho)
+    return regs
+
+
+def test_harmonic_centrality_matches_python_replay(spark):
+    pairs = [
+        (f"p{i}", f"p{(i * 5 + j) % 17}") for i in range(17) for j in range(1, 3)
+    ]
+    t_max = 3
+    # exact min-hop distances
+    adj = {}
+    nodes = set()
+    for s, d in set(pairs):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            nodes.update((s, d))
+    expect = {}
+    for v in sorted(nodes):
+        dist = {v: 0}
+        frontier = {v}
+        for t in range(1, t_max + 1):
+            frontier = {
+                u for w in frontier for u in adj.get(w, ()) if u not in dist
+            }
+            for u in frontier:
+                dist[u] = t
+        ests = [
+            _py_estimate(_py_registers([w for w, dw in dist.items() if dw <= t]))
+            for t in range(t_max + 1)
+        ]
+        h = 0.0
+        for t in range(1, t_max + 1):
+            h = h + (ests[t] - ests[t - 1]) / float(t)
+        expect[v] = round(h, 6)
+    got = {
+        r["url"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges_df(spark, pairs), t_max=3).collect()
+    }
+    assert got == expect
 
 
 def test_duplicate_edges_and_self_loops_do_not_change_sketches(spark):
