@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Graph-ops CLI: connected components / label propagation / triangle
 counting / SCC / k-core / k-truss / BFS / clustering coefficients /
-assortativity / deterministic random walks over an edge CSV (same
-source format as pagerank_job).
+assortativity / deterministic random walks / co-citation / coupling /
+Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
+format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
 """
@@ -27,8 +28,16 @@ def main() -> None:
         choices=[
             "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
+            "cocitation", "coupling", "adamicadar", "reciprocity",
+            "hyperball", "harmonic",
         ],
     )
+    p.add_argument("--min_count", type=int, default=1, help="cocitation/coupling floor")
+    p.add_argument(
+        "--degree_cap", type=int, default=None,
+        help="hub df-cap for cocitation/coupling/adamicadar",
+    )
+    p.add_argument("--t_max", type=int, default=16, help="hyperball/harmonic depth")
     p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss")
     p.add_argument("--source", default=None, help="BFS source url")
     p.add_argument("--walk_length", type=int, default=10)
@@ -131,6 +140,57 @@ def main() -> None:
         from pagerankproject_spark.ingest.edges import regex_filter
 
         out = degree_assortativity(regex_filter(read_edge_csv(spark, args.data)))
+    elif args.algo == "cocitation":
+        from pagerankproject_spark.graph.linkpred import cocitation
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = cocitation(
+            regex_filter(read_edge_csv(spark, args.data)),
+            min_count=args.min_count,
+            max_out_degree=args.degree_cap,
+        ).orderBy(F.desc("cocitations"), "a", "b")
+    elif args.algo == "coupling":
+        from pagerankproject_spark.graph.linkpred import bibliographic_coupling
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = bibliographic_coupling(
+            regex_filter(read_edge_csv(spark, args.data)),
+            min_count=args.min_count,
+            max_in_degree=args.degree_cap,
+        ).orderBy(F.desc("couplings"), "a", "b")
+    elif args.algo == "adamicadar":
+        from pagerankproject_spark.graph.linkpred import adamic_adar
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = adamic_adar(
+            regex_filter(read_edge_csv(spark, args.data)),
+            max_degree=args.degree_cap,
+            exclude_existing=True,
+        ).orderBy(F.desc("aa_score"), "a", "b")
+    elif args.algo == "reciprocity":
+        from pagerankproject_spark.graph.linkpred import reciprocity
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = reciprocity(regex_filter(read_edge_csv(spark, args.data)))
+    elif args.algo == "hyperball":
+        from pagerankproject_spark.graph.hyperball import hyperball
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        res = hyperball(
+            spark, regex_filter(read_edge_csv(spark, args.data)), t_max=args.t_max
+        )
+        out = res.balls.orderBy(F.desc("ball_est"), "url")
+        print(
+            f"iterations= {res.iterations} converged= {res.converged} "
+            f"effective_diameter= {res.effective_diameter} nf= {res.nf}"
+        )
+    elif args.algo == "harmonic":
+        from pagerankproject_spark.graph.hyperball import harmonic_centrality
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = harmonic_centrality(
+            spark, regex_filter(read_edge_csv(spark, args.data)), t_max=args.t_max
+        ).orderBy(F.desc("harmonic"), "url")
     elif args.algo == "walks":
         from pagerankproject_spark.graph.walks import random_walks
 

@@ -203,3 +203,58 @@ def test_tfidf_plan_no_python_no_cartesian(spark):
     p = plan(tfidf_topterms(docs, k=2))
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_linkpred_plans_no_python_no_cartesian_partial_agg(spark):
+    from pagerankproject_spark.graph.linkpred import adamic_adar, cocitation
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("b", "c")],
+        "src string, dst string",
+    )
+    for df in (cocitation(e, max_out_degree=10), adamic_adar(e, max_degree=10)):
+        p = plan(df)
+        assert "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p
+        # pair counting must partial-aggregate map-side (hub-skew immunity)
+        assert "partial_count" in p or "partial_sum" in p
+
+
+def test_hyperball_merge_round_is_one_exchange_jvm_only(spark):
+    from pagerankproject_spark.graph.hyperball import (
+        _REG_COLS,
+        init_sketches,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sketch = init_sketches(verts).localCheckpoint(eager=True)
+    msgs = e.join(sketch.withColumnRenamed("url", "dst"), "dst").select(
+        F.col("src").alias("url"), *_REG_COLS
+    )
+    merged = (
+        sketch.unionByName(msgs)
+        .groupBy("url")
+        .agg(*[F.max(c).alias(c) for c in _REG_COLS])
+    )
+    p = plan(merged)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    # register merge combines map-side: max is partial-aggregable, so
+    # hub fan-in collapses per partition before the single exchange
+    assert "partial_max" in p
+    # <= 3 shuffle nodes: the two join inputs + the merge groupBy —
+    # the same per-round shape as the PageRank/CC loops (a persisted
+    # pre-partitioned edge table removes its side on a real run)
+    import re
+
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_shuffles <= 3, p
