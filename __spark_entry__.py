@@ -963,6 +963,28 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.host_graph(o.select(src.alias("src"), dst.alias("dst")))
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the contracted host graph: host_graph
+    multiplicities feed build_weighted_graph_tables (transition =
+    w/sum(w) per source host) and the UNCHANGED pagerank loop. Oracle:
+    the recursive-CTE power iteration with weighted=True over the same
+    host CTEs."""
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import build_weighted_graph_tables
+
+    hedges = q_host_graph(spark, sf_dir)
+    g = build_weighted_graph_tables(
+        spark,
+        hedges.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("w"),
+        ),
+    )
+    res = pagerank(spark, g, alpha=0.85, epsilon=1e-6, max_iterations=60)
+    return res.ranks.select("url", F.round("x", 6).alias("x"))
+
+
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality, fixed 10 iterations at alpha=0.05
     (graph/metrics.py — recursive-CTE oracle replays the iterations)."""
@@ -1103,7 +1125,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 76 keys are oracle-backed as of round 2: the iterative
+    """ALL 78 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1151,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "harmonic_centrality": q_harmonic_centrality,
         "cocitation": q_cocitation,
-        "quality_score": q_quality_score,
+        "host_pagerank": q_host_pagerank,
         "tfidf_topterms": q_tfidf_topterms,
         "bibliographic_coupling": q_bibliographic_coupling,
         "degree_assortativity": q_degree_assortativity,
@@ -1196,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "lang_id": q_lang_id,                         # r01 driver-green
+        "quality_score": q_quality_score,             # r01 driver-green
         "text_stats": q_text_stats,                   # r01 driver-green
         "domain_stats": q_domain_stats,               # r01 driver-green
         "url_normalize": q_url_normalize,             # r01 driver-green
@@ -1324,6 +1347,20 @@ def oracle_sql() -> dict[str, str]:
                 from orders
             )
             {pipeline.sql_host_graph('hedges')}""",
+        "host_pagerank": f"""
+            with hedges_raw as (
+                select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,
+                       'h' || (o_orderkey % 41) || '.com/p' || (o_orderkey % 700) as dst
+                from orders
+            ),
+            hagg as ({pipeline.sql_host_graph('hedges_raw')}),
+            hedges as (select src_host as src, dst_host as dst,
+                              n_links::double as w from hagg),
+            hverts as (select src as url from hedges
+                       union select dst from hedges),
+            {rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60,
+                                     edges_rel='hedges', vertices_rel='hverts',
+                                     weighted=True)}""",
         "cocitation": f"""{g},
             simple as (select distinct src, dst from edges where src <> dst),
             keep as (select src from simple group by src having count(*) <= 40),

@@ -29,7 +29,7 @@ def main() -> None:
             "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
             "cocitation", "coupling", "adamicadar", "reciprocity",
-            "hyperball", "harmonic",
+            "hyperball", "harmonic", "hostrank",
         ],
     )
     p.add_argument("--min_count", type=int, default=1, help="cocitation/coupling floor")
@@ -191,6 +191,26 @@ def main() -> None:
         out = harmonic_centrality(
             spark, regex_filter(read_edge_csv(spark, args.data)), t_max=args.t_max
         ).orderBy(F.desc("harmonic"), "url")
+    elif args.algo == "hostrank":
+        from pagerankproject_spark.graph.pagerank import pagerank
+        from pagerankproject_spark.ingest.edges import (
+            build_weighted_graph_tables,
+            regex_filter,
+        )
+        from pagerankproject_spark.text.pipeline import host_graph
+
+        hedges = host_graph(regex_filter(read_edge_csv(spark, args.data)))
+        gw = build_weighted_graph_tables(
+            spark,
+            hedges.select(
+                F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"),
+                F.col("n_links").alias("w"),
+            ),
+        )
+        res = pagerank(spark, gw, max_iterations=args.max_iterations)
+        out = res.ranks.orderBy(F.desc("x"), "url")
+        print(f"hosts= {gw.n} iterations= {res.iterations} converged= {res.converged}")
     elif args.algo == "walks":
         from pagerankproject_spark.graph.walks import random_walks
 

@@ -247,6 +247,67 @@ def build_graph_tables(
     )
 
 
+def build_weighted_graph_tables(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+) -> GraphTables:
+    """GraphTables from an explicitly-weighted edge list (src, dst, w) —
+    e.g. the host graph from text/pipeline.py::host_graph, where w is
+    the number of page links between two hosts.
+
+    Transition weight = w / sum(w) over src (weight-proportional random
+    surfer), computed with the same src-window trick as the 1/outdeg
+    builder so the table comes out hash-partitioned on the iteration
+    join key. Rows with w <= 0 are dropped BEFORE the vertex set is
+    frozen (a zero-weight row is no link). Every downstream consumer —
+    the dataframe/local/blocks SpMV paths, dangling detection,
+    personalization, checkpointing — only reads (src_id, dst_id,
+    weight), so weighted PageRank needs no loop changes.
+
+    The reference has no weighted mode (its P is always 1/outdeg,
+    pagerank.py:72-76); feeding w = per-pair multiplicity reproduces the
+    reference semantics on the contracted multigraph exactly (tested to
+    1e-12 against the row-expanded build)."""
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("double").alias("w")
+    ).filter(F.col("w") > 0)
+    e = e.persist()
+    if num_partitions is None:
+        num_partitions = tuned_partitions(
+            e.count(), spark.sparkContext.defaultParallelism
+        )
+
+    urls = e.select(F.col("src").alias("url")).union(
+        e.select(F.col("dst").alias("url"))
+    ).distinct()
+    vertices, n = assign_dense_ids(spark, urls, num_partitions)
+    vertices = vertices.persist()
+    if n == 0:
+        raise ValueError("empty graph: no positive-weight edges")
+
+    ids_src = vertices.select(F.col("url").alias("src"), F.col("id").alias("src_id"))
+    ids_dst = vertices.select(F.col("url").alias("dst"), F.col("id").alias("dst_id"))
+    enc = e.join(ids_src, "src").join(ids_dst, "dst").select("src_id", "dst_id", "w")
+
+    win = Window.partitionBy("src_id")
+    weighted = enc.withColumn(
+        "weight", F.col("w") / F.sum("w").over(win)
+    ).select("src_id", "dst_id", "weight")
+
+    weighted = weighted.repartition(num_partitions, "src_id").persist()
+    num_edges = weighted.count()
+    e.unpersist()
+    return GraphTables(
+        vertices=vertices,
+        weighted_edges=weighted,
+        n=n,
+        num_partitions=num_partitions,
+        num_edges=num_edges,
+        build_filters={"weighted": True},  # not append_edges-maintainable
+    )
+
+
 def read_edge_csv(spark: SparkSession, path: str, num_partitions: int = 32) -> DataFrame:
     """Operator #1 compatibility source: (gzipped) CSV with header
     `source,target` (pagerank.py:21-27). gzip is unsplittable -> immediate

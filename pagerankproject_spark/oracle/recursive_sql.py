@@ -51,6 +51,9 @@ def _pagerank_cte(
     epsilon: float,
     max_iterations: int,
     v_pred: str | None,
+    edges_rel: str = "edges",
+    vertices_rel: str = "vertices",
+    weighted: bool = False,
 ) -> str:
     """CTE chain ending in ``pr(url, x)`` — the converged rank vector.
 
@@ -69,27 +72,33 @@ def _pagerank_cte(
     way (graph/pagerank.py:252-255).
     """
     vv = f"case when {v_pred} then 1.0 else 0.0 end" if v_pred else "1.0"
+    E, V = edges_rel, vertices_rel
+    tw = (
+        "w / (sum(w) over (partition by src))"
+        if weighted
+        else "1.0/(count(*) over (partition by src))"
+    )
     return f"""
-nn as (select count(*)::double as n from vertices),
+nn as (select count(*)::double as n from {V}),
 vat as (
   select url as v,
-         ({vv}) / sqrt((select sum(({vv})*({vv})) from vertices)) as vv,
-         (url not in (select src from edges)) as dang
-  from vertices
+         ({vv}) / sqrt((select sum(({vv})*({vv})) from {V})) as vv,
+         (url not in (select src from {E})) as dang
+  from {V}
 ),
 ew as (
-  select src, dst, 1.0/(count(*) over (partition by src)) as w, 0 as own
-  from edges
+  select src, dst, {tw} as w, 0 as own
+  from {E}
   union all
-  select url, url, 0.0, 1 from vertices
+  select url, url, 0.0, 1 from {V}
 ),
 pr as (
   with recursive st(i, v, x, dm, res) as (
     select 0, url, 1.0/sqrt(n),
-           (select count(*) from vertices
-             where url not in (select src from edges)) / sqrt(n),
+           (select count(*) from {V}
+             where url not in (select src from {E})) / sqrt(n),
            1e300
-    from vertices, nn
+    from {V}, nn
     union all
     select i + 1 as i, v,
            u / sqrt(sum(u*u) over ()) as x,
@@ -123,9 +132,18 @@ def sql_pagerank_ranks(
     max_iterations: int = 60,
     v_pred: str | None = None,
     round_digits: int = 6,
+    edges_rel: str = "edges",
+    vertices_rel: str = "vertices",
+    weighted: bool = False,
 ) -> str:
-    """Full damped power iteration to convergence — see _pagerank_cte."""
-    cte = _pagerank_cte(alpha, epsilon, max_iterations, v_pred)
+    """Full damped power iteration to convergence — see _pagerank_cte.
+
+    `weighted=True` reads a `w` column from `edges_rel` (positive
+    weights only) and uses weight-proportional transitions w/sum(w) —
+    the oracle twin of ingest/edges.py::build_weighted_graph_tables."""
+    cte = _pagerank_cte(
+        alpha, epsilon, max_iterations, v_pred, edges_rel, vertices_rel, weighted
+    )
     return f"{cte}\nselect url, round(x, {round_digits}) as x from pr"
 
 

@@ -191,3 +191,73 @@ def test_local_spmv_guarded_against_max_result_size(spark, monkeypatch):
     res = pr_mod.pagerank(spark, g, epsilon=1e-6, max_iterations=5, spmv="auto")
     assert res.ranks.count() == g.n  # fell back to the distributed loop
     g.unpersist()
+
+
+def test_weighted_build_matches_row_expanded_multigraph(spark):
+    # build_weighted_graph_tables fed per-pair multiplicities must give
+    # the same transition matrix as the 1/outdeg build on the expanded
+    # rows: w/sum(w) == mult/total_rows per source. Ranks agree to a
+    # float-association tolerance.
+    from pyspark.sql import functions as F
+
+    from pagerankproject_spark.graph.pagerank import pagerank
+    from pagerankproject_spark.ingest.edges import (
+        build_graph_tables,
+        build_weighted_graph_tables,
+    )
+
+    pairs = []
+    for i in range(20):
+        for j in range(1 + i % 3):
+            pairs.append((f"site.com/p{i}", f"site.com/p{(i * 3 + j) % 20}"))
+    expanded = edges_df(spark, pairs)
+    agg = expanded.groupBy("src", "dst").agg(F.count("*").alias("w"))
+
+    g1 = build_graph_tables(spark, expanded)
+    g2 = build_weighted_graph_tables(spark, agg)
+    # fixed iteration count: an epsilon near the residual noise floor
+    # (~1e-8) can stop the two builds one iteration apart, which shows
+    # up as a ~residual-sized rank gap and is not a weighting defect
+    r1 = {
+        r["url"]: r["x"]
+        for r in pagerank(spark, g1, epsilon=0.0, max_iterations=40).ranks.collect()
+    }
+    r2 = {
+        r["url"]: r["x"]
+        for r in pagerank(spark, g2, epsilon=0.0, max_iterations=40).ranks.collect()
+    }
+    assert set(r1) == set(r2)
+    diffs = sorted((abs(r1[u] - r2[u]), u) for u in r1)
+    assert diffs[-1][0] < 1e-12, diffs[-3:]
+
+
+def test_weighted_build_drops_nonpositive_weights(spark):
+    from pagerankproject_spark.ingest.edges import build_weighted_graph_tables
+
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 0.0), ("c", "a", -1.0), ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    g = build_weighted_graph_tables(spark, e)
+    # only a<->b survive; c never enters the vertex set
+    assert g.n == 2
+    assert g.num_edges == 2
+    rows = {
+        (r["src_id"], r["dst_id"]): r["weight"]
+        for r in g.weighted_edges.collect()
+    }
+    assert all(abs(w - 1.0) < 1e-15 for w in rows.values())  # single-outlink rows
+
+
+def test_weighted_build_refuses_append_edges(spark):
+    from pagerankproject_spark.ingest.edges import (
+        append_edges,
+        build_weighted_graph_tables,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    g = build_weighted_graph_tables(spark, e)
+    with pytest.raises(ValueError):
+        append_edges(spark, g, edges_df(spark, [("a", "c")]))
