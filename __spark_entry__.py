@@ -1103,6 +1103,50 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(spark, _edges(spark, sf_dir), t_max=3)
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-capture-wins crawl dedup over a derived (url, warc_ts)
+    snapshot table (ingest/snapshots.py::latest_snapshots — one
+    combinable max(struct) agg, not a window sort)."""
+    from pagerankproject_spark.ingest.snapshots import latest_snapshots
+
+    ev = _read(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(F.lit("site.com/p"), (F.col("event_id") % 200).cast("string")).alias(
+            "url"
+        ),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id"),
+        F.col("event_type").alias("lang"),
+        F.col("value").alias("quality"),
+    )
+    return latest_snapshots(pages, tiebreak="event_id")
+
+
+def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction: (src, dst, anchor) per closed <a> tag
+    (ingest/extract.py::extract_anchors, sql impl; the unclosed third
+    tag in the derived html must NOT extract)."""
+    from pagerankproject_spark.ingest.extract import extract_anchors
+
+    d = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><a href="site.com/p'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('" class="x">go '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</a><p><a href="site.com/q'),
+        (F.col("doc_id") % 70).cast("string"),
+        F.lit('">'),
+        F.col("lang"),
+        F.lit('</a><a href="site.com/r1">unclosed'),
+    )
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_anchors(pages, impl="sql")
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1125,7 +1169,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 78 keys are oracle-backed as of round 2: the iterative
+    """ALL 80 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1180,9 +1224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "reciprocity": q_reciprocity,
         "hyperball_nf": q_hyperball_nf,
-        "ngram_topk": q_ngram_topk,
+        "latest_snapshot": q_latest_snapshot,
         "corpus_filter": q_corpus_filter,
-        "doc_length_quantiles": q_doc_length_quantiles,
+        "anchor_extract": q_anchor_extract,
         "decontaminate_overlap": q_decontaminate_overlap,
         "sequence_pack": q_sequence_pack,
         "dedup_exact": q_dedup_exact,
@@ -1218,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "lang_id": q_lang_id,                         # r01 driver-green
+        "ngram_topk": q_ngram_topk,                   # r01 driver-green
+        "doc_length_quantiles": q_doc_length_quantiles,  # r01 driver-green
         "quality_score": q_quality_score,             # r01 driver-green
         "text_stats": q_text_stats,                   # r01 driver-green
         "domain_stats": q_domain_stats,               # r01 driver-green
@@ -1231,6 +1277,12 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.hyperball import (
         sql_harmonic_centrality as _sql_harmonic,
         sql_hyperball_balls as _sql_hyperball_balls,
+    )
+    from pagerankproject_spark.ingest.extract import (
+        sql_extract_anchors as _sql_extract_anchors,
+    )
+    from pagerankproject_spark.ingest.snapshots import (
+        sql_latest_snapshots as _sql_latest_snapshots,
     )
 
     g = f"with {_EDGES_CTE}"
@@ -1347,6 +1399,29 @@ def oracle_sql() -> dict[str, str]:
                 from orders
             )
             {pipeline.sql_host_graph('hedges')}""",
+        "latest_snapshot": f"""
+            with pages as (
+                select 'site.com/p' || (event_id % 200) as url,
+                       ts as warc_ts, event_id,
+                       event_type as lang, value as quality
+                from events
+            )
+            {_sql_latest_snapshots(
+                'pages',
+                ['url', 'warc_ts', 'event_id', 'lang', 'quality'],
+                tiebreak='event_id',
+            )}""",
+        "anchor_extract": f"""
+            with pages as (
+                select 'doc://' || doc_id as url,
+                       '<html><a href="site.com/p' || (doc_id % 50)
+                       || '" class="x">go ' || (doc_id % 7)
+                       || '</a><p><a href="site.com/q' || (doc_id % 70)
+                       || '">' || lang
+                       || '</a><a href="site.com/r1">unclosed' as html_str
+                from documents
+            )
+            {_sql_extract_anchors('pages')}""",
         "host_pagerank": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -62,6 +62,72 @@ def extract_outlinks(pages: DataFrame, impl: str = "sql") -> DataFrame:
     )
 
 
+ANCHOR_REGEX = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+@F.pandas_udf(ArrayType(ArrayType(StringType())))
+def _extract_anchors_arrow(html: pd.Series) -> pd.Series:
+    """Arrow-batched: bytes -> list of [href, anchor_text] pairs."""
+    text = html.apply(
+        lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
+    )
+    hits = text.str.extractall(ANCHOR_REGEX)
+    if hits.empty:
+        return pd.Series([[] for _ in range(len(html))], index=html.index)
+    pairs = hits.apply(lambda r: [r[0], r[1]], axis=1)
+    grouped = pairs.groupby(level=0).agg(list)
+    return grouped.reindex(text.index).apply(
+        lambda v: v if isinstance(v, list) else []
+    )
+
+
+def extract_anchors(pages: DataFrame, impl: str = "sql") -> DataFrame:
+    """pages -> (src, dst, anchor): one row per closed anchor tag, in
+    document order — the anchor-text table that web search relevance and
+    link-spam analysis aggregate at scale (anchor text is the classic
+    off-page description of the TARGET page). Only tags with a closing
+    </a> and no nested markup inside the text qualify (the regex's
+    [^<]* body), matching what a streaming byte-regex pass can promise.
+
+    impl="sql" zips the two capture groups JVM-side (two
+    regexp_extract_all passes over the same pattern yield equal-length
+    arrays by construction, arrays_zip + explode keeps it
+    whole-stage-codegen); impl="arrow" is the vectorized-pandas twin."""
+    if impl == "sql":
+        html_str = F.decode(F.col("html"), "UTF-8")
+        dsts = F.regexp_extract_all(html_str, F.lit(ANCHOR_REGEX), F.lit(1))
+        texts = F.regexp_extract_all(html_str, F.lit(ANCHOR_REGEX), F.lit(2))
+        pair = F.explode(F.arrays_zip(dsts.alias("d"), texts.alias("t")))
+        return pages.select(F.col("url").alias("src"), pair.alias("p")).select(
+            "src", F.col("p.d").alias("dst"), F.col("p.t").alias("anchor")
+        )
+    if impl == "arrow":
+        pair = F.explode(_extract_anchors_arrow(F.col("html")))
+        return pages.select(F.col("url").alias("src"), pair.alias("p")).select(
+            "src",
+            F.col("p").getItem(0).alias("dst"),
+            F.col("p").getItem(1).alias("anchor"),
+        )
+    raise ValueError(f"unknown impl: {impl}")
+
+
+def sql_extract_anchors(pages_rel: str, html_expr: str = "html_str") -> str:
+    """DuckDB twin of extract_anchors(impl='sql'): same two-group
+    pattern, 1-based list indexing over the zipped lengths."""
+    pat = ANCHOR_REGEX.replace("'", "''")
+    return f"""
+    select url as src,
+           ds[i] as dst,
+           ts[i] as anchor
+    from (
+        select url,
+               regexp_extract_all({html_expr}, '{pat}', 1) as ds,
+               regexp_extract_all({html_expr}, '{pat}', 2) as ts
+        from {pages_rel}
+    ), unnest(range(1, len(ds) + 1)) as u(i)
+    """
+
+
 def extracted_text(pages: DataFrame) -> DataFrame:
     """The text side of extraction: identity pass-through of the `text`
     column (byte-identical per url — the binding per-row invariant)."""

@@ -123,3 +123,97 @@ def test_pages_job_cli_end_to_end(spark, tmp_path):
     ranks = spark.read.parquet(out_path)
     assert ranks.columns == ["id", "url", "x"] or set(ranks.columns) == {"id", "url", "x"}
     assert ranks.count() > 0
+
+
+def test_anchor_extraction_hand_cases(spark):
+    import datetime
+
+    from pagerankproject_spark.ingest.extract import extract_anchors
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    html = (
+        b'<a href="a.com/x" rel="nofollow">Click here</a>'
+        b'<a href="b.com/y">second link</a>'
+        b'<a href="c.com/z">unclosed'
+        b'<a href="d.com/w"><b>nested markup</b></a>'
+    )
+    pages = spark.createDataFrame(
+        [("p1", ts, html, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_anchors(pages).collect()
+    )
+    # only cleanly-closed, markup-free anchors extract (module contract)
+    assert got == [
+        ("p1", "a.com/x", "Click here"),
+        ("p1", "b.com/y", "second link"),
+    ]
+
+
+def test_anchor_sql_and_arrow_impls_identical(spark):
+    from pagerankproject_spark.ingest.extract import extract_anchors
+
+    rows, _, _ = make_pages(seed=7, n_pages=40)
+    pages = _pages_df(spark, rows)
+    sql = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_anchors(pages, "sql").collect()
+    )
+    arrow = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_anchors(pages, "arrow").collect()
+    )
+    assert sql == arrow
+    assert len(sql) > 0
+    assert all(a.startswith("link ") for _, _, a in sql)  # make_pages anchors
+
+
+def test_latest_snapshots_keeps_max_ts_row(spark):
+    import datetime
+
+    from pagerankproject_spark.ingest.snapshots import latest_snapshots
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [
+        ("u1", at(0), 1, "old"),
+        ("u1", at(5), 2, "new"),
+        ("u2", at(3), 3, "only"),
+        ("u3", at(7), 4, "tie-low"),
+        ("u3", at(7), 5, "tie-high"),  # same ts: tiebreak id wins
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, cap_id long, body string"
+    )
+    got = {
+        r["url"]: (r["warc_ts"].replace(tzinfo=datetime.timezone.utc), r["cap_id"], r["body"])
+        for r in latest_snapshots(df, tiebreak="cap_id").collect()
+    }
+    assert got == {
+        "u1": (at(5), 2, "new"),
+        "u2": (at(3), 3, "only"),
+        "u3": (at(7), 5, "tie-high"),
+    }
+
+
+def test_latest_snapshots_plan_partial_aggregates(spark):
+    import datetime
+
+    from pagerankproject_spark.ingest.snapshots import latest_snapshots
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [("u", t0, 1, "x")], "url string, warc_ts timestamp, cap_id long, body string"
+    )
+    out = latest_snapshots(df, tiebreak="cap_id")
+    jvm = spark._sc._jvm
+    p = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    # one combinable agg, no window sort: map-side keeps one candidate
+    # per url before the shuffle (the 10^12-row requirement)
+    assert "partial_max" in p
+    assert "Window" not in p
