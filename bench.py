@@ -48,6 +48,15 @@ BENCH_QUERIES = [
     "events_windowed",
     "events_sessionize",
     "pricing_summary",
+    # round-2 additions: co-link analytics, sketch centralities, the
+    # weighted host rank, and the ingestion ops
+    "cocitation",
+    "adamic_adar",
+    "hyperball_nf",
+    "harmonic_centrality",
+    "host_pagerank",
+    "latest_snapshot",
+    "anchor_extract",
 ]
 
 
