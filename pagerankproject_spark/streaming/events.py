@@ -415,3 +415,72 @@ def sql_sliding_event_counts(
         from exploded
         group by 1, 2, 3
     """
+
+
+PAGES_STREAM_SCHEMA = (
+    "url string, warc_ts timestamp, cap_id bigint, text string, lang string"
+)
+
+
+def stream_latest_snapshots(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous crawl-snapshot maintenance — the streaming twin of
+    ingest/snapshots.py::latest_snapshots for a live crawl feed.
+
+    State per url: the best (ts_us, cap_id) seen — two longs, the
+    minimum any latest-wins upsert must hold (payloads live in the
+    emitted rows, never in state). Changelog semantics: a row is
+    emitted whenever a url's best capture IMPROVES (lexicographic
+    (warc_ts, cap_id), exactly the batch struct-max order — timestamps
+    are microsecond-precision so the long comparison is exact); late or
+    duplicate captures are swallowed. The latest emission per url IS
+    the current snapshot — downstream sinks upsert by url, and folding
+    the changelog equals the batch operator on the same rows (tested).
+
+    Spark's built-in dropDuplicates can't express this (no ordering,
+    no replacement); applyInPandasWithState gives Arrow-batched Python
+    over the state store with the url as shuffle key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def upsert_fn(key, pdfs, state):
+        import pandas as pd
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter([])
+        df = pd.concat(frames, ignore_index=True)
+        row = df.sort_values(["warc_ts", "cap_id"]).iloc[-1]
+        cand = (int(pd.Timestamp(row["warc_ts"]).value // 1000), int(row["cap_id"]))
+        if state.exists and cand <= tuple(state.get):
+            return iter([])
+        state.update(cand)
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "url": [key[0]],
+                        "warc_ts": [row["warc_ts"]],
+                        "cap_id": [int(row["cap_id"])],
+                        "text": [row["text"]],
+                        "lang": [row["lang"]],
+                    }
+                )
+            ]
+        )
+
+    stream = (
+        spark.readStream.schema(PAGES_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    return stream.groupBy("url").applyInPandasWithState(
+        upsert_fn,
+        outputStructType=PAGES_STREAM_SCHEMA,
+        stateStructType="ts_us bigint, cap_id bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -351,3 +351,61 @@ def test_stream_incremental_components_matches_batch(spark, tmp_path):
     assert got == want
     assert got["x.page"] == "a.page"  # the merge actually happened
     g_full.unpersist()
+
+
+def test_stream_latest_snapshots_matches_batch(spark, tmp_path):
+    import datetime
+
+    from pagerankproject_spark.ingest.snapshots import latest_snapshots
+    from pagerankproject_spark.streaming.events import (
+        PAGES_STREAM_SCHEMA,
+        stream_latest_snapshots,
+    )
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+
+    def cap(url, h, cid, text):
+        return (url, t0 + datetime.timedelta(hours=h), cid, text, "en")
+
+    # arrival order != capture order: u1's newest lands in file 0, its
+    # stale recrawl in file 1 (must be swallowed); u2 improves twice;
+    # u3 has a same-instant tie broken by cap_id
+    f0 = [cap("u1", 10, 1, "u1-new"), cap("u2", 1, 2, "u2-old"), cap("u3", 5, 3, "a")]
+    f1 = [cap("u1", 2, 4, "u1-stale"), cap("u2", 8, 5, "u2-mid"), cap("u3", 5, 6, "b")]
+    f2 = [cap("u2", 9, 7, "u2-new")]
+    for i, rows in enumerate([f0, f1, f2]):
+        spark.createDataFrame(rows, PAGES_STREAM_SCHEMA).coalesce(1).write.parquet(
+            str(pages_dir / f"f{i}")
+        )
+
+    out = stream_latest_snapshots(spark, str(pages_dir) + "/*")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("snap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    log = spark.sql("select * from snap_stream").collect()
+    # fold the changelog: last (max (ts, cap_id)) emission per url
+    folded = {}
+    for r in log:
+        k = (r["warc_ts"], r["cap_id"])
+        if r["url"] not in folded or k > folded[r["url"]][0]:
+            folded[r["url"]] = (k, (r["warc_ts"], r["cap_id"], r["text"], r["lang"]))
+    got = {u: v for u, (_, v) in folded.items()}
+
+    all_rows = spark.createDataFrame(f0 + f1 + f2, PAGES_STREAM_SCHEMA)
+    expected = {
+        r["url"]: (r["warc_ts"], r["cap_id"], r["text"], r["lang"])
+        for r in latest_snapshots(all_rows, tiebreak="cap_id").collect()
+    }
+    assert got == expected
+    # the stale u1 recrawl must not have emitted
+    assert sum(1 for r in log if r["url"] == "u1") == 1
+    # u2 improved across batches: multiple changelog rows
+    assert sum(1 for r in log if r["url"] == "u2") >= 2
