@@ -1103,6 +1103,18 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(spark, _edges(spark, sf_dir), t_max=3)
 
 
+def q_ppr_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo personalized PageRank for every seed from the
+    deterministic walk corpus (graph/walks.py::ppr_from_walks; the
+    oracle replays the walks and sums the same per-step literals)."""
+    from pagerankproject_spark.graph.walks import ppr_from_walks, random_walks
+
+    walks = random_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    # alpha=0.5: every step weight is an exact 6-decimal value, so the
+    # 6dp round is an identity — see ppr_from_walks rounding caveat
+    return ppr_from_walks(walks, walk_length=4, walks_per_vertex=2, alpha=0.5)
+
+
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-capture-wins crawl dedup over a derived (url, warc_ts)
     snapshot table (ingest/snapshots.py::latest_snapshots — one
@@ -1169,7 +1181,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 80 keys are oracle-backed as of round 2: the iterative
+    """ALL 81 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1206,7 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "search_top10": q_search_top10,
         "dedup_clusters": q_dedup_clusters,
-        "outlink_extract": q_outlink_extract,
+        "ppr_walks": q_ppr_walks,
         "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -1261,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,  # ⊂ simhash_pairs
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
+        "outlink_extract": q_outlink_extract,         # r01 driver-green
         "lang_id": q_lang_id,                         # r01 driver-green
         "ngram_topk": q_ngram_topk,                   # r01 driver-green
         "doc_length_quantiles": q_doc_length_quantiles,  # r01 driver-green
@@ -1280,6 +1293,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.extract import (
         sql_extract_anchors as _sql_extract_anchors,
+    )
+    from pagerankproject_spark.graph.walks import (
+        sql_ppr_from_walks as _sql_ppr_from_walks,
     )
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
@@ -1686,6 +1702,7 @@ def oracle_sql() -> dict[str, str]:
         #     (oracle/recursive_sql.py; round-2 upgrade from rows-only) ---
         "scc": f"{g},{rsql.sql_scc()}",
         "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
+        "ppr_walks": f"{g},\n{_sql_ppr_from_walks(4, 2, 0.5)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",
         "pagerank_personalized": g + "," + rsql.sql_pagerank_ranks(
             epsilon=1e-6, max_iterations=60, v_pred="url like '%p1%'"

@@ -46,6 +46,7 @@ are near-exact).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +131,29 @@ def sql_estimate(prefix: str = "", rounded: bool = True) -> str:
     return _estimate_sql(prefix, rounded)
 
 
+def _dst_partitioned_simple(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Simple directed edges, hash-partitioned by dst ONCE and lineage-
+    truncated — every merge round joins the sketch on dst, and a
+    localCheckpoint'ed plan keeps its outputPartitioning, so only the
+    (n-sized) sketch side shuffles per round while the (m-sized) edge
+    table never moves again (the same pre-partitioning contract the
+    PageRank loop puts on weighted_edges)."""
+    from ..ingest.edges import tuned_partitions
+
+    simple = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    parts = tuned_partitions(
+        simple.count(), spark.sparkContext.defaultParallelism
+    )
+    e = simple.repartition(parts, "dst").localCheckpoint(eager=True)
+    simple.unpersist()
+    return e
+
+
 @dataclass
 class HyperBallResult:
     balls: DataFrame  # url, ball_est (double): estimated |B(v, t_final)|
@@ -137,6 +161,7 @@ class HyperBallResult:
     effective_diameter: float | None  # 90th-pct interpolated; None if t_max hit
     iterations: int
     converged: bool
+    round_walls: list[float] | None = None  # seconds per merge round
 
 
 def hyperball(
@@ -154,12 +179,7 @@ def hyperball(
     `early_stop=False` runs exactly t_max merge rounds with no
     per-round action (the fixed-depth mode the contract key uses —
     deterministic work, single final job)."""
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _dst_partitioned_simple(spark, edges)
     verts = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))
@@ -177,7 +197,9 @@ def hyperball(
         prev_regsum = first["regsum"]
 
     iterations, converged = 0, False
+    round_walls: list[float] = []
     for _ in range(t_max):
+        t_start = time.monotonic()
         msgs = e.join(
             sketch.withColumnRenamed("url", "dst"), "dst"
         ).select(F.col("src").alias("url"), *_REG_COLS)
@@ -187,6 +209,7 @@ def hyperball(
             .agg(*[F.max(c).alias(c) for c in _REG_COLS])
         )
         sketch = merged.localCheckpoint(eager=True)
+        round_walls.append(time.monotonic() - t_start)
         iterations += 1
         if not early_stop:
             continue
@@ -220,6 +243,7 @@ def hyperball(
         effective_diameter=eff_d,
         iterations=iterations,
         converged=converged,
+        round_walls=round_walls[:iterations],
     )
 
 
@@ -248,12 +272,7 @@ def harmonic_centrality(
     no early stop (balls past t_max contribute (e_t - e_{t-1})/t ~ 0
     once growth stops, and fixed work keeps the contract deterministic).
     """
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _dst_partitioned_simple(spark, edges)
     verts = (
         e.select(F.col("src").alias("url"))
         .union(e.select(F.col("dst").alias("url")))

@@ -117,11 +117,11 @@ def random_walks(
     )
 
 
-def sql_random_walks(
+def _sql_walk_ctes(
     walk_length: int = 4, walks_per_vertex: int = 2
-) -> str:
-    """DuckDB twin over the `edges`/`vertices` CTEs (unrolled — one CTE
-    per step), replaying the identical md5-derived choices."""
+) -> list[str]:
+    """The s0..sN step CTEs shared by sql_random_walks and
+    sql_ppr_from_walks."""
     walks = ", ".join(f"({w})" for w in range(walks_per_vertex))
     parts = [
         f"""adj as (
@@ -148,8 +148,95 @@ def sql_random_walks(
             join adj a on a.src = s.cur and a.idx = ({h}) % d.outdeg
         )"""
         )
+    return parts
+
+
+def sql_random_walks(
+    walk_length: int = 4, walks_per_vertex: int = 2
+) -> str:
+    """DuckDB twin over the `edges`/`vertices` CTEs (unrolled — one CTE
+    per step), replaying the identical md5-derived choices."""
+    parts = _sql_walk_ctes(walk_length, walks_per_vertex)
     union = "\nunion all\n".join(
         f"select start || '#' || w::varchar as walk_id, {t} as step, cur as url from s{t}"
         for t in range(walk_length + 1)
     )
     return ",\n".join(parts) + "\n" + union
+
+
+def step_weights(
+    walk_length: int, walks_per_vertex: int, alpha: float
+) -> list[float]:
+    """(1-alpha) * alpha^t / walks_per_vertex per step, computed ONCE in
+    python and inlined as decimal literals on both engines — shortest
+    round-trip repr parses to the identical double in Spark and DuckDB,
+    so the cross-engine pow()-ulp hazard never arises."""
+    return [
+        (1.0 - alpha) * alpha**t / walks_per_vertex
+        for t in range(walk_length + 1)
+    ]
+
+
+def ppr_from_walks(
+    walks: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    alpha: float = 0.85,
+) -> DataFrame:
+    """Monte-Carlo personalized PageRank estimates from the
+    deterministic walk corpus (Fogaras et al. 2005 "Towards Scaling
+    Fully Personalized PageRank": the power series PPR_s = (1-a) *
+    sum_t a^t P^t e_s estimated by per-step visit frequencies).
+
+        ppr_est(seed, u) = sum over walk rows (seed, t, u) of
+                           (1-a) * a^t / walks_per_vertex
+
+    Walks absorb at dangling vertices (the corpus early-stops), so the
+    truncated-series mass of dead walks is dropped rather than
+    teleported — documented estimator semantics, matching the walk
+    generator. One groupBy with a combinable sum over a corpus that is
+    already O(n * walks * length) rows: the fully-distributed shape for
+    "PPR for EVERY seed at once", which no power-iteration formulation
+    can do in one pass at web scale.
+
+    Output: seed, url, ppr_est (double, 6dp; round-once convention).
+
+    Rounding caveat: with wpv a power of two, alpha = 0.5 makes every
+    step weight an exact 6-decimal binary value ((1/2)^(t+2) for
+    wpv=2, L<=4), so sums are exact and the 6dp round is an identity —
+    bit-exact across Spark/DuckDB/python. Short-decimal alphas like
+    0.85 put single-visit sums EXACTLY on the 7th-decimal .5 boundary
+    (0.15*0.85^2/2 = 0.0541875), where engines' decimal rounding
+    disagrees — the contract key therefore pins alpha = 0.5.
+    """
+    wts = step_weights(walk_length, walks_per_vertex, alpha)
+    wgt = F.array(*[F.lit(w) for w in wts])[F.col("step")]
+    return (
+        walks.select(
+            F.substring_index(F.col("walk_id"), "#", 1).alias("seed"),
+            "url",
+            wgt.alias("wgt"),
+        )
+        .groupBy("seed", "url")
+        .agg(F.round(F.sum("wgt"), 6).alias("ppr_est"))
+    )
+
+
+def sql_ppr_from_walks(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    alpha: float = 0.85,
+) -> str:
+    """DuckDB twin of ppr_from_walks over the same step CTEs, same
+    per-step decimal literals, same round-once."""
+    parts = _sql_walk_ctes(walk_length, walks_per_vertex)
+    wts = step_weights(walk_length, walks_per_vertex, alpha)
+    union = "\nunion all\n".join(
+        f"select start as seed, cur as url, {wts[t]!r} as wgt from s{t}"
+        for t in range(walk_length + 1)
+    )
+    body = ",\n".join(parts) + f",\nvisits as (\n{union}\n)"
+    return (
+        f"{body}\nselect seed, url, round(sum(wgt), 6) as ppr_est "
+        f"from visits group by 1, 2"
+    )

@@ -104,3 +104,36 @@ def test_reciprocity(spark):
     assert row["total_edges"] == len(simple)
     assert row["reciprocated"] == recip  # (a,b) and (b,a)
     assert row["reciprocity"] == recip / len(simple)
+
+
+def test_ppr_from_walks_matches_python_replay(spark):
+    from pagerankproject_spark.graph.walks import ppr_from_walks, random_walks
+
+    pairs = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+        # d is dangling: walks through it absorb
+    ]
+    L, W, A = 3, 2, 0.5  # exact-grid alpha: 6dp round is an identity
+    walks = random_walks(edges_df(spark, pairs), walk_length=L, walks_per_vertex=W)
+    rows = walks.collect()
+    expect = {}
+    for r in rows:
+        seed = r["walk_id"].split("#")[0]
+        w = (1.0 - A) * A ** r["step"] / W
+        k = (seed, r["url"])
+        expect[k] = expect.get(k, 0.0) + w
+    expect = {k: round(v, 6) for k, v in expect.items()}
+    got = {
+        (r["seed"], r["url"]): r["ppr_est"]
+        for r in ppr_from_walks(walks, walk_length=L, walks_per_vertex=W, alpha=A).collect()
+    }
+    assert got == expect
+    # per-seed mass never exceeds the full truncated series (absorbing
+    # walks only ever REMOVE mass)
+    full = sum((1.0 - A) * A**t for t in range(L + 1))
+    per_seed = {}
+    for (s, _), v in got.items():
+        per_seed[s] = per_seed.get(s, 0.0) + v
+    assert all(m <= full + 1e-9 for m in per_seed.values())
+    # every seed's own step-0 mass is present
+    assert all(got[(s, s)] >= (1.0 - A) / W - 1e-9 for s in per_seed)
