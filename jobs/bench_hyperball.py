@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--vertices", type=int, default=100_000)
     p.add_argument("--cpus", type=int, default=32)
+    p.add_argument(
+        "--mode", choices=["strings", "ids"], default="strings",
+        help="ids: run the merge loop on dense long keys via GraphTables",
+    )
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -74,7 +78,13 @@ def main() -> None:
     )
 
     t0 = time.time()
-    res = hyperball(spark, edges, t_max=args.rounds, early_stop=False)
+    if args.mode == "ids":
+        from pagerankproject_spark.ingest.edges import build_graph_tables
+
+        gt = build_graph_tables(spark, edges)
+        res = hyperball(spark, g=gt, t_max=args.rounds, early_stop=False)
+    else:
+        res = hyperball(spark, edges, t_max=args.rounds, early_stop=False)
     res.balls.count()
     total = time.time() - t0
     # distinct simple edges = what each round actually merges
@@ -84,6 +94,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "mode": args.mode,
                 "edges_distinct": n_edges,
                 "vertices": nv,
                 "rounds": args.rounds,

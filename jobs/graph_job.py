@@ -174,11 +174,9 @@ def main() -> None:
         out = reciprocity(regex_filter(read_edge_csv(spark, args.data)))
     elif args.algo == "hyperball":
         from pagerankproject_spark.graph.hyperball import hyperball
-        from pagerankproject_spark.ingest.edges import regex_filter
 
-        res = hyperball(
-            spark, regex_filter(read_edge_csv(spark, args.data)), t_max=args.t_max
-        )
+        # dense-id loop (2.1x over url-string keys at 45M edges, BENCH.md)
+        res = hyperball(spark, g=g, t_max=args.t_max)
         out = res.balls.orderBy(F.desc("ball_est"), "url")
         print(
             f"iterations= {res.iterations} converged= {res.converged} "

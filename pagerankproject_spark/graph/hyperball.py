@@ -166,9 +166,10 @@ class HyperBallResult:
 
 def hyperball(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     t_max: int = 32,
     early_stop: bool = True,
+    g=None,
 ) -> HyperBallResult:
     """Run HyperBall over the directed simple graph of `edges`
     (src, dst string columns). Convergence is detected on the global
@@ -178,14 +179,44 @@ def hyperball(
 
     `early_stop=False` runs exactly t_max merge rounds with no
     per-round action (the fixed-depth mode the contract key uses —
-    deterministic work, single final job)."""
-    e = _dst_partitioned_simple(spark, edges)
-    verts = (
-        e.select(F.col("src").alias("url"))
-        .union(e.select(F.col("dst").alias("url")))
-        .distinct()
-    )
-    sketch = init_sketches(verts).localCheckpoint(eager=True)
+    deterministic work, single final job).
+
+    `g` (a GraphTables, overrides `edges`) runs the SAME loop on dense
+    long ids: registers are still derived from md5(url) (so estimates
+    are identical to the string path — tested), but every per-round
+    shuffle moves 8-byte keys instead of url strings. Measured 2.1x at
+    45M edges (BENCH.md); the production mode at corpus scale."""
+    vertices_dim = None
+    if g is not None:
+        e = (
+            g.weighted_edges.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(g.num_partitions, "dst")
+            .localCheckpoint(eager=True)
+        )
+        reg_exprs = [
+            F.expr(
+                _init_register_sql("url", k).format(hex1int=_spark_hex1int("url"))
+            ).alias(f"r{k}")
+            for k in range(M)
+        ]
+        sketch = (
+            g.vertices.select(F.col("id").alias("_k"), *reg_exprs)
+            .withColumnRenamed("_k", "url")
+            .localCheckpoint(eager=True)
+        )
+        vertices_dim = g.vertices
+    else:
+        e = _dst_partitioned_simple(spark, edges)
+        verts = (
+            e.select(F.col("src").alias("url"))
+            .union(e.select(F.col("dst").alias("url")))
+            .distinct()
+        )
+        sketch = init_sketches(verts).localCheckpoint(eager=True)
 
     nf = []
     if early_stop:
@@ -237,6 +268,13 @@ def hyperball(
                 break
 
     balls = sketch.select("url", estimate_expr().alias("ball_est"))
+    if vertices_dim is not None:
+        # translate dense ids back to url space on the (n-sized) output
+        balls = (
+            balls.withColumnRenamed("url", "id")
+            .join(vertices_dim, "id")
+            .select("url", "ball_est")
+        )
     return HyperBallResult(
         balls=balls,
         nf=nf,

@@ -165,3 +165,23 @@ def test_duplicate_edges_and_self_loops_do_not_change_sketches(spark):
         map(tuple, r2.balls.collect())
     )
     assert r1.nf == r2.nf
+
+
+def test_graphtables_id_path_equals_string_path(spark):
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    pairs = [
+        (f"site.com/p{i}", f"site.com/p{(i * 7 + j * j) % 40}")
+        for i in range(40)
+        for j in range(3)
+    ]
+    e = edges_df(spark, pairs)
+    g = build_graph_tables(spark, e)
+    r_str = hyperball(spark, edges=e, t_max=32)
+    r_ids = hyperball(spark, g=g, t_max=32)
+    assert r_ids.converged and r_str.converged
+    assert r_ids.iterations == r_str.iterations
+    assert r_ids.nf == r_str.nf
+    got_str = sorted(map(tuple, r_str.balls.collect()))
+    got_ids = sorted(map(tuple, r_ids.balls.collect()))
+    assert got_ids == got_str
