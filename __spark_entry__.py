@@ -1103,6 +1103,18 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(spark, _edges(spark, sf_dir), t_max=3)
 
 
+def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the one-iteration LPA partition
+    (graph/metrics.py::modularity — exact integer moments, one float
+    division, bit-identical cross-engine)."""
+    from pagerankproject_spark.graph.metrics import modularity
+
+    labels = q_lpa_one_iter(spark, sf_dir).select(
+        "url", F.col("new_label").alias("label")
+    )
+    return modularity(_edges(spark, sf_dir), labels)
+
+
 def q_ppr_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo personalized PageRank for every seed from the
     deterministic walk corpus (graph/walks.py::ppr_from_walks; the
@@ -1181,7 +1193,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 81 keys are oracle-backed as of round 2: the iterative
+    """ALL 82 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1244,7 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs_capped": q_jaccard_pairs_capped,
         "minhash_verified_pairs": q_minhash_verified,
-        "simhash_pairs": q_simhash_pairs,
+        "modularity_lpa": q_modularity_lpa,
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,
         "embedding_centroids": q_embedding_centroids,
         "ivf_topk_fullprobe": q_ivf_topk,
@@ -1271,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,     # ⊂ corpus_filter (same predicate)
         "ann_lsh_pairs": q_ann_lsh_pairs,             # ⊂ embedding_near_dup_at_scale
         "simhash_fingerprints": q_simhash_fingerprints,  # ⊂ simhash_pairs
+        "simhash_pairs": q_simhash_pairs,             # r01 driver-green
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
         "outlink_extract": q_outlink_extract,         # r01 driver-green
@@ -1293,6 +1306,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.extract import (
         sql_extract_anchors as _sql_extract_anchors,
+    )
+    from pagerankproject_spark.graph.metrics import (
+        sql_modularity as _sql_modularity,
     )
     from pagerankproject_spark.graph.walks import (
         sql_ppr_from_walks as _sql_ppr_from_walks,
@@ -1355,6 +1371,15 @@ def oracle_sql() -> dict[str, str]:
                                                  order by cnt desc, label asc) as rn
                        from counts)
             select url, label as new_label from ranked where rn = 1""",
+        "modularity_lpa": f"""{g},
+            counts as (select dst as url, src as label, count(*) as cnt
+                       from sym group by 1, 2),
+            ranked as (select url, label,
+                              row_number() over (partition by url
+                                                 order by cnt desc, label asc) as rn
+                       from counts),
+            labs as (select url, label from ranked where rn = 1),
+            {_sql_modularity('labs')}""",
         "triangles_per_edge": f"""{g},
             und as (select distinct least(src, dst) as a, greatest(src, dst) as b
                     from edges where src <> dst),

@@ -165,3 +165,103 @@ def sql_degree_assortativity() -> str:
                as assortativity
     from m
     """
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman-Girvan modularity of a vertex partition over the simple
+    undirected graph (Newman & Girvan 2004):
+
+        Q = sum_c ( l_c / m  -  (d_c / 2m)^2 )
+          = ( 4m * sum_c l_c  -  sum_c d_c^2 ) / (4 m^2)
+
+    where l_c = intra-community edges, d_c = community degree sum, m =
+    total undirected edges. Computed the degree_assortativity way: the
+    three moments (m, sum l_c, sum d_c^2) are EXACT INTEGER aggregates
+    (order-insensitive), and the single float division happens once at
+    the end — bit-identical across Spark, DuckDB and python. Vertices
+    missing from `labels` form singleton communities implicitly (their
+    d_c^2 still counts), matching the standard definition.
+
+    At 10^12-edge scale sum d_c^2 can exceed int64 ((2m)^2 ~ 4e24);
+    promote the moment columns to decimal(38,0) there — the contract
+    scales stay exact in bigint, which the driver hashes natively.
+
+    Output (one row): m_edges, intra_edges, degsq_sum (long),
+    modularity (double).
+
+    `labels`: (url, label) — e.g. label_propagation / connected
+    components output.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    verts = und.select(F.col("a").alias("url")).union(
+        und.select(F.col("b").alias("url"))
+    )
+    deg = verts.groupBy("url").agg(F.count("*").alias("deg"))
+    lab = labels.select("url", "label")
+    # vertices absent from `labels` keep a singleton community = their url
+    vlab = deg.join(lab, "url", "left").select(
+        "url", "deg", F.coalesce("label", F.col("url")).alias("label")
+    )
+    dsq = (
+        vlab.groupBy("label")
+        .agg(F.sum("deg").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("degsq_sum"))
+    )
+    la = vlab.select(F.col("url").alias("a"), F.col("label").alias("la"))
+    lb = vlab.select(F.col("url").alias("b"), F.col("label").alias("lb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    m = und.agg(F.count("*").cast("long").alias("m_edges"))
+    return (
+        m.crossJoin(intra)
+        .crossJoin(dsq)
+        .select(
+            "m_edges",
+            "intra_edges",
+            "degsq_sum",
+            (
+                (
+                    F.lit(4) * F.col("m_edges") * F.col("intra_edges")
+                    - F.col("degsq_sum")
+                ).cast("double")
+                / (F.lit(4) * F.col("m_edges") * F.col("m_edges")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+def sql_modularity(labels_rel: str, edges_rel: str = "edges") -> str:
+    """DuckDB twin of modularity() — same integer moments, same single
+    division. `labels_rel` must expose (url, label)."""
+    return f"""
+    und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+            from {edges_rel} where src <> dst),
+    dv as (select url, count(*) as deg from (
+               select a as url from und union all select b as url from und
+           ) group by 1),
+    vlab as (select dv.url, dv.deg, coalesce(l.label, dv.url) as label
+             from dv left join {labels_rel} l on l.url = dv.url),
+    dsq as (select sum(d * d)::bigint as degsq_sum from (
+                select label, sum(deg) as d from vlab group by 1
+            )),
+    intra as (select count(*)::bigint as intra_edges
+              from und
+              join vlab va on va.url = und.a
+              join vlab vb on vb.url = und.b
+              where va.label = vb.label),
+    mm as (select count(*)::bigint as m_edges from und)
+    select m_edges, intra_edges, degsq_sum,
+           (4 * m_edges * intra_edges - degsq_sum)::double
+               / (4 * m_edges * m_edges)::double as modularity
+    from mm, intra, dsq
+    """

@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 from itertools import combinations
 
+from pyspark.sql import functions as F
+
 from pagerankproject_spark.graph.linkpred import (
     adamic_adar,
     bibliographic_coupling,
@@ -137,3 +139,32 @@ def test_ppr_from_walks_matches_python_replay(spark):
     assert all(m <= full + 1e-9 for m in per_seed.values())
     # every seed's own step-0 mass is present
     assert all(got[(s, s)] >= (1.0 - A) / W - 1e-9 for s in per_seed)
+
+
+def test_modularity_two_triangles_with_bridge(spark):
+    from pagerankproject_spark.graph.metrics import modularity
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    bridge = [("c", "x")]
+    edges = edges_df(spark, tri1 + tri2 + bridge)
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"), ("x", "R"), ("y", "R"), ("z", "R")],
+        "url string, label string",
+    )
+    row = modularity(edges, labels).collect()[0]
+    # m=7, intra=6, deg sums 7+7 -> Q = (4*7*6 - 98) / (4*49) = 70/196
+    assert row["m_edges"] == 7
+    assert row["intra_edges"] == 6
+    assert row["degsq_sum"] == 98
+    assert row["modularity"] == 70 / 196
+
+    # everything in one community: Q = 0 by definition
+    one = labels.select("url", F.lit("all").alias("label"))
+    assert modularity(edges, one).collect()[0]["modularity"] == 0.0
+
+    # missing labels fall back to singleton communities
+    partial = labels.filter(F.col("label") == "L")
+    row2 = modularity(edges, partial).collect()[0]
+    assert row2["intra_edges"] == 3  # only tri1 is intra now
+    assert row2["degsq_sum"] == 49 + 4 + 4 + 9  # L=7, then y,z deg 2, x deg 3
