@@ -33,6 +33,13 @@ PLAN_QUERIES = [
     "decontaminate_overlap",   # broadcast eval-shingle probe
     "sequence_pack",           # two-phase prefix sum (no global window)
     "tfidf_topterms",          # two-level aggs + vocab join + per-doc top-k
+    "cocitation",              # df-capped co-occurrence self-join
+    "adamic_adar",             # degree-capped wedge join + weighted agg
+    "hyperball_nf",            # register max-merge rounds (16 partial maxes)
+    "latest_snapshot",         # ONE combinable max(struct), no window sort
+    "anchor_extract",          # arrays_zip dual-capture extraction
+    "modularity_lpa",          # integer moments + single division
+    "ppr_walks",               # walk corpus -> combinable weighted sum
 ]
 
 
