@@ -184,11 +184,10 @@ def main() -> None:
         )
     elif args.algo == "harmonic":
         from pagerankproject_spark.graph.hyperball import harmonic_centrality
-        from pagerankproject_spark.ingest.edges import regex_filter
 
-        out = harmonic_centrality(
-            spark, regex_filter(read_edge_csv(spark, args.data)), t_max=args.t_max
-        ).orderBy(F.desc("harmonic"), "url")
+        out = harmonic_centrality(spark, g=g, t_max=args.t_max).orderBy(
+            F.desc("harmonic"), "url"
+        )
     elif args.algo == "hostrank":
         from pagerankproject_spark.graph.pagerank import pagerank
         from pagerankproject_spark.ingest.edges import (

@@ -287,8 +287,9 @@ def hyperball(
 
 def harmonic_centrality(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     t_max: int = 3,
+    g=None,
 ) -> DataFrame:
     """HyperBall harmonic-centrality estimates — the paper's headline
     application (Boldi & Vigna 2013 §3): H(v) = sum over reachable w of
@@ -309,16 +310,41 @@ def harmonic_centrality(
     Output: url, harmonic (double, 6dp). Fixed depth: run t_max rounds,
     no early stop (balls past t_max contribute (e_t - e_{t-1})/t ~ 0
     once growth stops, and fixed work keeps the contract deterministic).
+
+    `g` (GraphTables, overrides `edges`): dense-id loop, same 2.1x as
+    hyperball(g=) — registers from md5(url), identical output (tested).
     """
-    e = _dst_partitioned_simple(spark, edges)
-    verts = (
-        e.select(F.col("src").alias("url"))
-        .union(e.select(F.col("dst").alias("url")))
-        .distinct()
-    )
+    vertices_dim = None
+    if g is not None:
+        e = (
+            g.weighted_edges.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(g.num_partitions, "dst")
+            .localCheckpoint(eager=True)
+        )
+        reg_exprs = [
+            F.expr(
+                _init_register_sql("url", k).format(hex1int=_spark_hex1int("url"))
+            ).alias(f"r{k}")
+            for k in range(M)
+        ]
+        base = g.vertices.select(F.col("id").alias("_k"), *reg_exprs).withColumnRenamed(
+            "_k", "url"
+        )
+        vertices_dim = g.vertices
+    else:
+        e = _dst_partitioned_simple(spark, edges)
+        verts = (
+            e.select(F.col("src").alias("url"))
+            .union(e.select(F.col("dst").alias("url")))
+            .distinct()
+        )
+        base = init_sketches(verts)
     sketch = (
-        init_sketches(verts)
-        .withColumn("h", F.lit(0.0))
+        base.withColumn("h", F.lit(0.0))
         .withColumn("prev_est", estimate_expr(rounded=False))
         .localCheckpoint(eager=True)
     )
@@ -347,7 +373,14 @@ def harmonic_centrality(
             .drop("est")
         )
         sketch = stepped.localCheckpoint(eager=True)
-    return sketch.select("url", F.round("h", 6).alias("harmonic"))
+    out = sketch.select("url", F.round("h", 6).alias("harmonic"))
+    if vertices_dim is not None:
+        out = (
+            out.withColumnRenamed("url", "id")
+            .join(vertices_dim, "id")
+            .select("url", "harmonic")
+        )
+    return out
 
 
 def sql_harmonic_centrality(t_max: int, edges_rel: str = "edges") -> str:

@@ -185,3 +185,19 @@ def test_graphtables_id_path_equals_string_path(spark):
     got_str = sorted(map(tuple, r_str.balls.collect()))
     got_ids = sorted(map(tuple, r_ids.balls.collect()))
     assert got_ids == got_str
+
+
+def test_harmonic_id_path_equals_string_path(spark):
+    from pagerankproject_spark.graph.hyperball import harmonic_centrality
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    pairs = [
+        (f"site.com/p{i}", f"site.com/p{(i * 7 + j * j) % 40}")
+        for i in range(40)
+        for j in range(3)
+    ]
+    e = edges_df(spark, pairs)
+    g = build_graph_tables(spark, e)
+    got_str = sorted(map(tuple, harmonic_centrality(spark, edges=e, t_max=3).collect()))
+    got_ids = sorted(map(tuple, harmonic_centrality(spark, g=g, t_max=3).collect()))
+    assert got_ids == got_str
