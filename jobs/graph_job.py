@@ -59,8 +59,17 @@ def main() -> None:
     from pagerankproject_spark.session import get_spark
 
     spark = get_spark(app_name=f"graph-{args.algo}", master=args.master)
-    g = build_graph_tables(spark, read_edge_csv(spark, args.data))
-    print(f"n= {g.n} edges= {g.num_edges}")
+    # the co-link/walk/host branches consume raw (filtered) edges and
+    # never touch GraphTables — skip the dense-id build + two persisted
+    # shuffles for them (it roughly doubled their wall-clock)
+    needs_g = args.algo not in {
+        "assortativity", "walks", "cocitation", "coupling",
+        "adamicadar", "reciprocity", "hostrank",
+    }
+    g = None
+    if needs_g:
+        g = build_graph_tables(spark, read_edge_csv(spark, args.data))
+        print(f"n= {g.n} edges= {g.num_edges}")
 
     if args.algo == "cc":
         res = connected_components(

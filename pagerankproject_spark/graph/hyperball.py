@@ -154,6 +154,52 @@ def _dst_partitioned_simple(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return e
 
 
+def _sketch_inputs(spark: SparkSession, edges: DataFrame | None, g):
+    """Shared loop inputs for hyperball()/harmonic_centrality():
+    (e, base_sketch, vertices_dim). Both key spaces use the SAME vertex
+    set — endpoints of the self-loop-free simple edge table — so the
+    dense-id and string paths produce identical outputs (a g.vertices
+    entry whose only edges are self-loops is excluded in both).
+    Raises on an empty simple graph (fail-fast, like
+    build_graph_tables)."""
+    if g is not None:
+        e = (
+            g.weighted_edges.select(
+                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(g.num_partitions, "dst")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            raise ValueError("empty graph: no non-self-loop edges")
+        vids = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+        reg_exprs = [
+            F.expr(
+                _init_register_sql("url", k).format(hex1int=_spark_hex1int("url"))
+            ).alias(f"r{k}")
+            for k in range(M)
+        ]
+        base = (
+            g.vertices.join(vids, "id")
+            .select(F.col("id").alias("_k"), *reg_exprs)
+            .withColumnRenamed("_k", "url")
+        )
+        return e, base, g.vertices
+    e = _dst_partitioned_simple(spark, edges)
+    if e.isEmpty():
+        raise ValueError("empty graph: no non-self-loop edges")
+    verts = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    return e, init_sketches(verts), None
+
+
 @dataclass
 class HyperBallResult:
     balls: DataFrame  # url, ball_est (double): estimated |B(v, t_final)|
@@ -186,37 +232,8 @@ def hyperball(
     are identical to the string path — tested), but every per-round
     shuffle moves 8-byte keys instead of url strings. Measured 2.1x at
     45M edges (BENCH.md); the production mode at corpus scale."""
-    vertices_dim = None
-    if g is not None:
-        e = (
-            g.weighted_edges.select(
-                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .repartition(g.num_partitions, "dst")
-            .localCheckpoint(eager=True)
-        )
-        reg_exprs = [
-            F.expr(
-                _init_register_sql("url", k).format(hex1int=_spark_hex1int("url"))
-            ).alias(f"r{k}")
-            for k in range(M)
-        ]
-        sketch = (
-            g.vertices.select(F.col("id").alias("_k"), *reg_exprs)
-            .withColumnRenamed("_k", "url")
-            .localCheckpoint(eager=True)
-        )
-        vertices_dim = g.vertices
-    else:
-        e = _dst_partitioned_simple(spark, edges)
-        verts = (
-            e.select(F.col("src").alias("url"))
-            .union(e.select(F.col("dst").alias("url")))
-            .distinct()
-        )
-        sketch = init_sketches(verts).localCheckpoint(eager=True)
+    e, base, vertices_dim = _sketch_inputs(spark, edges, g)
+    sketch = base.localCheckpoint(eager=True)
 
     nf = []
     if early_stop:
@@ -314,35 +331,7 @@ def harmonic_centrality(
     `g` (GraphTables, overrides `edges`): dense-id loop, same 2.1x as
     hyperball(g=) — registers from md5(url), identical output (tested).
     """
-    vertices_dim = None
-    if g is not None:
-        e = (
-            g.weighted_edges.select(
-                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .repartition(g.num_partitions, "dst")
-            .localCheckpoint(eager=True)
-        )
-        reg_exprs = [
-            F.expr(
-                _init_register_sql("url", k).format(hex1int=_spark_hex1int("url"))
-            ).alias(f"r{k}")
-            for k in range(M)
-        ]
-        base = g.vertices.select(F.col("id").alias("_k"), *reg_exprs).withColumnRenamed(
-            "_k", "url"
-        )
-        vertices_dim = g.vertices
-    else:
-        e = _dst_partitioned_simple(spark, edges)
-        verts = (
-            e.select(F.col("src").alias("url"))
-            .union(e.select(F.col("dst").alias("url")))
-            .distinct()
-        )
-        base = init_sketches(verts)
+    e, base, vertices_dim = _sketch_inputs(spark, edges, g)
     sketch = (
         base.withColumn("h", F.lit(0.0))
         .withColumn("prev_est", estimate_expr(rounded=False))

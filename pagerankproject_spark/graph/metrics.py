@@ -204,21 +204,32 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     deg = verts.groupBy("url").agg(F.count("*").alias("deg"))
     lab = labels.select("url", "label")
-    # vertices absent from `labels` keep a singleton community = their url
+    # vertices absent from `labels` form singleton communities; the
+    # community key is (labeled, value) — TWO columns, so a singleton's
+    # url can never collide with a real label that happens to equal it
     vlab = deg.join(lab, "url", "left").select(
-        "url", "deg", F.coalesce("label", F.col("url")).alias("label")
+        "url",
+        "deg",
+        F.col("label").isNotNull().alias("labeled"),
+        F.coalesce("label", F.col("url")).alias("label"),
     )
     dsq = (
-        vlab.groupBy("label")
+        vlab.groupBy("labeled", "label")
         .agg(F.sum("deg").alias("d"))
         .agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("degsq_sum"))
     )
-    la = vlab.select(F.col("url").alias("a"), F.col("label").alias("la"))
-    lb = vlab.select(F.col("url").alias("b"), F.col("label").alias("lb"))
+    la = vlab.select(
+        F.col("url").alias("a"), F.col("labeled").alias("fa"), F.col("label").alias("la")
+    )
+    lb = vlab.select(
+        F.col("url").alias("b"), F.col("labeled").alias("fb"), F.col("label").alias("lb")
+    )
+    # intra edges need BOTH endpoints labeled with the same label —
+    # singleton communities have one member, so they never contribute
     intra = (
         und.join(la, "a")
         .join(lb, "b")
-        .filter(F.col("la") == F.col("lb"))
+        .filter(F.col("fa") & F.col("fb") & (F.col("la") == F.col("lb")))
         .agg(F.count("*").cast("long").alias("intra_edges"))
     )
     m = und.agg(F.count("*").cast("long").alias("m_edges"))
@@ -249,16 +260,18 @@ def sql_modularity(labels_rel: str, edges_rel: str = "edges") -> str:
     dv as (select url, count(*) as deg from (
                select a as url from und union all select b as url from und
            ) group by 1),
-    vlab as (select dv.url, dv.deg, coalesce(l.label, dv.url) as label
+    vlab as (select dv.url, dv.deg,
+                    l.label is not null as labeled,
+                    coalesce(l.label, dv.url) as label
              from dv left join {labels_rel} l on l.url = dv.url),
     dsq as (select sum(d * d)::bigint as degsq_sum from (
-                select label, sum(deg) as d from vlab group by 1
+                select labeled, label, sum(deg) as d from vlab group by 1, 2
             )),
     intra as (select count(*)::bigint as intra_edges
               from und
               join vlab va on va.url = und.a
               join vlab vb on vb.url = und.b
-              where va.label = vb.label),
+              where va.labeled and vb.labeled and va.label = vb.label),
     mm as (select count(*)::bigint as m_edges from und)
     select m_edges, intra_edges, degsq_sum,
            (4 * m_edges * intra_edges - degsq_sum)::double

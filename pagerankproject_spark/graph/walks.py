@@ -211,9 +211,13 @@ def ppr_from_walks(
     """
     wts = step_weights(walk_length, walks_per_vertex, alpha)
     wgt = F.array(*[F.lit(w) for w in wts])[F.col("step")]
+    # seed = walk_id minus its trailing '#<w>' suffix — anchored at the
+    # END, so a start url that itself contains '#' (fragments) survives
+    # intact (splitting at the FIRST '#' would truncate it and merge
+    # mass across distinct seeds sharing a prefix)
     return (
         walks.select(
-            F.substring_index(F.col("walk_id"), "#", 1).alias("seed"),
+            F.regexp_replace(F.col("walk_id"), r"#\d+$", "").alias("seed"),
             "url",
             wgt.alias("wgt"),
         )

@@ -35,9 +35,14 @@ HREF_REGEX = r'<a\s[^>]*href="([^"]*)"'
 
 @F.pandas_udf(ArrayType(StringType()))
 def _extract_hrefs_arrow(html: pd.Series) -> pd.Series:
-    """Arrow-batched extraction: bytes -> list of href targets."""
+    """Arrow-batched extraction: bytes -> list of href targets.
+    re.ASCII pins \\s to the ASCII class — Java regex (sql twin) and
+    RE2 (DuckDB oracle) never match U+00A0-style Unicode whitespace,
+    and the twins must agree byte-for-byte."""
+    import re
+
     text = html.apply(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    hits = text.str.extractall(HREF_REGEX)
+    hits = text.str.extractall(HREF_REGEX, flags=re.ASCII)
     if hits.empty:
         return pd.Series([[] for _ in range(len(html))], index=html.index)
     grouped = hits[0].groupby(level=0).agg(list)
@@ -67,11 +72,14 @@ ANCHOR_REGEX = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
 
 @F.pandas_udf(ArrayType(ArrayType(StringType())))
 def _extract_anchors_arrow(html: pd.Series) -> pd.Series:
-    """Arrow-batched: bytes -> list of [href, anchor_text] pairs."""
+    """Arrow-batched: bytes -> list of [href, anchor_text] pairs
+    (re.ASCII: see _extract_hrefs_arrow)."""
+    import re
+
     text = html.apply(
         lambda b: b.decode("utf-8", errors="replace") if b is not None else ""
     )
-    hits = text.str.extractall(ANCHOR_REGEX)
+    hits = text.str.extractall(ANCHOR_REGEX, flags=re.ASCII)
     if hits.empty:
         return pd.Series([[] for _ in range(len(html))], index=html.index)
     pairs = hits.apply(lambda r: [r[0], r[1]], axis=1)

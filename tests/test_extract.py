@@ -217,3 +217,23 @@ def test_latest_snapshots_plan_partial_aggregates(spark):
     # per url before the shuffle (the 10^12-row requirement)
     assert "partial_max" in p
     assert "Window" not in p
+
+
+def test_anchor_unicode_whitespace_sql_arrow_agree(spark):
+    import datetime
+
+    from pagerankproject_spark.ingest.extract import extract_anchors, extract_outlinks
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    # NBSP after '<a': Java regex / RE2 \s are ASCII-only, so NEITHER
+    # impl may extract it (re.ASCII pins the python twin)
+    html = '<a href="a.com/x">nb</a><a href="b.com/y">ok</a>'.encode()
+    pages = spark.createDataFrame(
+        [("p1", ts, html, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    for fn in (extract_anchors, extract_outlinks):
+        sql = sorted(map(tuple, fn(pages, "sql").collect()))
+        arrow = sorted(map(tuple, fn(pages, "arrow").collect()))
+        assert sql == arrow
+        assert all("a.com/x" not in r for row in sql for r in row)

@@ -201,3 +201,29 @@ def test_harmonic_id_path_equals_string_path(spark):
     got_str = sorted(map(tuple, harmonic_centrality(spark, edges=e, t_max=3).collect()))
     got_ids = sorted(map(tuple, harmonic_centrality(spark, g=g, t_max=3).collect()))
     assert got_ids == got_str
+
+
+def test_selfloop_only_vertex_excluded_in_both_key_spaces(spark):
+    import pytest
+
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    pairs = [("site.com/a", "site.com/b"), ("site.com/b", "site.com/c"),
+             ("site.com/s", "site.com/s")]
+    e = edges_df(spark, pairs)
+    g = build_graph_tables(spark, e)
+    r_str = hyperball(spark, edges=e, t_max=8)
+    r_ids = hyperball(spark, g=g, t_max=8)
+    # s has only a self-loop: not a vertex of the simple graph in EITHER path
+    assert sorted(map(tuple, r_ids.balls.collect())) == sorted(
+        map(tuple, r_str.balls.collect())
+    )
+    assert r_ids.nf == r_str.nf
+    assert all(r["url"] != "site.com/s" for r in r_str.balls.collect())
+
+    # empty simple graph fails fast instead of float(None) crashing
+    loops = edges_df(spark, [("a", "a"), ("b", "b")])
+    with pytest.raises(ValueError, match="empty graph"):
+        hyperball(spark, edges=loops, t_max=4)
+    with pytest.raises(ValueError, match="empty graph"):
+        harmonic_centrality(spark, edges=loops, t_max=2)

@@ -168,3 +168,29 @@ def test_modularity_two_triangles_with_bridge(spark):
     row2 = modularity(edges, partial).collect()[0]
     assert row2["intra_edges"] == 3  # only tri1 is intra now
     assert row2["degsq_sum"] == 49 + 4 + 4 + 9  # L=7, then y,z deg 2, x deg 3
+
+
+def test_ppr_seed_survives_hash_in_url(spark):
+    from pagerankproject_spark.graph.walks import ppr_from_walks, random_walks
+
+    # a start url containing '#' must come back intact as the seed, and
+    # must NOT merge with a distinct seed sharing its pre-'#' prefix
+    pairs = [("site.com/p#frag", "site.com/q"), ("site.com/p", "site.com/q"),
+             ("site.com/q", "site.com/p")]
+    walks = random_walks(edges_df(spark, pairs), walk_length=2, walks_per_vertex=2)
+    got = ppr_from_walks(walks, walk_length=2, walks_per_vertex=2, alpha=0.5)
+    seeds = {r["seed"] for r in got.collect()}
+    assert "site.com/p#frag" in seeds
+    assert "site.com/p" in seeds
+
+
+def test_modularity_label_url_collision_stays_singleton(spark):
+    from pagerankproject_spark.graph.metrics import modularity
+
+    # vertex x is unlabeled and its URL equals community label 'x' —
+    # it must stay a singleton, not merge into that community
+    edges = edges_df(spark, [("a", "x")])
+    labels = spark.createDataFrame([("a", "x")], "url string, label string")
+    row = modularity(edges, labels).collect()[0]
+    assert row["intra_edges"] == 0
+    assert row["degsq_sum"] == 1 + 1  # two singleton-degree communities
