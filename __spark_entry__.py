@@ -1103,6 +1103,19 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(spark, _edges(spark, sf_dir), t_max=3)
 
 
+_KHOP_SEEDS = ["site.com/p1", "site.com/p42"]
+
+
+def q_khop_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego-net edge subgraph around two fixed seeds
+    (graph/kcore.py::khop_subgraph; depth-bounded recursive-CTE
+    oracle)."""
+    from pagerankproject_spark.graph.kcore import khop_subgraph
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return khop_subgraph(spark, g, _KHOP_SEEDS, k=2)
+
+
 def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman-Girvan modularity of the one-iteration LPA partition
     (graph/metrics.py::modularity — exact integer moments, one float
@@ -1193,7 +1206,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 82 keys are oracle-backed as of round 2: the iterative
+    """ALL 83 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1212,7 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window: 50 oracle-backed keys ---
         "edge_regex_filter": q_edge_regex_filter,
-        "degree_in": q_degree_in,
+        "khop_subgraph": q_khop_subgraph,
         "katz_centrality": q_katz_centrality,
         "host_graph": q_host_graph,
         "doc_chunks": q_doc_chunks,
@@ -1286,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,             # r01 driver-green
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
+        "degree_in": q_degree_in,                     # r01 driver-green
         "outlink_extract": q_outlink_extract,         # r01 driver-green
         "lang_id": q_lang_id,                         # r01 driver-green
         "ngram_topk": q_ngram_topk,                   # r01 driver-green
@@ -1306,6 +1320,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.extract import (
         sql_extract_anchors as _sql_extract_anchors,
+    )
+    from pagerankproject_spark.graph.kcore import (
+        sql_khop_subgraph as _sql_khop,
     )
     from pagerankproject_spark.graph.metrics import (
         sql_modularity as _sql_modularity,
@@ -1371,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
                                                  order by cnt desc, label asc) as rn
                        from counts)
             select url, label as new_label from ranked where rn = 1""",
+        "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
         "modularity_lpa": f"""{g},
             counts as (select dst as url, src as label, count(*) as cnt
                        from sym group by 1, 2),

@@ -180,3 +180,90 @@ def bfs_distances(
     return BFSResult(
         distances=out, iterations=it + 1, converged=converged, metrics=metrics
     )
+
+
+def khop_subgraph(
+    spark: SparkSession,
+    g: GraphTables,
+    seeds: list[str],
+    k: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Ego-net extraction: the edge set of the subgraph INDUCED on the
+    k-hop ball around `seeds` — the standard neighborhood sampler for
+    graph-ML minibatching (GraphSAGE-style) and for interactive "show
+    me the region around this page" drill-downs.
+
+    Ball membership grows by k rounds of frontier expansion (directed:
+    out-edges; undirected: symmetrized), each one join + distinct on
+    dense long ids; the output is the simple directed edge list with
+    BOTH endpoints inside the ball, translated back to urls. Work per
+    round is proportional to the frontier's out-edges, never the whole
+    graph; the final induced-edge step is two semi-joins against the
+    (ball-sized) membership table.
+
+    Output: src, dst (urls). Exact, fully declarative — the DuckDB
+    oracle replays it with a depth-bounded recursive CTE.
+    """
+    P = g.num_partitions
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(P, "src_id")
+        .localCheckpoint(eager=True)
+    )
+    step = (
+        e
+        if directed
+        else e.union(
+            e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
+        )
+    )
+    src_df = spark.createDataFrame([(u,) for u in seeds], "url string")
+    ball = (
+        g.vertices.join(F.broadcast(src_df), "url", "left_semi")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    if ball.isEmpty():
+        raise ValueError("no seed url found in the vertex set")
+    for _ in range(k):
+        nxt = (
+            step.join(ball.withColumnRenamed("id", "src_id"), "src_id")
+            .select(F.col("dst_id").alias("id"))
+            .union(ball)
+            .distinct()
+        )
+        ball = nxt.localCheckpoint(eager=True)
+    induced = e.join(ball.withColumnRenamed("id", "src_id"), "src_id").join(
+        ball.withColumnRenamed("id", "dst_id"), "dst_id"
+    )
+    v = g.vertices
+    return (
+        induced.join(v.select(F.col("id").alias("src_id"), F.col("url").alias("src")), "src_id")
+        .join(v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst")), "dst_id")
+        .select("src", "dst")
+    )
+
+
+def sql_khop_subgraph(seeds: list[str], k: int) -> str:
+    """DuckDB twin over the `edges` CTE: depth-bounded reach from the
+    seed set, then the induced simple directed edge list."""
+    seed_rows = ", ".join("('" + s.replace("'", "''") + "')" for s in seeds)
+    return f"""
+simple as (select distinct src, dst from edges where src <> dst),
+ball as (
+    with recursive reach(w, d) as (
+        select s.u as w, 0 from (values {seed_rows}) s(u)
+        union
+        select e.dst as w, r.d + 1
+        from reach r join simple e on e.src = r.w
+        where r.d < {k}
+    )
+    select distinct w from reach
+)
+select e.src, e.dst
+from simple e
+join ball ba on ba.w = e.src
+join ball bb on bb.w = e.dst"""

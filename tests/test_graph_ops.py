@@ -553,3 +553,39 @@ def test_katz_centrality_matches_numpy(spark):
     for u in urls:
         assert abs(got[u] - round(x[idx[u]], 6)) < 1e-9, (u, got[u], x[idx[u]])
     g.unpersist()
+
+
+def test_khop_subgraph_matches_brute_force(spark):
+    from pagerankproject_spark.graph.kcore import khop_subgraph
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    pairs = [
+        (f"site.com/p{i}", f"site.com/p{(i * 3 + j) % 25}")
+        for i in range(25)
+        for j in range(1, 3)
+    ]
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    seeds, k = ["site.com/p0"], 2
+
+    simple = {(s, d) for s, d in pairs if s != d}
+    adj = {}
+    for s, d in simple:
+        adj.setdefault(s, set()).add(d)
+    ball = set(seeds)
+    for _ in range(k):
+        ball |= {d for w in list(ball) for d in adj.get(w, ())}
+    expect = sorted((s, d) for s, d in simple if s in ball and d in ball)
+
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in khop_subgraph(spark, g, seeds, k=k).collect()
+    )
+    assert got == expect
+    assert 0 < len(got) < len(simple)  # a proper subgraph
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed url"):
+        khop_subgraph(spark, g, ["site.com/absent"], k=1)
