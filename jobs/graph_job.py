@@ -29,7 +29,7 @@ def main() -> None:
             "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
             "cocitation", "coupling", "adamicadar", "reciprocity",
-            "hyperball", "harmonic", "hostrank",
+            "hyperball", "harmonic", "hostrank", "khop",
         ],
     )
     p.add_argument("--min_count", type=int, default=1, help="cocitation/coupling floor")
@@ -197,6 +197,12 @@ def main() -> None:
         out = harmonic_centrality(spark, g=g, t_max=args.t_max).orderBy(
             F.desc("harmonic"), "url"
         )
+    elif args.algo == "khop":
+        from pagerankproject_spark.graph.kcore import khop_subgraph
+
+        if not args.source:
+            p.error("--source required for khop")
+        out = khop_subgraph(spark, g, [args.source], k=args.k).orderBy("src", "dst")
     elif args.algo == "hostrank":
         from pagerankproject_spark.graph.pagerank import pagerank
         from pagerankproject_spark.ingest.edges import (
