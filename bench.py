@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "host_pagerank",
     "latest_snapshot",
     "anchor_extract",
+    "khop_subgraph",
+    "modularity_lpa",
 ]
 
 
