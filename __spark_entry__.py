@@ -985,6 +985,22 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("url", F.round("x", 6).alias("x"))
 
 
+def q_host_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP over the host graph, cost = 1/n_links (strongly
+    linked hosts are close) — graph/kcore.py::sssp_weighted; the
+    min-over-trajectory recursive-CTE oracle replays the relaxations."""
+    from pagerankproject_spark.graph.kcore import sssp_weighted
+
+    hedges = q_host_graph(spark, sf_dir)
+    ew = hedges.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        (F.lit(1.0) / F.col("n_links").cast("double")).alias("w"),
+    )
+    res = sssp_weighted(spark, ew, "h1.com")
+    return res.distances.select("url", F.round("dist", 6).alias("dist"))
+
+
 def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality, fixed 10 iterations at alpha=0.05
     (graph/metrics.py — recursive-CTE oracle replays the iterations)."""
@@ -1206,7 +1222,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 83 keys are oracle-backed as of round 2: the iterative
+    """ALL 84 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1273,7 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,
         "embedding_centroids": q_embedding_centroids,
         "ivf_topk_fullprobe": q_ivf_topk,
-        "media_metadata": q_media_metadata,
+        "host_sssp": q_host_sssp,
         # --- past the driver window: each either subsumed by an in-window
         # twin or permanently driver-green since round 1 (CORRECTNESS_r01),
         # all still oracle-backed and locally gated by check_contract ---
@@ -1299,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,             # r01 driver-green
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
+        "media_metadata": q_media_metadata,           # r01 driver-green
         "degree_in": q_degree_in,                     # r01 driver-green
         "outlink_extract": q_outlink_extract,         # r01 driver-green
         "lang_id": q_lang_id,                         # r01 driver-green
@@ -1323,6 +1340,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
+        sql_sssp_weighted as _sql_sssp,
     )
     from pagerankproject_spark.graph.metrics import (
         sql_modularity as _sql_modularity,
@@ -1389,6 +1407,16 @@ def oracle_sql() -> dict[str, str]:
                        from counts)
             select url, label as new_label from ranked where rn = 1""",
         "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
+        "host_sssp": f"""
+            with hedges_raw as (
+                select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,
+                       'h' || (o_orderkey % 41) || '.com/p' || (o_orderkey % 700) as dst
+                from orders
+            ),
+            hagg as ({pipeline.sql_host_graph('hedges_raw')}),
+            wedges as (select src_host as src, dst_host as dst,
+                              1.0::double / n_links::double as w from hagg),
+            {_sql_sssp('h1.com')}""",
         "modularity_lpa": f"""{g},
             counts as (select dst as url, src as label, count(*) as cnt
                        from sym group by 1, 2),

@@ -267,3 +267,134 @@ select e.src, e.dst
 from simple e
 join ball ba on ba.w = e.src
 join ball bb on bb.w = e.dst"""
+
+
+@dataclass
+class SSSPResult:
+    distances: DataFrame  # url: string, dist: double (unreached omitted)
+    iterations: int
+    converged: bool
+
+
+def sssp_weighted(
+    spark: SparkSession,
+    edges_w: DataFrame,
+    source: str,
+    max_iterations: int = 200,
+) -> SSSPResult:
+    """Weighted single-source shortest paths over a directed graph with
+    POSITIVE edge costs (src, dst, w) — synchronous Bellman-Ford
+    relaxation, the weighted twin of bfs_distances:
+
+        d_i(v) = min( d_{i-1}(v), min over (u,v,w) of d_{i-1}(u) + w )
+
+    Each iteration is one join + one combinable min aggregate keyed by
+    dst (the PageRank-loop shape); the changed-vertex count rides an
+    Observation on the checkpoint materialization, so convergence costs
+    no extra job. Positive costs make distances strictly monotone
+    decreasing per vertex, which is what lets the DuckDB oracle replay
+    the run as min-over-trajectory (sql_sssp_weighted). Every relaxed
+    candidate is one float addition of the same two doubles on both
+    engines, so distances are bit-identical; the contract key rounds to
+    6dp by module convention only.
+
+    Natural input at corpus scale: the host graph with cost = 1/n_links
+    (strongly-linked hosts are "close"). Unreached vertices are omitted.
+    """
+    e = (
+        edges_w.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .filter((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        e.select(F.col("src").alias("url"))
+        .union(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .filter(F.col("url") == source)
+        .select("url", F.lit(0.0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    if dist.isEmpty():
+        raise ValueError("source url not found in the vertex set")
+
+    converged, it = False, 0
+    with no_aqe(spark):
+        for it in range(max_iterations):
+            cand = (
+                e.join(dist, e.src == dist.url)
+                .groupBy(F.col("dst").alias("url"))
+                .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+            )
+            obs = Observation()
+            staged = (
+                dist.join(cand, "url", "full")
+                .select(
+                    "url",
+                    F.least(
+                        F.coalesce(F.col("d"), F.lit(float("inf"))),
+                        F.coalesce(F.col("nd"), F.lit(float("inf"))),
+                    ).alias("nd2"),
+                    F.col("d").alias("old"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("old").isNull() | (F.col("nd2") < F.col("old")), 1
+                        ).otherwise(0)
+                    ).alias("c"),
+                )
+            )
+            dist = staged.select("url", F.col("nd2").alias("d")).localCheckpoint(
+                eager=True
+            )
+            if int(obs.get["c"] or 0) == 0:
+                converged = True
+                break
+    return SSSPResult(
+        distances=dist.select("url", F.col("d").alias("dist")),
+        iterations=it + 1,
+        converged=converged,
+    )
+
+
+def sql_sssp_weighted(
+    source: str, edges_rel: str = "wedges", round_digits: int = 6
+) -> str:
+    """DuckDB twin of sssp_weighted: the sql_bfs_distances recursion
+    with real weights. `edges_rel` must expose (src, dst, w) with
+    positive w and no self-loops; distances are min-over-trajectory
+    (monotone), rounded like the engine's contract output."""
+    s = source.replace("'", "''")
+    return f"""
+ew0 as (
+  select src, dst, w::double as w from {edges_rel} where src <> dst and w > 0
+),
+vv as (select src as url from ew0 union select dst from ew0),
+eww as (
+  select src, dst, w, 0 as own from ew0
+  union all
+  select url, url, 0.0::double, 1 from vv
+),
+sp as (
+  -- the anchor literal PINS st.d's type for every round: a bare 0.0
+  -- would make it DECIMAL(2,1), silently rounding each round's float
+  -- distances to one decimal and looping forever (pre-cast d < old
+  -- keeps reporting an improvement the cast then throws away)
+  with recursive st(v, d, chg) as (
+    select url, 0.0::double, 1 from vv where url = '{s}'
+    union all
+    select v, d,
+           max(case when old is null or d < old then 1 else 0 end) over () as chg
+    from (
+      select e.dst as v,
+             min(s.d + e.w) as d,
+             min(s.d) filter (where e.own = 1) as old
+      from st s join eww e on e.src = s.v
+      where s.chg = 1
+      group by e.dst
+    )
+  )
+  select v as url, min(d) as dist from st group by v
+)
+select url, round(dist, {round_digits}) as dist from sp"""

@@ -589,3 +589,41 @@ def test_khop_subgraph_matches_brute_force(spark):
 
     with _pytest.raises(ValueError, match="no seed url"):
         khop_subgraph(spark, g, ["site.com/absent"], k=1)
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    import heapq
+
+    from pagerankproject_spark.graph.kcore import sssp_weighted
+
+    w_edges = [
+        ("a", "b", 0.5), ("b", "c", 0.25), ("a", "c", 1.0), ("c", "a", 0.1),
+        ("c", "d", 2.0), ("x", "y", 0.3),  # x,y unreachable from a
+        ("a", "a", 9.9),                   # self-loop dropped
+    ]
+    df = spark.createDataFrame(w_edges, "src string, dst string, w double")
+    res = sssp_weighted(spark, df, "a")
+    assert res.converged
+    got = {r["url"]: r["dist"] for r in res.distances.collect()}
+
+    adj = {}
+    for s, d, w in w_edges:
+        if s != d and w > 0:
+            adj.setdefault(s, []).append((d, w))
+    dist, pq = {"a": 0.0}, [(0.0, "a")]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist  # bit-exact: same float additions
+    assert "x" not in got and "y" not in got  # unreachable omitted
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="source url"):
+        sssp_weighted(spark, df, "nope")
