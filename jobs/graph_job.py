@@ -29,7 +29,7 @@ def main() -> None:
             "cc", "cc2", "lpa", "triangles", "hits", "scc", "kcore",
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
             "cocitation", "coupling", "adamicadar", "reciprocity",
-            "hyperball", "harmonic", "hostrank", "khop",
+            "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
         ],
     )
     p.add_argument("--min_count", type=int, default=1, help="cocitation/coupling floor")
@@ -64,7 +64,7 @@ def main() -> None:
     # shuffles for them (it roughly doubled their wall-clock)
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
-        "adamicadar", "reciprocity", "hostrank",
+        "adamicadar", "reciprocity", "hostrank", "hostsssp",
     }
     g = None
     if needs_g:
@@ -203,6 +203,26 @@ def main() -> None:
         if not args.source:
             p.error("--source required for khop")
         out = khop_subgraph(spark, g, [args.source], k=args.k).orderBy("src", "dst")
+    elif args.algo == "hostsssp":
+        from pagerankproject_spark.graph.kcore import sssp_weighted
+        from pagerankproject_spark.ingest.edges import regex_filter
+        from pagerankproject_spark.text.pipeline import host_graph
+
+        if not args.source:
+            p.error("--source required for hostsssp (a host, e.g. h1.com)")
+        hedges = host_graph(regex_filter(read_edge_csv(spark, args.data)))
+        res = sssp_weighted(
+            spark,
+            hedges.select(
+                F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"),
+                (F.lit(1.0) / F.col("n_links").cast("double")).alias("w"),
+            ),
+            args.source,
+            max_iterations=args.max_iterations,
+        )
+        out = res.distances.orderBy("dist", "url")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
     elif args.algo == "hostrank":
         from pagerankproject_spark.graph.pagerank import pagerank
         from pagerankproject_spark.ingest.edges import (
