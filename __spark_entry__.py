@@ -1120,6 +1120,17 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KHOP_SEEDS = ["site.com/p1", "site.com/p42"]
+_BC_SOURCES = ["site.com/p1", "site.com/p42", "site.com/p7"]
+
+
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness from 3 fixed sampled sources
+    (graph/betweenness.py; closed-form pair-dependency oracle over an
+    all-pairs recursive (dist, sigma) table)."""
+    from pagerankproject_spark.graph.betweenness import betweenness_sampled
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return betweenness_sampled(spark, g, _BC_SOURCES)
 
 
 def q_khop_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,7 +1233,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 84 keys are oracle-backed as of round 2: the iterative
+    """ALL 85 keys are oracle-backed as of round 2: the iterative
     fixpoints (PageRank family, HITS, components, LPA, k-core, BFS,
     near-dup clustering) now have full DuckDB recursive-CTE oracles
     (oracle/recursive_sql.py) on top of their float64 pytest oracles,
@@ -1240,7 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/check_contract.py against the same oracles."""
     return {
         # --- driver window: 50 oracle-backed keys ---
-        "edge_regex_filter": q_edge_regex_filter,
+        "betweenness_sampled": q_betweenness_sampled,
         "khop_subgraph": q_khop_subgraph,
         "katz_centrality": q_katz_centrality,
         "host_graph": q_host_graph,
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,             # r01 driver-green
         "embedding_near_dup": q_embedding_near_dup,   # brute-force oracle twin
         "embedding_topk": q_embedding_topk,           # brute-force oracle twin
+        "edge_regex_filter": q_edge_regex_filter,     # r01 driver-green
         "media_metadata": q_media_metadata,           # r01 driver-green
         "degree_in": q_degree_in,                     # r01 driver-green
         "outlink_extract": q_outlink_extract,         # r01 driver-green
@@ -1337,6 +1349,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.extract import (
         sql_extract_anchors as _sql_extract_anchors,
+    )
+    from pagerankproject_spark.graph.betweenness import (
+        sql_betweenness_sampled as _sql_bc,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1407,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
                        from counts)
             select url, label as new_label from ranked where rn = 1""",
         "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
+        "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -1,0 +1,223 @@
+"""Sampled-source betweenness centrality — Brandes' algorithm
+(Brandes 2001, "A faster algorithm for betweenness centrality"),
+batched over all sampled sources at once — engine-added operator
+(SURVEY.md §2 round-2 additions; no reference implementation).
+
+Betweenness of v = sum over source/target pairs of the fraction of
+shortest paths through v. Exact computation is all-sources Brandes
+(O(nm)); at web scale the standard estimator fixes a SAMPLE of sources
+(Brandes & Pich 2007) — deterministic here: the caller names the seed
+urls, so the result is exactly reproducible and oracle-checkable.
+
+Dataflow (all sources batched in one state table keyed (s, v) — one
+Spark job sequence regardless of sample size):
+
+  forward   level-synchronous BFS carrying shortest-path counts:
+            sigma(s,v) = sum of sigma(s,u) over edges u->v with
+            dist(s,u) = dist(s,v) - 1. Each level is one join + one
+            combinable sum + one anti-join against the settled set.
+            Path counts are EXACT LONGS (no float drift).
+  backward  Brandes' dependency accumulation, levels descending:
+            delta(s,u) = sum over successors w of
+            sigma(s,u)/sigma(s,w) * (1 + delta(s,w)).
+            Level L's deltas are a pure function of level L+1's — one
+            join + one combinable sum per level.
+  output    bc(v) = sum over sampled s != v of delta(s,v), rounded 6dp
+            (raw sampled sum; divide by len(sources) outside if a
+            per-source average is wanted).
+
+The DuckDB oracle (sql_betweenness_sampled) avoids replaying the
+backward recursion: by Brandes' pair-dependency identity,
+bc(v) = sum over s in sample, all t, s != v != t, with
+d(s,v) + d(v,t) = d(s,t), of sigma(s,v) * sigma(v,t) / sigma(s,t) —
+computable from an ALL-pairs (dist, sigma) table built by one
+level-synced recursive CTE (fine at oracle scale). The two float
+summation structures agree to ~1e-15; both round once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..session import no_aqe
+
+
+def betweenness_sampled(
+    spark: SparkSession,
+    g: GraphTables,
+    sources: list[str],
+    max_depth: int = 64,
+) -> DataFrame:
+    """Directed betweenness contributions from the sampled sources.
+
+    Output: url, bc (double, 6dp) — one row per vertex reached by any
+    sample's forward pass (vertices with bc 0 included when reached).
+    """
+    P = g.num_partitions
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(P, "src_id")
+        .localCheckpoint(eager=True)
+    )
+    src_df = spark.createDataFrame([(u,) for u in sources], "url string")
+    seeds = g.vertices.join(F.broadcast(src_df), "url", "left_semi").select(
+        F.col("id").alias("s")
+    )
+    if seeds.isEmpty():
+        raise ValueError("no source url found in the vertex set")
+
+    # ---- forward: levels of (s, v, d, sigma) ----
+    level = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    settled = level
+    levels = [level]
+    with no_aqe(spark):
+        for depth in range(1, max_depth + 1):
+            cand = (
+                level.join(e, level.v == e.src_id)
+                .groupBy("s", F.col("dst_id").alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            nxt = (
+                cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(depth).alias("d"), "sigma")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            level = nxt
+
+        # ---- backward: deltas, deepest level first ----
+        delta_next = levels[-1].select(
+            "s", "v", F.lit(0.0).alias("delta")
+        ).localCheckpoint(eager=True)
+        acc = [delta_next]
+        for li in range(len(levels) - 2, -1, -1):
+            u_lvl = levels[li]
+            w_lvl = levels[li + 1].join(delta_next, ["s", "v"]).select(
+                "s",
+                F.col("v").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+            contrib = (
+                u_lvl.join(e, u_lvl.v == e.src_id)
+                .join(
+                    w_lvl,
+                    (F.col("dst_id") == w_lvl.w) & (u_lvl.s == w_lvl.s),
+                )
+                .select(
+                    u_lvl.s.alias("s"),
+                    u_lvl.v.alias("v"),
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("part"),
+                )
+                .groupBy("s", "v")
+                .agg(F.sum("part").alias("delta"))
+            )
+            delta_next = (
+                u_lvl.select("s", "v")
+                .join(contrib, ["s", "v"], "left")
+                .select("s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            acc.append(delta_next)
+
+    deltas = acc[0]
+    for d in acc[1:]:
+        deltas = deltas.unionByName(d)
+    bc = (
+        deltas.filter(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg(F.round(F.sum("delta"), 6).alias("bc"))
+    )
+    # include reached vertices with zero dependency (e.g. sinks)
+    reached = settled.select("v").distinct()
+    out = (
+        reached.join(bc, "v", "left")
+        .select("v", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+        .withColumnRenamed("v", "id")
+        .join(g.vertices, "id")
+        .select("url", "bc")
+    )
+    return out
+
+
+def sql_betweenness_sampled(sources: list[str]) -> str:
+    """DuckDB twin over the `edges` CTE: all-pairs (dist, sigma) by one
+    level-synced recursion, then the closed-form pair-dependency sum
+    restricted to the sampled sources. Output rows match the engine:
+    every vertex reached from any sample (zero-dependency included)."""
+    seed_rows = ", ".join("('" + s.replace("'", "''") + "')" for s in sources)
+    return f"""
+simple as (select distinct src, dst from edges where src <> dst),
+allv as (select src as u from simple union select dst from simple),
+symw as (
+    select src, dst, 1 as w from simple
+    union all
+    select u, u, 0 from allv
+),
+dist as (
+    -- all-pairs min-hop distances: the engine BFS oracle's chg pattern
+    -- (self-row keeps the current value; recursion stops when a round
+    -- improves nothing), anchored at EVERY vertex at once
+    with recursive st(s, v, d, chg) as (
+        select u, u, 0::bigint, 1 from allv
+        union all
+        select s, v, d,
+               max(case when old is null or d < old then 1 else 0 end)
+                   over () as chg
+        from (
+            select st.s as s, e.dst as v,
+                   min(st.d + e.w) as d,
+                   min(st.d) filter (where e.w = 0) as old
+            from st join symw e on e.src = st.v
+            where st.chg = 1
+            group by st.s, e.dst
+        )
+    )
+    select s, v, min(d) as d from st group by s, v
+),
+dsx as (
+    -- exact shortest-path counts: level-synced recursion GUARDED by the
+    -- materialized dist table (referenced non-recursively), so a (s,v)
+    -- row is produced exactly once, at its true level, with the full
+    -- sum over its shortest-DAG predecessors
+    with recursive sg(s, v, d, sigma) as (
+        select u, u, 0::bigint, 1::bigint from allv
+        union all
+        select sg.s, e.dst, sg.d + 1, sum(sg.sigma)::bigint
+        from sg
+        join simple e on e.src = sg.v
+        join dist dd on dd.s = sg.s and dd.v = e.dst and dd.d = sg.d + 1
+        group by sg.s, e.dst, sg.d + 1
+    )
+    select s, v, d, sigma from sg
+),
+bc0 as (
+    select sv.v as v,
+           sum(sv.sigma * vt.sigma / st.sigma::double) as bc
+    from (values {seed_rows}) seeds(s)
+    join dsx sv on sv.s = seeds.s
+    join dsx vt on vt.s = sv.v
+    join dsx st on st.s = seeds.s and st.v = vt.v
+    where sv.v <> seeds.s and vt.v <> sv.v and vt.v <> seeds.s
+      and sv.d + vt.d = st.d
+    group by sv.v
+),
+reached as (
+    select distinct d.v
+    from (values {seed_rows}) seeds(s) join dsx d on d.s = seeds.s
+)
+select r.v as url, round(coalesce(b.bc, 0.0), 6) as bc
+from reached r left join bc0 b on b.v = r.v"""

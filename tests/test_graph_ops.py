@@ -627,3 +627,56 @@ def test_sssp_weighted_matches_dijkstra(spark):
 
     with _pytest.raises(ValueError, match="source url"):
         sssp_weighted(spark, df, "nope")
+
+
+def test_betweenness_sampled_matches_pair_dependency_brute_force(spark):
+    from collections import deque
+
+    from pagerankproject_spark.graph.betweenness import betweenness_sampled
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "a"), ("b", "d"),
+        ("d", "e"), ("e", "a"),
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def bfs_sigma(s):
+        dist, sigma, q = {s: 0}, {s: 1}, deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        return dist, sigma
+
+    sources = ["a", "b"]
+    expect = {v: 0.0 for v in nodes}
+    for s in sources:
+        ds, ss = bfs_sigma(s)
+        for v in nodes:
+            if v == s or v not in ds:
+                continue
+            dv, sv = bfs_sigma(v)
+            for t in nodes:
+                if t in (s, v) or t not in dv or t not in ds:
+                    continue
+                if ds[v] + dv[t] == ds[t]:
+                    expect[v] += ss[v] * sv[t] / ss[t]
+    expect = {v: round(x, 6) for v, x in expect.items()}
+
+    g = build_graph_tables(spark, edges_df(spark, edges))
+    got = {
+        r["url"]: r["bc"]
+        for r in betweenness_sampled(spark, g, sources).collect()
+    }
+    assert got == expect
