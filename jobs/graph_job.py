@@ -30,7 +30,12 @@ def main() -> None:
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
+            "betweenness",
         ],
+    )
+    p.add_argument(
+        "--sources", default=None,
+        help="comma-separated sampled source urls for betweenness",
     )
     p.add_argument("--min_count", type=int, default=1, help="cocitation/coupling floor")
     p.add_argument(
@@ -203,6 +208,17 @@ def main() -> None:
         if not args.source:
             p.error("--source required for khop")
         out = khop_subgraph(spark, g, [args.source], k=args.k).orderBy("src", "dst")
+    elif args.algo == "betweenness":
+        from pagerankproject_spark.graph.betweenness import betweenness_sampled
+
+        if not (args.sources or args.source):
+            p.error("--sources (comma-separated) or --source required")
+        srcs = (
+            args.sources.split(",") if args.sources else [args.source]
+        )
+        out = betweenness_sampled(spark, g, srcs).orderBy(
+            F.desc("bc"), "url"
+        )
     elif args.algo == "hostsssp":
         from pagerankproject_spark.graph.kcore import sssp_weighted
         from pagerankproject_spark.ingest.edges import regex_filter
