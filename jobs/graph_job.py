@@ -5,9 +5,10 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
+        [--source URL] [--sources a,b,c] [--k K] [--t_max T]
 """
 
 from __future__ import annotations
@@ -43,8 +44,8 @@ def main() -> None:
         help="hub df-cap for cocitation/coupling/adamicadar",
     )
     p.add_argument("--t_max", type=int, default=16, help="hyperball/harmonic depth")
-    p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss")
-    p.add_argument("--source", default=None, help="BFS source url")
+    p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss/khop depth")
+    p.add_argument("--source", default=None, help="source url (bfs/khop/hostsssp)")
     p.add_argument("--walk_length", type=int, default=10)
     p.add_argument("--walks_per_vertex", type=int, default=2)
     p.add_argument("--data", required=True)
@@ -214,7 +215,9 @@ def main() -> None:
         if not (args.sources or args.source):
             p.error("--sources (comma-separated) or --source required")
         srcs = (
-            args.sources.split(",") if args.sources else [args.source]
+            [s.strip() for s in args.sources.split(",") if s.strip()]
+            if args.sources
+            else [args.source]
         )
         out = betweenness_sampled(spark, g, srcs).orderBy(
             F.desc("bc"), "url"

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ingest.edges import GraphTables
+from ..ingest.edges import GraphTables, simple_edges
 from ..session import no_aqe
 
 
@@ -55,20 +55,32 @@ def betweenness_sampled(
     Output: url, bc (double, 6dp) — one row per vertex reached by any
     sample's forward pass (vertices with bc 0 included when reached).
     """
-    P = g.num_partitions
-    e = (
-        g.weighted_edges.select("src_id", "dst_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
+    e = simple_edges(g)
+    # seeds must be vertices OF THE SIMPLE GRAPH (a url whose only
+    # edges are self-loops is not — same rule as HyperBall), and ALL
+    # requested sources must resolve: silently dropping one would skew
+    # the deterministic sample (and any per-source average) without a
+    # trace
+    graph_vids = (
+        e.select(F.col("src_id").alias("id"))
+        .union(e.select(F.col("dst_id").alias("id")))
         .distinct()
-        .repartition(P, "src_id")
+    )
+    src_df = spark.createDataFrame(
+        [(u,) for u in set(sources)], "url string"
+    )
+    seeds = (
+        g.vertices.join(F.broadcast(src_df), "url", "left_semi")
+        .join(graph_vids, "id", "left_semi")
+        .select(F.col("id").alias("s"))
         .localCheckpoint(eager=True)
     )
-    src_df = spark.createDataFrame([(u,) for u in sources], "url string")
-    seeds = g.vertices.join(F.broadcast(src_df), "url", "left_semi").select(
-        F.col("id").alias("s")
-    )
-    if seeds.isEmpty():
-        raise ValueError("no source url found in the vertex set")
+    n_seeds = seeds.count()
+    if n_seeds != len(set(sources)):
+        raise ValueError(
+            f"only {n_seeds} of {len(set(sources))} source urls are "
+            "vertices of the simple graph"
+        )
 
     # ---- forward: levels of (s, v, d, sigma) ----
     level = seeds.select(
@@ -77,7 +89,10 @@ def betweenness_sampled(
     settled = level
     levels = [level]
     with no_aqe(spark):
-        for depth in range(1, max_depth + 1):
+        # one probe level past the cap: a frontier still alive there
+        # would silently corrupt EVERY bc value (the backward pass would
+        # run on a truncated shortest-path DAG), not just omit the tail
+        for depth in range(1, max_depth + 2):
             cand = (
                 level.join(e, level.v == e.src_id)
                 .groupBy("s", F.col("dst_id").alias("v"))
@@ -90,6 +105,11 @@ def betweenness_sampled(
             )
             if nxt.isEmpty():
                 break
+            if depth > max_depth:
+                raise ValueError(
+                    f"forward BFS still expanding past max_depth={max_depth}; "
+                    "raise max_depth"
+                )
             levels.append(nxt)
             settled = settled.unionByName(nxt).localCheckpoint(eager=True)
             level = nxt
@@ -101,8 +121,13 @@ def betweenness_sampled(
         acc = [delta_next]
         for li in range(len(levels) - 2, -1, -1):
             u_lvl = levels[li]
+            # rename s on the w side: both levels descend from the same
+            # checkpointed lineage, so an s == s join predicate is only
+            # disambiguated by Spark's dataset-id metadata (it already
+            # logs the trivially-true-predicate warning) — aliasing makes
+            # the join unambiguous by construction
             w_lvl = levels[li + 1].join(delta_next, ["s", "v"]).select(
-                "s",
+                F.col("s").alias("sw"),
                 F.col("v").alias("w"),
                 F.col("sigma").alias("sigma_w"),
                 F.col("delta").alias("delta_w"),
@@ -111,7 +136,7 @@ def betweenness_sampled(
                 u_lvl.join(e, u_lvl.v == e.src_id)
                 .join(
                     w_lvl,
-                    (F.col("dst_id") == w_lvl.w) & (u_lvl.s == w_lvl.s),
+                    (F.col("dst_id") == w_lvl.w) & (u_lvl.s == F.col("sw")),
                 )
                 .select(
                     u_lvl.s.alias("s"),

@@ -163,14 +163,10 @@ def _sketch_inputs(spark: SparkSession, edges: DataFrame | None, g):
     Raises on an empty simple graph (fail-fast, like
     build_graph_tables)."""
     if g is not None:
-        e = (
-            g.weighted_edges.select(
-                F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .repartition(g.num_partitions, "dst")
-            .localCheckpoint(eager=True)
+        from ..ingest.edges import simple_edges
+
+        e = simple_edges(g, partition_col="dst_id").select(
+            F.col("src_id").alias("src"), F.col("dst_id").alias("dst")
         )
         if e.isEmpty():
             raise ValueError("empty graph: no non-self-loop edges")

@@ -205,14 +205,9 @@ def khop_subgraph(
     Output: src, dst (urls). Exact, fully declarative — the DuckDB
     oracle replays it with a depth-bounded recursive CTE.
     """
-    P = g.num_partitions
-    e = (
-        g.weighted_edges.select("src_id", "dst_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .distinct()
-        .repartition(P, "src_id")
-        .localCheckpoint(eager=True)
-    )
+    from ..ingest.edges import simple_edges
+
+    e = simple_edges(g)
     step = (
         e
         if directed
@@ -220,22 +215,34 @@ def khop_subgraph(
             e.select(F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id"))
         )
     )
-    src_df = spark.createDataFrame([(u,) for u in seeds], "url string")
+    src_df = spark.createDataFrame([(u,) for u in set(seeds)], "url string")
     ball = (
         g.vertices.join(F.broadcast(src_df), "url", "left_semi")
         .select("id")
         .localCheckpoint(eager=True)
     )
-    if ball.isEmpty():
-        raise ValueError("no seed url found in the vertex set")
-    for _ in range(k):
-        nxt = (
-            step.join(ball.withColumnRenamed("id", "src_id"), "src_id")
-            .select(F.col("dst_id").alias("id"))
-            .union(ball)
-            .distinct()
+    if ball.count() != len(set(seeds)):
+        raise ValueError(
+            "no seed url found in the vertex set"
+            if ball.isEmpty()
+            else "some seed urls are not in the vertex set"
         )
-        ball = nxt.localCheckpoint(eager=True)
+    # expand only the FRONTIER each round (vertices first reached in the
+    # previous round) — rescanning the whole ball would re-visit every
+    # settled vertex's out-edges k - hop(v) times
+    frontier = ball
+    for _ in range(k):
+        new = (
+            step.join(frontier.withColumnRenamed("id", "src_id"), "src_id")
+            .select(F.col("dst_id").alias("id"))
+            .distinct()
+            .join(ball, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        ball = ball.union(new).localCheckpoint(eager=True)
+        frontier = new
     induced = e.join(ball.withColumnRenamed("id", "src_id"), "src_id").join(
         ball.withColumnRenamed("id", "dst_id"), "dst_id"
     )

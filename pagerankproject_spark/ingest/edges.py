@@ -132,6 +132,22 @@ class GraphTables:
                 pass
 
 
+def simple_edges(
+    g: GraphTables, partition_col: str = "src_id"
+) -> DataFrame:
+    """The simple directed edge table of a GraphTables — self-loops
+    dropped, parallel edges deduped — repartitioned on `partition_col`
+    and lineage-truncated. The shared prep of the structural operators
+    (betweenness, k-hop ego-nets, HyperBall's dense-id mode)."""
+    return (
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .distinct()
+        .repartition(g.num_partitions, partition_col)
+        .localCheckpoint(eager=True)
+    )
+
+
 def build_graph_tables(
     spark: SparkSession,
     edges: DataFrame,

@@ -680,3 +680,26 @@ def test_betweenness_sampled_matches_pair_dependency_brute_force(spark):
         for r in betweenness_sampled(spark, g, sources).collect()
     }
     assert got == expect
+
+
+def test_betweenness_guards_depth_cap_and_missing_sources(spark):
+    import pytest as _pytest
+
+    from pagerankproject_spark.graph.betweenness import betweenness_sampled
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    chain = [(f"site.com/p{i}", f"site.com/p{i+1}") for i in range(9)]
+    g = build_graph_tables(spark, edges_df(spark, chain))
+    # frontier alive past the cap must raise, not silently truncate
+    with _pytest.raises(ValueError, match="max_depth"):
+        betweenness_sampled(spark, g, ["site.com/p0"], max_depth=4)
+    # a partially-resolved sample must raise, not silently shrink
+    with _pytest.raises(ValueError, match="source urls"):
+        betweenness_sampled(spark, g, ["site.com/p0", "site.com/absent"])
+    # exact depth boundary is fine (chain needs 9 levels)
+    out = betweenness_sampled(spark, g, ["site.com/p0"], max_depth=9)
+    got = {r["url"]: r["bc"] for r in out.collect()}
+    # on a chain from p0: bc(p_i) = number of (s,t) pairs through it = 8-i+... = paths p0->t for t>i
+    assert got["site.com/p1"] == 8.0
