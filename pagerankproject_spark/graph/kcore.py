@@ -15,7 +15,11 @@ only when the set fits).
 
 BFS: multi-source hop distances over the symmetrized graph; frontier
 expansion is the same join+MIN aggregate as connected components with
-distance+1 instead of min-label.
+distance+1 instead of min-label — restricted to the FRONTIER (vertices
+first reached last round), so total join work is O(total edges), not
+O(diameter x reached-edges). sssp_weighted applies the same worklist
+restriction (classic Bellman-Ford worklist: only relax out-edges of
+vertices whose distance improved last round).
 """
 
 from __future__ import annotations
@@ -113,7 +117,18 @@ def bfs_distances(
     sources: list[str],
     max_iterations: int = 100,
 ) -> BFSResult:
-    """Hop distance from the nearest of `sources` (urls), undirected."""
+    """Hop distance from the nearest of `sources` (urls), undirected.
+
+    Frontier-restricted expansion: in synchronous unweighted BFS a
+    vertex's distance is final the round it is first reached, so each
+    round only the LAST round's newly-reached vertices (the frontier,
+    carried as an `nw` flag on the settled table) join against the edge
+    table; already-settled vertices are excluded with one anti-join.
+    Total join work is O(total edges) instead of the full-settled-set
+    rescan's O(diameter x reached-edges). One Spark job per round: the
+    frontier count rides an Observation on the localCheckpoint
+    materialization of the merged settled table.
+    """
     P = g.num_partitions
     e = g.weighted_edges.select("src_id", "dst_id")
     sym = (
@@ -126,7 +141,11 @@ def bfs_distances(
     src_df = spark.createDataFrame([(u,) for u in sources], "url string")
     dist = (
         g.vertices.join(F.broadcast(src_df), "url", "left_semi")
-        .select("id", F.lit(0).cast("long").alias("d"))
+        .select(
+            "id",
+            F.lit(0).cast("long").alias("d"),
+            F.lit(1).alias("nw"),
+        )
         .repartition(P, "id")
         .localCheckpoint(eager=True)
     )
@@ -139,34 +158,20 @@ def bfs_distances(
     with no_aqe(spark):
         for it in range(max_iterations):
             t0 = time.time()
+            frontier = dist.filter(F.col("nw") == 1).select("id", "d")
             cand = (
-                sym.join(dist, sym.src_id == dist.id)
+                sym.join(frontier, sym.src_id == frontier.id)
                 .groupBy(F.col("dst_id").alias("id"))
-                .agg((F.min("d") + 1).alias("nd"))
+                .agg((F.min("d") + 1).alias("d"))
+                .join(dist, "id", "left_anti")
             )
             obs = Observation()
             staged = (
-                dist.join(cand, "id", "full")
-                .select(
-                    "id",
-                    F.least(
-                        F.coalesce(F.col("d"), F.lit(1 << 60)),
-                        F.coalesce(F.col("nd"), F.lit(1 << 60)),
-                    ).alias("nd2"),
-                    F.col("d").alias("old"),
-                )
-                .observe(
-                    obs,
-                    F.sum(
-                        F.when(
-                            F.col("old").isNull() | (F.col("nd2") < F.col("old")), 1
-                        ).otherwise(0)
-                    ).alias("c"),
-                )
+                dist.select("id", "d", F.lit(0).alias("nw"))
+                .union(cand.select("id", "d", F.lit(1).alias("nw")))
+                .observe(obs, F.sum("nw").alias("c"))
             )
-            dist = staged.select(
-                "id", F.col("nd2").alias("d")
-            ).localCheckpoint(eager=True)
+            dist = staged.localCheckpoint(eager=True)
             changed = int(obs.get["c"] or 0)
             metrics.append({"i": it, "changed": changed, "wall_sec": time.time() - t0})
             if changed == 0:
@@ -295,10 +300,17 @@ def sssp_weighted(
 
         d_i(v) = min( d_{i-1}(v), min over (u,v,w) of d_{i-1}(u) + w )
 
-    Each iteration is one join + one combinable min aggregate keyed by
-    dst (the PageRank-loop shape); the changed-vertex count rides an
-    Observation on the checkpoint materialization, so convergence costs
-    no extra job. Positive costs make distances strictly monotone
+    restricted to the WORKLIST: only out-edges of vertices whose
+    distance improved last round are relaxed (if d(u) did not change in
+    round i-1, every d(u)+w candidate was already offered in an earlier
+    round), so total work is O(edges x avg-relaxations-per-vertex)
+    instead of the full-settled-set rescan's O(diameter x
+    reached-edges). The changed flag is carried as a `chg` column on
+    the settled table, so the worklist filter is free at the next
+    round's join. Each iteration is one join + one combinable min
+    aggregate keyed by dst (the PageRank-loop shape); the
+    changed-vertex count rides an Observation on the checkpoint
+    materialization, so convergence costs no extra job. Positive costs make distances strictly monotone
     decreasing per vertex, which is what lets the DuckDB oracle replay
     the run as min-over-trajectory (sql_sssp_weighted). Every relaxed
     candidate is one float addition of the same two doubles on both
@@ -318,7 +330,7 @@ def sssp_weighted(
         .union(e.select(F.col("dst").alias("url")))
         .distinct()
         .filter(F.col("url") == source)
-        .select("url", F.lit(0.0).alias("d"))
+        .select("url", F.lit(0.0).alias("d"), F.lit(1).alias("chg"))
         .localCheckpoint(eager=True)
     )
     if dist.isEmpty():
@@ -327,34 +339,31 @@ def sssp_weighted(
     converged, it = False, 0
     with no_aqe(spark):
         for it in range(max_iterations):
+            work = dist.filter(F.col("chg") == 1).select("url", "d")
             cand = (
-                e.join(dist, e.src == dist.url)
+                e.join(work, e.src == work.url)
                 .groupBy(F.col("dst").alias("url"))
                 .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
             )
             obs = Observation()
             staged = (
-                dist.join(cand, "url", "full")
+                dist.drop("chg")
+                .join(cand, "url", "full")
                 .select(
                     "url",
                     F.least(
                         F.coalesce(F.col("d"), F.lit(float("inf"))),
                         F.coalesce(F.col("nd"), F.lit(float("inf"))),
-                    ).alias("nd2"),
-                    F.col("d").alias("old"),
+                    ).alias("d"),
+                    F.when(
+                        F.col("d").isNull() | (F.col("nd") < F.col("d")), 1
+                    )
+                    .otherwise(0)
+                    .alias("chg"),
                 )
-                .observe(
-                    obs,
-                    F.sum(
-                        F.when(
-                            F.col("old").isNull() | (F.col("nd2") < F.col("old")), 1
-                        ).otherwise(0)
-                    ).alias("c"),
-                )
+                .observe(obs, F.sum("chg").alias("c"))
             )
-            dist = staged.select("url", F.col("nd2").alias("d")).localCheckpoint(
-                eager=True
-            )
+            dist = staged.localCheckpoint(eager=True)
             if int(obs.get["c"] or 0) == 0:
                 converged = True
                 break
