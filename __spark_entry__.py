@@ -375,10 +375,13 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk corpus: md5-derived neighbor choices, so
-    the DuckDB oracle replays the exact walks (graph/walks.py)."""
+    the DuckDB oracle replays the exact walks (graph/walks.py).
+    Dense-id loop (g=): per-step joins keyed by longs, urls joined back
+    once at emit — corpus row-identical to the string loop (tested)."""
     from pagerankproject_spark.graph.walks import random_walks
 
-    return random_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return random_walks(g=g, walk_length=4, walks_per_vertex=2)
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1161,7 +1164,8 @@ def q_ppr_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the walks and sums the same per-step literals)."""
     from pagerankproject_spark.graph.walks import ppr_from_walks, random_walks
 
-    walks = random_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    walks = random_walks(g=g, walk_length=4, walks_per_vertex=2)
     # alpha=0.5: every step weight is an exact 6-decimal value, so the
     # 6dp round is an identity — see ppr_from_walks rounding caveat
     return ppr_from_walks(walks, walk_length=4, walks_per_vertex=2, alpha=0.5)

@@ -26,11 +26,19 @@ the step count is the literal walk length):
 Both are plain equi-joins: the first shuffles walkers to their current
 vertex (skew = vertex popularity, partial-aggregation-free but the
 (src, idx) second join spreads a hub's walkers across its neighbor
-index space). State is (start, w, cur) strings here for oracle
-portability; at corpus scale run the identical plan on the dense ids
-(ingest/edges.py dictionary) and join urls back once at the end.
-Lineage is cut per step (localCheckpoint) so the plan stays flat for
-long walks.
+index space). Lineage is cut per step (localCheckpoint) so the plan
+stays flat for long walks.
+
+Two key spaces, one corpus: pass `g=GraphTables` (the default for the
+contract keys) to run the step joins on dense 8-byte long ids — the
+same change that bought HyperBall 2.1x (BENCH.md) — with urls
+appearing only as carried payload (`start`, needed by the hash and the
+walk_id) and inside the once-built adjacency tables; walker positions
+are translated back to urls in ONE id-keyed join at emit. Pass raw
+(src, dst) url `edges` for the portable string-space loop the DuckDB
+oracle replays literally. Both paths consume the identical hash inputs
+(url strings) and the identical dst-url neighbor ranking, so the
+corpora are row-identical (tested).
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..ingest.edges import GraphTables, simple_edges
 from ..text.analysis import hash60_expr, sql_hash60
 
 
@@ -56,13 +65,21 @@ def _adjacency(edges: DataFrame) -> DataFrame:
 
 
 def random_walks(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     walk_length: int = 4,
     walks_per_vertex: int = 2,
+    *,
+    g: GraphTables | None = None,
 ) -> DataFrame:
-    """`edges`: (src, dst) string urls. Returns (walk_id, step, url)
-    long-format walk corpus: walk_id = start || '#' || w, step 0 is the
-    start vertex, early-stopped at dangling vertices."""
+    """`edges`: (src, dst) string urls — or `g`: a GraphTables for the
+    dense-id loop (see module docstring; identical corpus). Returns
+    (walk_id, step, url) long-format walk corpus: walk_id = start ||
+    '#' || w, step 0 is the start vertex, early-stopped at dangling
+    vertices."""
+    if (edges is None) == (g is None):
+        raise ValueError("pass exactly one of `edges` or `g`")
+    if g is not None:
+        return _random_walks_dense(g, walk_length, walks_per_vertex)
     adj = _adjacency(edges).localCheckpoint(eager=True)
     deg = adj.select("src", "outdeg").distinct()
 
@@ -112,6 +129,84 @@ def random_walks(
         F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias(
             "walk_id"
         ),
+        "step",
+        "url",
+    )
+
+
+def _random_walks_dense(
+    g: GraphTables,
+    walk_length: int,
+    walks_per_vertex: int,
+) -> DataFrame:
+    """The dense-id twin of the string loop: per-step join keys are
+    8-byte longs (cur_id, then (cur_id, idx)); urls ride along only
+    where the semantics need them — `start` as walker payload, the
+    current vertex's url surfaced by the degree join (the hash input
+    must be the url to replay the string path bit-for-bit), and the
+    dst-url neighbor ranking baked into the adjacency ONCE at build.
+    Walker positions stay ids until a single vertices join at emit."""
+    v = g.vertices
+    e = simple_edges(g)  # (src_id, dst_id), deduped, no self-loops
+    # neighbor ranking MUST be by destination url (string-path parity),
+    # so the url join happens here once, then drops out of the loop
+    wnd = Window.partitionBy("src_id").orderBy("dst_url")
+    adj = (
+        e.join(
+            v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst_url")),
+            "dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            (F.row_number().over(wnd) - 1).alias("idx"),
+            F.count("*").over(Window.partitionBy("src_id")).alias("outdeg"),
+        )
+        .drop("dst_url")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        adj.select("src_id", "outdeg")
+        .distinct()
+        .join(v.select(F.col("id").alias("src_id"), F.col("url").alias("cur_url")), "src_id")
+        .localCheckpoint(eager=True)
+    )
+
+    state = v.crossJoin(
+        F.broadcast(
+            v.sparkSession.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    ).select(F.col("url").alias("start"), "w", F.col("id").alias("cur_id"))
+
+    out = state.select("start", "w", F.lit(0).alias("step"), "cur_id")
+    for t in range(1, walk_length + 1):
+        choice = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|",
+                    F.col("cur_url"),
+                    F.col("start"),
+                    F.col("w").cast("string"),
+                    F.lit(str(t)),
+                )
+            ),
+            F.col("outdeg"),
+        )
+        state = (
+            state.join(deg, state.cur_id == deg.src_id)  # dangling cur drops
+            .select("start", "w", "cur_id", choice.alias("idx"))
+            .join(
+                adj.select(F.col("src_id").alias("cur_id"), "idx", "dst_id"),
+                ["cur_id", "idx"],
+            )
+            .select("start", "w", F.col("dst_id").alias("cur_id"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(state.select("start", "w", F.lit(t).alias("step"), "cur_id"))
+    return out.join(v.select(F.col("id").alias("cur_id"), "url"), "cur_id").select(
+        F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias("walk_id"),
         "step",
         "url",
     )

@@ -445,6 +445,32 @@ def test_random_walks_structure_and_determinism(spark):
     assert again == sorted(rows)
 
 
+def test_random_walks_dense_id_corpus_identical(spark):
+    """The dense-id loop (g=GraphTables, long join keys, single emit
+    translation) produces the row-identical corpus to the string loop:
+    same hash inputs, same dst-url neighbor ranking."""
+    from pagerankproject_spark.graph.walks import random_walks
+
+    pairs = [
+        ("a.x", "b.x"), ("a.x", "c.x"), ("b.x", "c.x"),
+        ("c.x", "a.x"), ("c.x", "d.x"), ("e.x", "a.x"),
+        ("b.x", "a.x"), ("d.x", "d.x"),  # self-loop-only continuation
+    ]
+    e = edges_df(spark, pairs)
+    by_str = sorted(map(tuple, random_walks(e, 5, 3).collect()))
+    g = _tables(spark, pairs)
+    by_id = sorted(map(tuple, random_walks(g=g, walk_length=5, walks_per_vertex=3).collect()))
+    assert by_id == by_str
+    g.unpersist()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        random_walks(e, g=g)
+    with pytest.raises(ValueError):
+        random_walks()
+
+
 def test_degree_assortativity_star_and_cycle(spark):
     """Star graph: every edge joins a degree-n hub to a degree-1 leaf
     -> assortativity -1. Cycle: all degrees equal -> undefined (0/0,
