@@ -344,6 +344,18 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(spark, g, k=3).vertices
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal 4-truss of the derived link graph: iterative support
+    peel (graph/triangles.py::ktruss); the oracle replays the peel with
+    a recursive CTE recomputing common-neighbor support per round
+    (oracle/recursive_sql.py::sql_ktruss). Integer supports — no float
+    hazard."""
+    from pagerankproject_spark.graph.triangles import ktruss
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return ktruss(spark, g, k=4).edges
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerankproject_spark.graph.kcore import bfs_distances
 
@@ -385,8 +397,14 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto algorithm pick (graph/components.py::connected_components_auto):
+    min-label probe, star-contraction handoff on near-flat changed
+    counts — identical labels either way (tested), so the oracle is
+    unchanged."""
+    from pagerankproject_spark.graph.components import connected_components_auto
+
     g = build_graph_tables(spark, _edges(spark, sf_dir))
-    return connected_components(spark, g, max_iterations=50).components
+    return connected_components_auto(spark, g, max_iterations=50).components
 
 
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "connected_components": q_connected_components,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "bfs_distances": q_bfs_distances,
         "label_propagation": q_label_propagation,
         "search_top10": q_search_top10,
@@ -1802,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": f"{g},{rsql.sql_hits_scores(epsilon=1e-6, max_iterations=60)}",
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
+        "ktruss": f"{g},{rsql.sql_ktruss(4)}",
         "bfs_distances": f"{g},{rsql.sql_bfs_distances('site.com/p1')}",
         "label_propagation": f"{g},{rsql.sql_label_propagation(5)}",
         "search_top10": f"{g},{rsql.sql_search_top10(epsilon=1e-6, max_iterations=60)}",

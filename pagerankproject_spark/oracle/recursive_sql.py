@@ -360,6 +360,58 @@ core as (
 select url, degree from core"""
 
 
+def sql_ktruss(k: int) -> str:
+    """Iterative k-truss peel on the simple undirected graph
+    (graph/triangles.py::ktruss). State = the surviving canonical edge
+    set (a < b) with its round's edge count; each round recomputes
+    per-edge triangle support (common-neighbor count via the two
+    neighbor-list subqueries) and keeps support >= k-2; a round that
+    peels nothing emits no rows (new_cnt < cnt fails), ending the
+    recursion. The outer query recomputes support on the last emitted
+    round and filters once more — a no-op at a fixpoint, and the only
+    way to represent the empty-truss stop.
+
+    Unlike the older oracles written around the self-row trick, this
+    one references the recursive table several times: this DuckDB
+    version resolves EVERY reference in the recursive term to the
+    previous iteration's working table (verified: a scalar subquery
+    count over a second reference sees exactly the prior round's
+    rows), which is precisely the per-round edge set the peel needs."""
+    sup = """
+           (select count(*)
+              from (select t1.b as w from {rel} t1 where t1.a = e.a
+                    union all
+                    select t2.a from {rel} t2 where t2.b = e.a) n1
+              join (select t3.b as w from {rel} t3 where t3.a = e.b
+                    union all
+                    select t4.a from {rel} t4 where t4.b = e.b) n2
+                on n2.w = n1.w) as sup"""
+    return f"""
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+truss as (
+  with recursive st(i, a, b, cnt) as (
+    select 0, a, b, count(*) over () from und
+    union all
+    select i + 1, a, b, new_cnt
+    from (
+      select i, a, b, cnt, count(*) over () as new_cnt
+      from (
+        select e.i, e.a, e.b, e.cnt,{sup.format(rel="st")}
+        from st e
+      ) where sup >= {k - 2}
+    ) where new_cnt < cnt
+  ),
+  last as (select * from st where i = (select max(i) from st)),
+  fin as (
+    select e.a, e.b,{sup.format(rel="last")}
+    from last e
+  )
+  select a, b, sup::bigint as support from fin where sup >= {k - 2}
+)
+select a, b, support from truss"""
+
+
 # ---------------------------------------------------------------------------
 # Strongly connected components — graph/scc.py (FW-BW-Trim coloring)
 # ---------------------------------------------------------------------------

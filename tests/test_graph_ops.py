@@ -395,6 +395,61 @@ def test_twophase_cc_path_graph_logarithmic_rounds(spark):
     g.unpersist()
 
 
+def test_auto_cc_picks_contraction_on_chain(spark):
+    """High-diameter input: the probe's changed-count stays near-flat
+    (only the frontier moves on a path), so auto must hand off to star
+    contraction and still produce the exact union-find labels in far
+    fewer total rounds than the diameter."""
+    from pagerankproject_spark.graph.components import connected_components_auto
+
+    n = 200
+    pairs = [(f"p{i:04d}.x", f"p{i+1:04d}.x") for i in range(n - 1)]
+    g = _tables(spark, pairs)
+    res = connected_components_auto(spark, g, probe_rounds=6)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert got == oracle.connected_components(pairs)
+    assert res.converged
+    algos = {m["algo"] for m in res.metrics}
+    assert "twophase" in algos, res.metrics
+    assert res.iterations <= 25, res.metrics  # vs ~199 propagation rounds
+    g.unpersist()
+
+
+def test_auto_cc_stays_minlabel_on_low_diameter(spark):
+    """Low-diameter input: propagation converges inside the probe (or
+    its changed-count collapses), so auto never pays the contraction
+    rounds and the output is still exact."""
+    from pagerankproject_spark.graph.components import connected_components_auto
+
+    pairs, k = make_clustered_random(seed=11, k_clusters=5, n=150, p_in=0.08)
+    g = _tables(spark, pairs)
+    res = connected_components_auto(spark, g)
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert got == oracle.connected_components(pairs)
+    assert res.converged
+    assert {m["algo"] for m in res.metrics} == {"minlabel"}, res.metrics
+    g.unpersist()
+
+
+def test_auto_cc_warm_start_branch_exact(spark):
+    """Mid case: not converged inside a tiny probe but decaying — auto
+    continues min-label from the probe's labels (init_labels path) and
+    the result is still exact with no contraction rounds."""
+    from pagerankproject_spark.graph.components import connected_components_auto
+
+    pairs, k = make_clustered_random(seed=7, k_clusters=3, n=120, p_in=0.06)
+    g = _tables(spark, pairs)
+    res = connected_components_auto(
+        spark, g, probe_rounds=1, decay_threshold=1.1
+    )
+    # decay_threshold > 1 forces the propagate branch even when flat
+    got = {r["url"]: r["component"] for r in res.components.collect()}
+    assert got == oracle.connected_components(pairs)
+    assert res.converged
+    assert {m["algo"] for m in res.metrics} == {"minlabel"}
+    g.unpersist()
+
+
 def test_twophase_cc_two_components_and_selfloops(spark):
     from pagerankproject_spark.graph.components import (
         connected_components_twophase,
