@@ -37,7 +37,7 @@ summation structures agree to ~1e-15; both round once at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables, simple_edges
@@ -91,19 +91,26 @@ def betweenness_sampled(
     with no_aqe(spark):
         # one probe level past the cap: a frontier still alive there
         # would silently corrupt EVERY bc value (the backward pass would
-        # run on a truncated shortest-path DAG), not just omit the tail
+        # run on a truncated shortest-path DAG), not just omit the tail.
+        # ONE job per level: the frontier-size count rides an Observation
+        # on the level's checkpoint materialization, and the settled set
+        # is a lazy union of the already-checkpointed levels (scanning
+        # them for the anti-join is cheap; re-materializing the whole
+        # settled set each level is not).
         for depth in range(1, max_depth + 2):
             cand = (
                 level.join(e, level.v == e.src_id)
                 .groupBy("s", F.col("dst_id").alias("v"))
                 .agg(F.sum("sigma").alias("sigma"))
             )
+            obs = Observation()
             nxt = (
                 cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
                 .select("s", "v", F.lit(depth).alias("d"), "sigma")
+                .observe(obs, F.count(F.lit(1)).alias("c"))
                 .localCheckpoint(eager=True)
             )
-            if nxt.isEmpty():
+            if int(obs.get["c"] or 0) == 0:
                 break
             if depth > max_depth:
                 raise ValueError(
@@ -111,7 +118,7 @@ def betweenness_sampled(
                     "raise max_depth"
                 )
             levels.append(nxt)
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            settled = settled.unionByName(nxt)
             level = nxt
 
         # ---- backward: deltas, deepest level first ----
