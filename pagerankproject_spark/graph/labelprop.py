@@ -33,6 +33,20 @@ spread across buckets) and aggregate in two explicit phases
 (dst, label, salt) -> (dst, label) before the winner agg — the same
 measured-2x-win recipe as CC's salted min aggregation (BENCH.md skew
 experiment). Identical labels either way (asserted in tests).
+
+Frontier-restricted late rounds: winner(v) reads only neighbor labels,
+so if NO in-neighbor of v changed last round, v's counts — hence its
+winner, hence its label — are identical this round. Once the changed
+fraction drops below `frontier_threshold` (LPA's long tail: most
+vertices freeze early, a shrinking active region keeps flipping), each
+round recomputes counts only for AFFECTED destinations (neighbors of
+last-round-changed vertices), over ALL of their in-edges — exact, not
+approximate. The affected-edge restriction runs against a second edge
+copy pre-partitioned by dst (built lazily on first use, so short runs
+never pay for it); the changed flag rides the labels checkpoint, so
+the frontier is free. Early dense rounds keep the full recompute —
+restricting when ~everything changed only adds joins. Identical labels
+either way (asserted in tests).
 """
 
 from __future__ import annotations
@@ -65,6 +79,7 @@ def label_propagation(
     checkpoint_interval: int = 5,
     resume: bool = False,
     job_name: str = "lpa",
+    frontier_threshold: float = 0.2,
 ) -> LPAResult:
     P = g.num_partitions
     ranked = assign_url_ordered_ids(spark, g.vertices, P).persist()
@@ -100,8 +115,12 @@ def label_propagation(
             "salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
         ).persist()
 
+    # chg rides the state: 1 = label changed last round (all 1 at start,
+    # so round 0 is a full recompute whatever the threshold)
     labels = ranked.select(
-        F.col("rank_id").alias("id"), F.col("rank_id").alias("label")
+        F.col("rank_id").alias("id"),
+        F.col("rank_id").alias("label"),
+        F.lit(1).alias("chg"),
     ).repartition(P, "id")
 
     start_iter, converged = 0, False
@@ -109,22 +128,53 @@ def label_propagation(
     if ckpt and resume:
         info = ckpt.latest()
         if info is not None:
-            labels = ckpt.read(spark, info.iteration).repartition(P, "id")
+            # checkpoints store (id, label); a fresh resume treats every
+            # vertex as changed (exact — just forces one full recompute)
+            labels = (
+                ckpt.read(spark, info.iteration)
+                .select("id", "label", F.lit(1).alias("chg"))
+                .repartition(P, "id")
+            )
             start_iter = info.iteration + 1
             converged = bool(info.metrics.get("converged", False))
 
     labels = labels.localCheckpoint(eager=True)
+    sym_by_dst = None  # lazily-built dst-partitioned copy (frontier mode)
+    prev_changed = None
     metrics: list[dict] = []
     it = start_iter
     with no_aqe(spark):
         while it < max_iterations and not converged:
             t0 = time.time()
+            frontier_mode = (
+                prev_changed is not None
+                and prev_changed <= frontier_threshold * g.n
+            )
+            if frontier_mode:
+                if sym_by_dst is None:
+                    sym_by_dst = sym.repartition(P, "dst").persist()
+                # affected destinations = out-neighbors of last round's
+                # changed vertices; sym is partitioned on src, so only
+                # the (small) changed set and the dst list shuffle
+                chgd = labels.filter(F.col("chg") == 1).select(
+                    F.col("id").alias("cid")
+                )
+                aff = (
+                    sym.join(chgd, sym.src == chgd.cid, "left_semi")
+                    .select("dst")
+                    .distinct()
+                )
+                # ALL in-edges of affected dsts (exactness: the winner
+                # needs the full neighbor-label multiset, not the delta)
+                msg_edges = sym_by_dst.join(aff, "dst", "left_semi")
+            else:
+                msg_edges = sym
             if salt_buckets > 0:
                 # explicit two-phase count: (v, label, salt) partial then
                 # (v, label) final — splits a hot destination's incoming
                 # rows across salt buckets (operator #23 pattern)
                 counts = (
-                    sym.join(labels, sym.src == labels.id)
+                    msg_edges.join(labels, msg_edges.src == labels.id)
                     .groupBy(F.col("dst").alias("v"), "label", "salt")
                     .agg(F.count("*").alias("c0"))
                     .groupBy("v", "label")
@@ -132,7 +182,7 @@ def label_propagation(
                 )
             else:
                 counts = (
-                    sym.join(labels, sym.src == labels.id)
+                    msg_edges.join(labels, msg_edges.src == labels.id)
                     .groupBy(F.col("dst").alias("v"), "label")
                     .agg(F.count("*").alias("cnt"))
                 )
@@ -141,28 +191,42 @@ def label_propagation(
             ).select("v", F.col("w.label").alias("new_in"))
             obs = Observation()
             staged = (
-                labels.join(winner, labels.id == winner.v, "left")
+                labels.drop("chg")
+                .join(winner, labels.id == winner.v, "left")
                 .select(
                     "id",
-                    F.coalesce(F.col("new_in"), F.col("label")).alias("new_label"),
-                    F.col("label").alias("old_label"),
+                    F.coalesce(F.col("new_in"), F.col("label")).alias("label"),
+                    F.when(
+                        F.coalesce(F.col("new_in"), F.col("label"))
+                        != F.col("label"),
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("chg"),
                 )
-                .observe(
-                    obs,
-                    F.sum(
-                        F.when(F.col("new_label") != F.col("old_label"), 1).otherwise(0)
-                    ).alias("c"),
-                )
+                .observe(obs, F.sum("chg").alias("c"))
             )
-            labels = staged.select(
-                "id", F.col("new_label").alias("label")
-            ).localCheckpoint(eager=True)
+            labels = staged.localCheckpoint(eager=True)
             changed = int(obs.get["c"])
-            metrics.append({"i": it, "changed": changed, "wall_sec": time.time() - t0})
+            metrics.append(
+                {
+                    "i": it,
+                    "changed": changed,
+                    "mode": "frontier" if frontier_mode else "full",
+                    "wall_sec": time.time() - t0,
+                }
+            )
+            prev_changed = changed
             converged = changed == 0
             if ckpt and (converged or it % checkpoint_interval == 0):
-                ckpt.write(labels, it, {"changed": changed, "converged": converged})
+                ckpt.write(
+                    labels.select("id", "label"),
+                    it,
+                    {"changed": changed, "converged": converged},
+                )
             it += 1
+    if sym_by_dst is not None:
+        sym_by_dst.unpersist()
 
     out = (
         labels.join(ranked.select(F.col("rank_id").alias("id"), "url"), "id")

@@ -81,6 +81,27 @@ def test_lpa_salted_exact_match(spark):
     assert plain.iterations == salted.iterations
 
 
+def test_lpa_frontier_mode_exact_match(spark):
+    """Frontier-restricted late rounds (recompute only destinations
+    whose in-neighborhood changed) return byte-identical labels and the
+    identical iteration count to the always-full recompute; with
+    threshold 1.0 every round past the first runs in frontier mode."""
+    pairs = make_weblike(seed=5, n_nodes=120, m_edges=900)
+    g = _tables(spark, pairs)
+    full = label_propagation(spark, g, max_iterations=8, frontier_threshold=0.0)
+    front = label_propagation(spark, g, max_iterations=8, frontier_threshold=1.0)
+    assert {m["mode"] for m in full.metrics} == {"full"}
+    assert "frontier" in {m["mode"] for m in front.metrics}
+    a = {r["url"]: r["label"] for r in full.labels.collect()}
+    b = {r["url"]: r["label"] for r in front.labels.collect()}
+    assert a == b
+    assert full.iterations == front.iterations
+    assert [m["changed"] for m in full.metrics] == [
+        m["changed"] for m in front.metrics
+    ]
+    g.unpersist()
+
+
 def _post_regex(pairs):
     import re
 
