@@ -59,6 +59,153 @@ def test_decode_media_stub_raises_without_codecs(spark):
         decode_media(df, fake=False).collect()
 
 
+def _png_bytes(rows_px, color_type, filters):
+    """Minimal PNG encoder for test vectors: 8-bit, non-interlaced;
+    `rows_px` = list of rows, each a list of per-pixel channel tuples;
+    `filters` = per-row PNG filter type actually applied (exercises the
+    decoder's de-filter paths). Correct CRCs, single IDAT."""
+    import struct
+    import zlib
+
+    channels = len(rows_px[0][0])
+    w, h = len(rows_px[0]), len(rows_px)
+    stride = w * channels
+    raw_rows = [
+        bytes(s for px in row for s in px) for row in rows_px
+    ]
+    out = bytearray()
+    prev = bytes(stride)
+    for row, filt in zip(raw_rows, filters):
+        enc = bytearray([filt])
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            elif filt == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((row[i] - pred) & 0xFF)
+        out += enc
+        prev = row
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(out))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _bmp_bytes(rows_px, top_down=False):
+    """Minimal uncompressed 24-bit BMP encoder: BGR samples, 4-byte row
+    padding, bottom-up rows unless top_down."""
+    import struct
+
+    w, h = len(rows_px[0]), len(rows_px)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    ordered = rows_px if top_down else rows_px[::-1]
+    for row in ordered:
+        line = bytearray()
+        for px in row:
+            line += bytes(px)  # caller passes (B, G, R)
+        line += bytes(stride - len(line))
+        body += line
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, (h if not top_down else -h), 1, 24, 0,
+            len(body), 2835, 2835, 0, 0,
+        )
+    )
+    return header + bytes(body)
+
+
+def test_decode_media_real_png_all_filters(spark):
+    """Real PNG bytes (correct chunks + CRCs, zlib IDAT), one row per
+    PNG filter type 0-4: the native decoder must recover exact
+    dimensions, channel count and mean over every channel sample."""
+    rows_px = [
+        [((x * 37 + y * 91 + c * 13) % 256 for c in range(3)) for x in range(4)]
+        for y in range(5)
+    ]
+    rows_px = [[tuple(px) for px in row] for row in rows_px]
+    payload = _png_bytes(rows_px, color_type=2, filters=[0, 1, 2, 3, 4])
+    samples = [s for row in rows_px for px in row for s in px]
+    df = spark.createDataFrame([("png://real", payload)], "url string, media binary")
+    out = decode_media(df, fake=False).collect()[0]
+    assert (out["width"], out["height"], out["n_channels"]) == (4, 5, 3)
+    assert out["mean_intensity"] == pytest.approx(sum(samples) / len(samples))
+
+
+def test_decode_media_real_png_rgba_and_gray(spark):
+    rgba = [[(10, 20, 30, 255), (200, 100, 0, 128)], [(1, 2, 3, 4), (5, 6, 7, 8)]]
+    gray = [[(v,) for v in (0, 128, 255)], [(v,) for v in (7, 9, 11)]]
+    df = spark.createDataFrame(
+        [
+            ("png://rgba", _png_bytes(rgba, color_type=6, filters=[4, 4])),
+            ("png://gray", _png_bytes(gray, color_type=0, filters=[1, 2])),
+        ],
+        "url string, media binary",
+    )
+    out = {r["url"]: r for r in decode_media(df, fake=False).collect()}
+    a = out["png://rgba"]
+    assert (a["width"], a["height"], a["n_channels"]) == (2, 2, 4)
+    flat = [s for row in rgba for px in row for s in px]
+    assert a["mean_intensity"] == pytest.approx(sum(flat) / len(flat))
+    g = out["png://gray"]
+    assert (g["width"], g["height"], g["n_channels"]) == (3, 2, 1)
+    flat_g = [s for row in gray for px in row for s in px]
+    assert g["mean_intensity"] == pytest.approx(sum(flat_g) / len(flat_g))
+
+
+def test_decode_media_real_bmp(spark):
+    rows_px = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)], [(10, 11, 12), (13, 14, 15), (16, 17, 18)]]
+    df = spark.createDataFrame(
+        [
+            ("bmp://up", _bmp_bytes(rows_px)),
+            ("bmp://down", _bmp_bytes(rows_px, top_down=True)),
+        ],
+        "url string, media binary",
+    )
+    out = {r["url"]: r for r in decode_media(df, fake=False).collect()}
+    flat = [s for row in rows_px for px in row for s in px]
+    for key in ("bmp://up", "bmp://down"):
+        r = out[key]
+        assert (r["width"], r["height"], r["n_channels"]) == (3, 2, 3)
+        # padding bytes must NOT leak into the mean
+        assert r["mean_intensity"] == pytest.approx(sum(flat) / len(flat))
+
+
+def test_decode_media_unsupported_png_names_pil(spark):
+    """Palette (color type 3) stays stubbed: the error must name PIL."""
+    pal = [[(0,), (1,)], [(2,), (3,)]]
+    payload = _png_bytes(pal, color_type=3, filters=[0, 0])
+    df = spark.createDataFrame([("png://pal", payload)], "url string, media binary")
+    with pytest.raises(Exception, match="PIL|palette|color_type"):
+        decode_media(df, fake=False).collect()
+
+
 def test_image_features_deterministic(spark):
     df = media_df(spark).filter(F.col("url") == "img://a")
     f1 = extract_image_features(df, dim=8, fake=True).collect()[0]["features"]
