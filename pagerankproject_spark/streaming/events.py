@@ -214,6 +214,126 @@ def stream_dedup_exact(
     )
 
 
+def stream_minhash_neardup(
+    spark: SparkSession,
+    docs_dir: str,
+    threshold: float,
+    n: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous MinHash-LSH near-dup maintenance — the streaming twin
+    of `dedup.minhash.minhash_verified_pairs`, closing the dedup
+    family's last batch-only gap.
+
+    Everything up to the state store is the batch pipeline's JVM-side
+    expressions verbatim (same shingles, same 60-bit portable hash,
+    same K universal-hash signature, same banded keys), evaluated per
+    micro-batch: each doc explodes into its LSH_BANDS (band, key) rows
+    carrying the doc's distinct shingle-hash set. State is keyed by
+    (band, key) — exactly "band signatures per doc", held as parallel
+    arrays (docs, shingle-hash lists) — so when a doc lands in a bucket
+    it is exact-Jaccard-verified against ONLY that bucket's residents
+    (never all docs), then appended. Within a batch, docs are processed
+    in doc-id order, so same-batch bucket-mates pair too, like the
+    batch self-join.
+
+    Two deliberate deltas from the batch op, both scale choices:
+    * verification compares 60-bit shingle HASH sets, not shingle
+      strings — state stays O(shingles) longs per doc instead of the
+      text; Jaccard equal barring a ~2^-60 collision;
+    * a pair sharing multiple bands is emitted once per shared bucket
+      (identical rows — the sink dedups, e.g. any pair-keyed upsert;
+      the batch op's `.distinct()` is the same dedup placed earlier).
+
+    Output: (a, b, jaccard) with a < b, jaccard >= threshold, rounded
+    6dp. Stream == batch on ordered files (asserted in tests, modulo
+    the duplicate-row note above).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..dedup.minhash import HASH_COEFFS, LSH_BANDS, LSH_ROWS
+    from ..dedup.shingles import DEFAULT_SHINGLE_N, shingles_expr
+    from ..text.analysis import HASH_PRIME, hash60_expr
+
+    n = DEFAULT_SHINGLE_N if n is None else n
+
+    def pairs_fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            docs = list(state.get[0])
+            shing = [list(v) for v in state.get[1]]
+        else:
+            docs, shing = [], []
+        known = set(docs)
+        incoming = []
+        for pdf in pdfs:
+            for d, sh in zip(pdf["doc"], pdf["sh"]):
+                d = int(d)
+                if d not in known:  # replays/dupes are no-ops
+                    incoming.append((d, [int(v) for v in sh]))
+                    known.add(d)
+        incoming.sort()  # same-batch determinism: pair in doc-id order
+        out = []
+        for d, sh in incoming:
+            sset = set(sh)
+            for d2, sh2 in zip(docs, shing):
+                s2 = set(sh2)
+                union = len(sset | s2)
+                j = round(len(sset & s2) / union, 6) if union else 0.0
+                if j >= threshold:
+                    out.append((min(d, d2), max(d, d2), j))
+            docs.append(d)
+            shing.append(sh)
+        state.update((docs, shing))
+        if not out:
+            return iter([])
+        return iter([pd.DataFrame(out, columns=["a", "b", "jaccard"])])
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    sh_hash = F.transform(
+        F.array_distinct(shingles_expr(F.col("text"), n)),
+        lambda s: hash60_expr(s),
+    )
+    x = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(HASH_PRIME)))
+    sig_cols = [
+        F.array_min(
+            F.transform(x, lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(HASH_PRIME))
+        ).alias(f"h{k}")
+        for k, (a, b) in enumerate(HASH_COEFFS)
+    ]
+    base = (
+        stream.select(F.col("doc_id").alias("doc"), sh_hash.alias("sh"))
+        .filter(F.size("sh") > 0)  # no shingles -> no signature (batch parity)
+        .select("doc", "sh", *sig_cols)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                )
+            ).alias("key"),
+        )
+        for j in range(LSH_BANDS)
+    ]
+    bands = base.select(
+        "doc", "sh", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        pairs_fn,
+        outputStructType="a long, b long, jaccard double",
+        stateStructType="docs array<long>, shing array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     events_dir: str,

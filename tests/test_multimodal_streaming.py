@@ -353,6 +353,60 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     assert len(got) == 3  # alpha-beta, gamma-delta, epsilon
 
 
+def test_stream_minhash_neardup_matches_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup == batch minhash_verified_pairs
+    on ordered files: same shingles/signatures/bands, per-bucket exact
+    Jaccard against state residents; distinct emitted rows equal the
+    batch pair set (a pair sharing several bands may be emitted once
+    per bucket — identical rows, deduped here like any pair-keyed
+    sink)."""
+    from pagerankproject_spark.dedup.minhash import minhash_verified_pairs
+    from pagerankproject_spark.streaming.events import stream_minhash_neardup
+
+    docs_dir = tmp_path / "docs_mh"
+    docs_dir.mkdir()
+
+    def doc(i, text):
+        return (i, text, "en", "s", len(text))
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"
+    other = "completely different content with no overlap whatsoever here at all"
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batch1 = [doc(0, base), doc(1, other), doc(2, near)]
+    batch2 = [doc(10, base), doc(11, near), doc(12, "unrelated filler words xyz")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(docs_dir / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(docs_dir / "f1")
+    )
+
+    out = stream_minhash_neardup(spark, str(docs_dir) + "/*", threshold=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in spark.sql("select * from mh_stream").collect()
+    }
+
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in minhash_verified_pairs(all_docs, threshold=0.3).collect()
+    }
+    assert got == expected
+    # sanity: the near-dup cluster {0, 2, 10, 11} produced real pairs
+    assert {(a, b) for a, b, _ in got} >= {(0, 10), (2, 11), (0, 2)}
+
+
 def test_stream_incremental_pagerank_matches_batch(spark, tmp_path):
     from pagerankproject_spark.graph.pagerank import pagerank_from_edges
     from pagerankproject_spark.streaming.events import stream_incremental_pagerank
