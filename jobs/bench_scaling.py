@@ -98,14 +98,14 @@ def build_graph(spark, multiplier: int, num_partitions: int | None = None):
     )
 
 
-def run_worker(cpus: int, multiplier: int, iters: int) -> None:
+def run_worker(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") -> None:
     from pagerankproject_spark.graph.pagerank import pagerank
     from pagerankproject_spark.session import get_spark
 
     import os
 
     spark = get_spark(
-        app_name=f"scaling-{cpus}",
+        app_name=f"scaling-{cpus}-{spmv}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
         extra_conf={
@@ -122,7 +122,7 @@ def run_worker(cpus: int, multiplier: int, iters: int) -> None:
     build_sec = time.time() - t0
 
     t0 = time.time()
-    res = pagerank(spark, g, epsilon=0.0, max_iterations=iters)
+    res = pagerank(spark, g, epsilon=0.0, max_iterations=iters, spmv=spmv)
     res.ranks.count()
     total = time.time() - t0
 
@@ -136,6 +136,7 @@ def run_worker(cpus: int, multiplier: int, iters: int) -> None:
         + json.dumps(
             {
                 "cpus": cpus,
+                "spmv": spmv,
                 "edges": g.num_edges,
                 "vertices": g.n,
                 "iterations": len(iter_walls),
@@ -150,10 +151,11 @@ def run_worker(cpus: int, multiplier: int, iters: int) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, multiplier: int, iters: int) -> dict:
+def run_level(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") -> dict:
     cmd = [
         sys.executable, __file__, "--worker", str(cpus),
         "--multiplier", str(multiplier), "--iters", str(iters),
+        "--spmv", spmv,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, cwd=str(REPO)
@@ -178,14 +180,26 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--levels", type=str, default="2,8,32")
+    ap.add_argument(
+        "--spmv",
+        type=str,
+        default="dataframe",
+        help="SpMV mode to sweep; 'blocks' writes its own BENCH.md section",
+    )
     args = ap.parse_args()
 
     if args.worker is not None:
-        run_worker(args.worker, args.multiplier, args.iters)
+        run_worker(args.worker, args.multiplier, args.iters, args.spmv)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = {c: run_level(c, args.multiplier, args.iters) for c in levels}
+    results = {
+        c: run_level(c, args.multiplier, args.iters, args.spmv) for c in levels
+    }
+
+    if args.spmv != "dataframe":
+        _report_alt_spmv(args, levels, results)
+        return
 
     primary = (results[levels[0]], results[levels[1]])
     eff_primary = efficiency(*primary)
@@ -336,6 +350,79 @@ def main() -> None:
         )
     bench_path.write_text("\n".join(md) + tail)
     print(f"wrote {bench_path}")
+
+
+def _report_alt_spmv(args, levels: list[int], results: dict) -> None:
+    """Report + BENCH.md section for a non-default SpMV sweep (blocks):
+    owns only the text between its BEGIN/END markers, appended after
+    the scaling-harness tail if absent."""
+    eff_primary = efficiency(results[levels[0]], results[levels[1]])
+    report = {
+        "job": f"pagerank power iteration, spmv='{args.spmv}'",
+        "levels": {str(c): r for c, r in results.items()},
+        "primary_pair": f"local[{levels[0]}] vs local[{levels[1]}]",
+        "scaling_efficiency": round(eff_primary, 3),
+        "meets_north_rule_0.8": eff_primary >= 0.8,
+    }
+    if len(levels) > 2:
+        report["secondary_efficiency"] = round(
+            efficiency(results[levels[1]], results[levels[2]]), 3
+        )
+    print(json.dumps(report))
+
+    lo = results[levels[0]]
+    md = [
+        f"## spmv='{args.spmv}' scaling sweep (same harness, same graph)",
+        "",
+        f"Same deterministic graph ({lo['edges']:,} edges / {lo['vertices']:,}",
+        f"vertices) and the same {args.iters}-fixed-iteration protocol as the",
+        "headline sweep above, with the broadcast-vertex blocks SpMV instead of",
+        "the distributed join+agg loop. The per-iteration job here is",
+        "shuffle-free (P part-ids in, ~n doubles out; rank vector in the task",
+        "closure), so added cores scale with resident-block bandwidth until the",
+        "single-box LLC/GC contention regime.",
+        "",
+        "| level | s/iter (median) | edges/sec/iteration | iteration walls |",
+        "|---|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        md.append(
+            f"| local[{c}] | {r['sec_per_iteration']:.2f} | "
+            f"{r['edges_per_sec_per_iteration']:,.0f} | {r['iter_walls']} |"
+        )
+    md += [
+        "",
+        f"**Primary (local[{levels[0]}] vs local[{levels[1]}]): efficiency = "
+        f"{eff_primary:.3f}**"
+        + ("  — >= 0.8: **PASS**" if eff_primary >= 0.8 else "  — < 0.8: FAIL"),
+    ]
+    if len(levels) > 2:
+        md.append(
+            f"Secondary (local[{levels[1]}] vs local[{levels[2]}]): "
+            f"{report['secondary_efficiency']:.3f} (single-box thread-contention "
+            "regime, see the analysis above)."
+        )
+    md += [
+        "",
+        f"Reproduce: `python jobs/bench_scaling.py --spmv {args.spmv} "
+        f"--multiplier {args.multiplier} --iters {args.iters} "
+        f"--levels {args.levels}`",
+        "",
+    ]
+    begin = f"<!-- BEGIN {args.spmv}-scaling -->"
+    end = f"<!-- END {args.spmv}-scaling -->"
+    section = begin + "\n" + "\n".join(md) + end
+    bench_path = REPO / "BENCH.md"
+    text = bench_path.read_text() if bench_path.exists() else ""
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip("\n") + "\n\n" + section + "\n"
+    bench_path.write_text(text)
+    print(f"wrote {bench_path} ({args.spmv} section)")
 
 
 if __name__ == "__main__":
