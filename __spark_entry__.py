@@ -1598,10 +1598,12 @@ def oracle_sql() -> dict[str, str]:
                     where exists (select 1 from simple t
                                   where t.src = s.dst and t.dst = s.src))::bigint
                        as reciprocated,
-                   (select count(*) from simple s
-                    where exists (select 1 from simple t
-                                  where t.src = s.dst and t.dst = s.src))::double
-                       / (select count(*) from simple)::double as reciprocity""",
+                   case when (select count(*) from simple) = 0 then null
+                        else (select count(*) from simple s
+                              where exists (select 1 from simple t
+                                            where t.src = s.dst and t.dst = s.src))::double
+                             / (select count(*) from simple)::double
+                   end as reciprocity""",
         "hyperball_nf": f"{g},{_sql_hyperball_balls(3)}",
         "harmonic_centrality": f"{g},{_sql_harmonic(3)}",
         "embedding_centroids": sql_embedding_centroids_long(),

@@ -227,7 +227,15 @@ def hyperball(
     long ids: registers are still derived from md5(url) (so estimates
     are identical to the string path — tested), but every per-round
     shuffle moves 8-byte keys instead of url strings. Measured 2.1x at
-    45M edges (BENCH.md); the production mode at corpus scale."""
+    45M edges (BENCH.md); the production mode at corpus scale.
+
+    Determinism note: `balls` (the per-vertex registers and estimates)
+    is bit-exact — registers are integers, the estimate is one fixed
+    expression over them. `nf` and `effective_diameter` are DIAGNOSTICS
+    outside that contract: each nf value is an unordered F.sum over
+    per-vertex rounded doubles, so the trailing ulps (and the
+    interpolated diameter built from them) can jitter between
+    runs/partitionings. No contract key reads them."""
     e, base, vertices_dim = _sketch_inputs(spark, edges, g)
     sketch = base.localCheckpoint(eager=True)
 

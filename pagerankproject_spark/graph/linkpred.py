@@ -140,17 +140,17 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     """One-row reciprocity summary of the simple directed graph.
 
     Output: total_edges (long), reciprocated (long), reciprocity
-    (double = reciprocated / total_edges).
+    (double = reciprocated / total_edges; NULL when the simple graph
+    is empty — guarded explicitly so the engine and the DuckDB twin
+    agree on degenerate input instead of diverging NULL-vs-NaN).
     """
     e = _simple(edges)
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
+    ratio = F.when(
+        F.col("total_edges") > 0,
+        F.col("reciprocated").cast("double") / F.col("total_edges").cast("double"),
+    )
     return e.agg(F.count("*").alias("total_edges")).crossJoin(
         recip.agg(F.count("*").alias("reciprocated"))
-    ).select(
-        "total_edges",
-        "reciprocated",
-        (F.col("reciprocated").cast("double") / F.col("total_edges").cast("double")).alias(
-            "reciprocity"
-        ),
-    )
+    ).select("total_edges", "reciprocated", ratio.alias("reciprocity"))

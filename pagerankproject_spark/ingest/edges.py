@@ -284,7 +284,17 @@ def build_weighted_graph_tables(
     The reference has no weighted mode (its P is always 1/outdeg,
     pagerank.py:72-76); feeding w = per-pair multiplicity reproduces the
     reference semantics on the contracted multigraph exactly (tested to
-    1e-12 against the row-expanded build)."""
+    1e-12 against the row-expanded build).
+
+    Determinism contract: `w` is expected to be an exactly-representable
+    integer count (true for every current caller — host n_links). The
+    normalizing sum(w) over src is an UNORDERED float window sum, so
+    arbitrary fractional weights would make transition weights
+    addition-order-dependent in the last ulp across runs/partitionings,
+    breaking the repo's cross-engine bit-parity conventions. Integer
+    values up to 2^53 sum exactly in double regardless of order, so the
+    contract holds for counts; callers with genuinely fractional weights
+    should pre-scale to integers or accept ulp-level jitter."""
     e = edges.select(
         F.col("src"), F.col("dst"), F.col("w").cast("double").alias("w")
     ).filter(F.col("w") > 0)

@@ -27,6 +27,7 @@ def latest_snapshots(
     key: str = "url",
     ts: str = "warc_ts",
     tiebreak: str | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """One row per `key`: the row with the greatest (`ts`, `tiebreak`).
 
@@ -34,9 +35,32 @@ def latest_snapshots(
     e.g. a capture id) makes the winner deterministic when a url is
     captured twice in the same instant; None asserts ts alone is unique
     per key. Output keeps every input column, original names, key first.
+
+    If the uniqueness precondition is violated, ties break by
+    lexicographic payload comparison here but by arbitrary row order in
+    the row_number twin — a silent cross-engine divergence. Pass
+    `assert_unique=True` to pay one cheap aggregation (same shuffle key
+    as the main agg, counts only) that raises ValueError on the first
+    duplicated (key, ts[, tiebreak]) group instead.
     """
     payload = [c for c in pages.columns if c not in (key, ts, tiebreak)]
     order = [ts] + ([tiebreak] if tiebreak else [])
+    if assert_unique:
+        dupes = (
+            pages.groupBy(key, *order)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dupes:
+            r = dupes[0]
+            raise ValueError(
+                "latest_snapshots: (key, ts"
+                + (", tiebreak" if tiebreak else "")
+                + f") is not unique — e.g. {tuple(r)[:-1]} appears {r['n']} times; "
+                "winner would be payload-order-dependent"
+            )
     packed = F.max(F.struct(*order, *payload)).alias("s")
     latest = pages.groupBy(key).agg(packed)
     return latest.select(key, *[F.col(f"s.{c}").alias(c) for c in order + payload])
@@ -51,7 +75,14 @@ def sql_latest_snapshots(
 ) -> str:
     """DuckDB twin: row_number over (ts desc, tiebreak desc) — same
     winner because (ts, tiebreak) is unique per key; `columns` is the
-    full input column list in output order (key first)."""
+    full input column list in output order (key first).
+
+    Divergence mode if that precondition is violated: this twin picks
+    an arbitrary row among the tied group (row_number with an
+    under-specified ORDER BY), while the engine's max(struct) picks the
+    lexicographically-greatest payload — the results differ silently.
+    Use latest_snapshots(assert_unique=True) to fail fast instead.
+    """
     order = f"{ts} desc" + (f", {tiebreak} desc" if tiebreak else "")
     out = ", ".join([key] + [c for c in columns if c != key])
     return f"""

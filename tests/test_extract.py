@@ -219,6 +219,29 @@ def test_latest_snapshots_plan_partial_aggregates(spark):
     assert "Window" not in p
 
 
+def test_latest_snapshots_assert_unique(spark):
+    import datetime
+
+    import pytest
+
+    from pagerankproject_spark.ingest.snapshots import latest_snapshots
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    dup = spark.createDataFrame(
+        [("u", t0, 1, "a"), ("u", t0, 1, "b")],
+        "url string, warc_ts timestamp, cap_id long, body string",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        latest_snapshots(dup, tiebreak="cap_id", assert_unique=True)
+    # unique input passes the check and returns normally
+    ok = spark.createDataFrame(
+        [("u", t0, 1, "a"), ("u", t0, 2, "b")],
+        "url string, warc_ts timestamp, cap_id long, body string",
+    )
+    got = latest_snapshots(ok, tiebreak="cap_id", assert_unique=True).collect()
+    assert [(r["url"], r["cap_id"]) for r in got] == [("u", 2)]
+
+
 def test_anchor_unicode_whitespace_sql_arrow_agree(spark):
     import datetime
 

@@ -108,6 +108,15 @@ def test_reciprocity(spark):
     assert row["reciprocity"] == recip / len(simple)
 
 
+def test_reciprocity_empty_graph_is_null(spark):
+    # self-loops only -> simple graph is empty; ratio must be NULL in
+    # both engines (guarded division), not NULL-vs-NaN divergence
+    row = reciprocity(edges_df(spark, [("a", "a"), ("b", "b")])).collect()[0]
+    assert row["total_edges"] == 0
+    assert row["reciprocated"] == 0
+    assert row["reciprocity"] is None
+
+
 def test_ppr_from_walks_matches_python_replay(spark):
     from pagerankproject_spark.graph.walks import ppr_from_walks, random_walks
 
