@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "betweenness_sampled",
     "ktruss",
     "salsa_scores",
+    "pagerank_topics",
 ]
 
 

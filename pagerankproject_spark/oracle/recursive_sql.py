@@ -54,6 +54,7 @@ def _pagerank_cte(
     edges_rel: str = "edges",
     vertices_rel: str = "vertices",
     weighted: bool = False,
+    suffix: str = "",
 ) -> str:
     """CTE chain ending in ``pr(url, x)`` — the converged rank vector.
 
@@ -78,27 +79,28 @@ def _pagerank_cte(
         if weighted
         else "1.0/(count(*) over (partition by src))"
     )
+    X = suffix
     return f"""
-nn as (select count(*)::double as n from {V}),
-vat as (
+nn{X} as (select count(*)::double as n from {V}),
+vat{X} as (
   select url as v,
          ({vv}) / sqrt((select sum(({vv})*({vv})) from {V})) as vv,
          (url not in (select src from {E})) as dang
   from {V}
 ),
-ew as (
+ew{X} as (
   select src, dst, {tw} as w, 0 as own
   from {E}
   union all
   select url, url, 0.0, 1 from {V}
 ),
-pr as (
+pr{X} as (
   with recursive st(i, v, x, dm, res) as (
     select 0, url, 1.0/sqrt(n),
            (select count(*) from {V}
              where url not in (select src from {E})) / sqrt(n),
            1e300
-    from {V}, nn
+    from {V}, nn{X}
     union all
     select i + 1 as i, v,
            u / sqrt(sum(u*u) over ()) as x,
@@ -116,10 +118,10 @@ pr as (
                sum(s.x * e.w) filter (where e.own = 0) as msg,
                min(s.x) filter (where e.own = 1) as xp,
                min(s.dm) as dm
-        from st s join ew e on e.src = s.v
+        from st s join ew{X} e on e.src = s.v
         where s.res >= {epsilon} and s.i < {max_iterations}
         group by s.i, e.dst
-      ) m join vat a on a.v = m.v
+      ) m join vat{X} a on a.v = m.v
     )
   )
   select v as url, x from st where i = (select max(i) from st)
@@ -584,3 +586,36 @@ select v.url,
 from vertices v
 left join hscore h on h.url = v.url
 left join ascore a on a.url = v.url"""
+
+
+# ---------------------------------------------------------------------------
+# batched topic-sensitive PageRank — graph/topics.py (Haveliwala 2002)
+# ---------------------------------------------------------------------------
+
+
+def sql_pagerank_topics(
+    topics: dict[str, str],
+    alpha: float = 0.85,
+    iterations: int = 15,
+    round_digits: int = 6,
+) -> str:
+    """Oracle twin of graph/topics.py::pagerank_topics — k INDEPENDENT
+    fixed-iteration personalized PageRanks (epsilon=0 so the recursion
+    runs exactly `iterations` rounds, matching the engine's fixed-count
+    batched loop), unioned with a literal topic column. The engine
+    batches the k vectors through one edge-scan per iteration; the
+    numbers are identical to k separate runs because the per-topic
+    update never reads another topic's column (pytest-asserted), so k
+    separate recursive chains are the honest SQL expression."""
+    chains = []
+    selects = []
+    for idx, (name, pred) in enumerate(topics.items()):
+        sfx = f"_t{idx}"
+        chains.append(
+            _pagerank_cte(alpha, 0.0, iterations, pred, suffix=sfx)
+        )
+        selects.append(
+            f"select '{name}' as topic, url, round(x, {round_digits}) as rank "
+            f"from pr{sfx}"
+        )
+    return ",".join(chains) + "\n" + "\nunion all\n".join(selects)
