@@ -170,6 +170,12 @@ def bfs_distances(
                 dist.select("id", "d", F.lit(0).alias("nw"))
                 .union(cand.select("id", "d", F.lit(1).alias("nw")))
                 .observe(obs, F.sum("nw").alias("c"))
+                # union CONCATENATES partitions; without this narrow
+                # (no-shuffle) merge the settled table gains one
+                # partition set per round and late rounds pay
+                # O(rounds x P) task dispatch — measured as linearly
+                # growing stage sizes on an 80-round chain graph
+                .coalesce(P)
             )
             dist = staged.localCheckpoint(eager=True)
             changed = int(obs.get["c"] or 0)
@@ -286,6 +292,10 @@ class SSSPResult:
     distances: DataFrame  # url: string, dist: double (unreached omitted)
     iterations: int
     converged: bool
+    # per-round diagnostics: {"i", "changed", "wall_sec"} — the worklist
+    # restriction's evidence that round cost tracks the worklist, not
+    # the settled set (BENCH.md round-3 section)
+    metrics: list[dict] = field(default_factory=list)
 
 
 def sssp_weighted(
@@ -337,8 +347,10 @@ def sssp_weighted(
         raise ValueError("source url not found in the vertex set")
 
     converged, it = False, 0
+    metrics: list[dict] = []
     with no_aqe(spark):
         for it in range(max_iterations):
+            t0 = time.time()
             work = dist.filter(F.col("chg") == 1).select("url", "d")
             cand = (
                 e.join(work, e.src == work.url)
@@ -364,13 +376,16 @@ def sssp_weighted(
                 .observe(obs, F.sum("chg").alias("c"))
             )
             dist = staged.localCheckpoint(eager=True)
-            if int(obs.get["c"] or 0) == 0:
+            changed = int(obs.get["c"] or 0)
+            metrics.append({"i": it, "changed": changed, "wall_sec": time.time() - t0})
+            if changed == 0:
                 converged = True
                 break
     return SSSPResult(
         distances=dist.select("url", F.col("d").alias("dist")),
         iterations=it + 1,
         converged=converged,
+        metrics=metrics,
     )
 
 

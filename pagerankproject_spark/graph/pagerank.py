@@ -437,12 +437,7 @@ def _pagerank_blocks(
                 break
             t0 = time.time()
             xprev = x
-            pt_x = np.zeros(n, dtype=np.float64)
-            for r in blocks_spmv(blocks, x):
-                # blocks own disjoint dst sets: scatter, don't sum
-                pt_x[np.asarray(r["dst_ids"], dtype=np.int64)] = np.asarray(
-                    r["partials"], dtype=np.float64
-                )
+            pt_x = blocks_spmv(blocks, x)
             dm = float(x @ a)
             x = alpha * pt_x + (alpha * dm + (1.0 - alpha)) * v
             x = x / np.linalg.norm(x)

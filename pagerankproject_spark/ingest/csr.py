@@ -182,14 +182,28 @@ class NpyBlockSet:
 
 
 def write_npy_blocks(
-    spark: SparkSession, g: GraphTables, block_dir: str
+    spark: SparkSession, g: GraphTables, block_dir: str,
+    num_blocks: int | None = None,
 ) -> NpyBlockSet:
     """One pass over the edge table: repartition by pmod(hash(dst_id), P),
     sort each partition by dst, write the CSR^T arrays as .npy files.
     numpy's np.save writes the raw little-endian buffer — loading is an
-    mmap, so iteration reads are page-cache hits after the first touch."""
+    mmap, so iteration reads are page-cache hits after the first touch.
+
+    Block count is deliberately DECOUPLED from the edge table's shuffle
+    partitioning: each iteration launches one task per block, and a
+    measured ~20 ms serial dispatch rides every Python task (BENCH.md
+    round-3 blocks section), so iterating over ~2M-edge shuffle-sized
+    blocks pays 10-30x more dispatch than compute. The default sizes
+    blocks at one per core wave, capped so a block's src+w arrays stay
+    under ~512 MB (16 bytes/edge) of task working set — the same rule a
+    real cluster would use (blocks ~ total cores, bounded by
+    executor-local memory)."""
     os.makedirs(block_dir, exist_ok=True)
-    P = g.num_partitions
+    P = num_blocks
+    if P is None:
+        cores = spark.sparkContext.defaultParallelism
+        P = max(cores, -(-g.num_edges // 32_000_000), 1)
     edges = (
         g.weighted_edges.select(
             F.pmod(F.hash("dst_id"), F.lit(P)).alias("part_id"),
@@ -245,22 +259,35 @@ def write_npy_blocks(
     )
 
 
-_BLOCKS_OUT_SCHEMA = "dst_ids array<long>, partials array<double>"
+_BLOCKS_OUT_SCHEMA = "dst long, partial double"
 
 
-def blocks_spmv(blocks: NpyBlockSet, x: np.ndarray) -> list:
-    """One SpMV over the block set: y[d] = sum over in-edges w * x[src],
-    for every dst with in-edges. Returns the collected per-block rows
-    (dst_ids, partials); blocks own disjoint dst sets, so the caller
-    scatters them into a dense vector without summation.
+def blocks_spmv(blocks: NpyBlockSet, x: np.ndarray) -> np.ndarray:
+    """One SpMV over the block set: returns the dense vector
+    y[d] = sum over in-edges w * x[src] (len(x) entries; dsts with no
+    in-edges stay 0.0). Blocks own disjoint dst sets, so assembly is a
+    single vectorized scatter with no summation.
 
-    ONE Spark job, no shuffle: the only bytes crossing the JVM/Python
-    boundary are P part ids in and ~n result doubles out; x travels in
-    the (torrent-broadcast) task closure."""
+    ONE Spark job, no shuffle, Arrow at both boundaries:
+
+    * in  — P part ids; x travels as a REAL sc.broadcast (torrent
+      distribution: the closure carries only the handle). Closure
+      capture instead would py4j-serialize the n x 8 byte vector into
+      the job command every iteration — driver-serial, and at 1000
+      executors P x 8n bytes fanned out from one driver instead of a
+      log-tree.
+    * out — `toArrow()` fetches the (dst, partial) rows as contiguous
+      Arrow buffers -> zero-copy numpy. The previous `.collect()`
+      pickled ~n array elements into Python objects per iteration, a
+      driver-serial cost that was the dominant share of the measured
+      per-iteration floor at 120M edges (BENCH.md round-3 blocks
+      section)."""
     bdir = blocks.block_dir
-    xvec = x
+    sc = blocks.parts_df.sparkSession.sparkContext
+    bx = sc.broadcast(x)
 
     def f(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        xvec = bx.value
         for b in batches:
             for part in b.column("part_id").to_pylist():
                 dst = np.load(f"{bdir}/p{part}.dst.npy")
@@ -275,10 +302,16 @@ def blocks_spmv(blocks: NpyBlockSet, x: np.ndarray) -> list:
                 )
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array([dst], pa.list_(pa.int64())),
-                        pa.array([vals], pa.list_(pa.float64())),
+                        pa.array(dst, pa.int64()),
+                        pa.array(vals, pa.float64()),
                     ],
-                    ["dst_ids", "partials"],
+                    ["dst", "partial"],
                 )
 
-    return blocks.parts_df.mapInArrow(f, _BLOCKS_OUT_SCHEMA).collect()
+    try:
+        t = blocks.parts_df.mapInArrow(f, _BLOCKS_OUT_SCHEMA).toArrow()
+    finally:
+        bx.unpersist()
+    y = np.zeros(len(x), dtype=np.float64)
+    y[t["dst"].to_numpy()] = t["partial"].to_numpy()
+    return y
