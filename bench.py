@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "ktruss",
     "salsa_scores",
     "pagerank_topics",
+    "spam_mass",
 ]
 
 

@@ -200,3 +200,52 @@ def pagerank_topics(
     out = long.select("topic", "url", "x").localCheckpoint(eager=True)
     base.unpersist()
     return TopicPageRankResult(ranks=out, iterations=iterations, metrics=metrics)
+
+
+def spam_mass(
+    spark: SparkSession,
+    g: GraphTables,
+    trusted: Column,
+    alpha: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Garcia-Molina & Pedersen's
+    TrustRank, VLDB 2004; spam mass estimation, VLDB 2006 — public):
+    m(p) = (r(p) - t(p)) / r(p), where r is plain PageRank and t is
+    TrustRank (PageRank personalized to the `trusted` seed set). Pages
+    whose rank is mostly NOT derived from trusted seeds score near 1.
+
+    Both vectors run through ONE `pagerank_topics` batch — a single
+    edge-scan per iteration computes r and t together — with the same
+    fixed iteration count, so the contract oracle is two independent
+    epsilon=0 recursive chains plus arithmetic.
+
+    Cross-engine float discipline: r and t are rounded to 6dp FIRST
+    (the granularity at which the PageRank trajectory is verified
+    engine-identical), and the mass is computed FROM the rounded
+    values — (r6 - t6) / r6 on engine-identical doubles is
+    deterministic, where dividing unrounded last-ulp-noisy doubles
+    would amplify cancellation when t is close to r. r6 = 0 (a rank
+    below 5e-7) yields NULL, mirrored by the oracle's CASE.
+
+    Returns (url, rank, trust, spam_mass), each rounded to 6dp.
+    """
+    res = pagerank_topics(
+        spark,
+        g,
+        {"base": F.lit(True), "trust": trusted},
+        alpha=alpha,
+        iterations=iterations,
+    )
+    wide = res.ranks.groupBy("url").agg(
+        F.max(F.when(F.col("topic") == "base", F.col("x"))).alias("r"),
+        F.max(F.when(F.col("topic") == "trust", F.col("x"))).alias("t"),
+    )
+    r6 = F.round(F.col("r"), 6)
+    t6 = F.round(F.col("t"), 6)
+    return wide.select(
+        "url",
+        r6.alias("rank"),
+        t6.alias("trust"),
+        F.when(r6 > 0, F.round((r6 - t6) / r6, 6)).alias("spam_mass"),
+    )

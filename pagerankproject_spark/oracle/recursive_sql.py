@@ -619,3 +619,32 @@ def sql_pagerank_topics(
             f"from pr{sfx}"
         )
     return ",".join(chains) + "\n" + "\nunion all\n".join(selects)
+
+
+def sql_spam_mass(
+    trusted_pred: str,
+    alpha: float = 0.85,
+    iterations: int = 15,
+    round_digits: int = 6,
+) -> str:
+    """Oracle twin of graph/topics.py::spam_mass — plain PageRank and
+    TrustRank as two independent epsilon=0 fixed-iteration chains, then
+    m = (r6 - t6) / r6 computed FROM the 6dp-rounded values (the
+    granularity at which the trajectories are verified engine-
+    identical); r6 = 0 yields NULL like the engine's WHEN guard."""
+    c0 = _pagerank_cte(alpha, 0.0, iterations, None, suffix="_sm0")
+    c1 = _pagerank_cte(alpha, 0.0, iterations, trusted_pred, suffix="_sm1")
+    d = round_digits
+    return (
+        c0
+        + ","
+        + c1
+        + f"""
+select b.url,
+       round(b.x, {d}) as rank,
+       round(t.x, {d}) as trust,
+       case when round(b.x, {d}) > 0
+            then round((round(b.x, {d}) - round(t.x, {d})) / round(b.x, {d}), {d})
+       end as spam_mass
+from pr_sm0 b join pr_sm1 t on t.url = b.url"""
+    )

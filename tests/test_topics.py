@@ -69,3 +69,47 @@ def test_topic_sums_and_errors(spark):
     with pytest.raises(ValueError, match="sums to 0"):
         pagerank_topics(spark, g, {"none": F.expr("url like '%zzz%'")})
     g.unpersist()
+
+
+def test_spam_mass_all_trusted_is_zero(spark):
+    """If every page is a trusted seed, TrustRank IS PageRank and the
+    relative spam mass is exactly 0 everywhere."""
+    from pagerankproject_spark.graph.topics import spam_mass
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, EDGES))
+    rows = spam_mass(spark, g, F.expr("true"), iterations=6).collect()
+    assert len(rows) == g.n
+    for r in rows:
+        assert r["spam_mass"] == 0.0, r
+        assert r["rank"] == r["trust"]
+    g.unpersist()
+
+
+def test_spam_mass_untrusted_region_scores_high(spark):
+    """Pages unreachable from the trusted seeds receive trust only
+    from the uniform x0, which decays like alpha^T with no teleport
+    replenishment — their relative mass tends to 1; the seeds
+    themselves score negative (trust concentrates on them)."""
+    from pagerankproject_spark.graph.topics import spam_mass
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    # two disconnected areas: p1<->p2 (trusted side), p8<->p9 (spam side)
+    edges = [
+        ("g.com/p1", "g.com/p2"),
+        ("g.com/p2", "g.com/p1"),
+        ("g.com/p8", "g.com/p9"),
+        ("g.com/p9", "g.com/p8"),
+    ]
+    g = build_graph_tables(spark, edges_df(spark, edges))
+    out = {
+        r["url"]: r
+        for r in spam_mass(
+            spark, g, F.expr("url like '%p1' or url like '%p2'"), iterations=40
+        ).collect()
+    }
+    assert out["g.com/p8"]["trust"] < 0.01
+    assert out["g.com/p8"]["spam_mass"] > 0.98
+    assert out["g.com/p9"]["spam_mass"] > 0.98
+    assert out["g.com/p1"]["spam_mass"] < 0.0  # trust CONCENTRATES on seeds
+    g.unpersist()
