@@ -1,0 +1,244 @@
+"""Louvain local-moving pass (Blondel, Guillaume, Lambiotte & Lefebvre
+2008, "Fast unfolding of communities in large networks" — public).
+
+The engine's third community-detection operator, complementing LPA
+(most-frequent-neighbor labels, no objective) and the modularity
+metric (graph/metrics.py): a synchronous, parity-gated round of
+Blondel et al.'s phase-1 local moves — every vertex greedily joins the
+neighboring community with the largest modularity gain. Design choices
+that make the distributed pass deterministic AND oracle-checkable:
+
+* **Integer gain arithmetic.** On the symmetrized multigraph with
+  integer weights, the modularity gain of moving u into community c
+  (after removal from its own) is proportional to
+
+      gain(u, c) = 2m * k_in(u, c) - k_u * tot(c \\ u)
+
+  with 2m = total symmetrized weight, k_in = weight from u into c,
+  k_u = u's weighted degree, tot = sum of member degrees. All int64 —
+  gains compare EXACTLY, no float argmax ambiguity (overflows only
+  past ~3e9 total weight x degree; raise the scale by sampling or
+  switching the comparison to float128 off-engine before that).
+* **Synchronous parity gating.** Only vertices with (v + round) % 2
+  == 0 may move in a round — the classic two-coloring guard against
+  the synchronous swap oscillation (Prat-Perez et al.). Two rounds =
+  one full sweep.
+* **Cross-engine vertex numbering.** Tie-breaks (min community label
+  on equal gain) and the parity gate must agree with the DuckDB
+  oracle, but GraphTables ids are hash-partition-dependent. The pass
+  numbers vertices by GLOBAL URL-SORT RANK — a one-time
+  repartitionByRange + per-partition row_number + offset pass (no
+  single-partition window) that the oracle reproduces exactly as
+  row_number() over (order by url).
+* **Strict-improvement moves.** A vertex moves only when the best
+  candidate STRICTLY beats staying; equal-gain candidates tie-break
+  to the smallest label. Fixed `rounds` (no early-stop) replays
+  identically in the oracle (oracle/recursive_sql.py::sql_louvain).
+
+Per-round cost is LPA-shaped: one edge-scan join against the label
+table plus grouped integer aggregations, lineage truncated per round,
+the move count riding the localCheckpoint as an Observation.
+Self-loops are dropped (standard phase-1 treatment of the input
+graph); parallel links count as weight.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..session import no_aqe
+
+
+@dataclass
+class LouvainResult:
+    communities: DataFrame  # url: string, community: string (min url)
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _url_rank_ids(
+    spark: SparkSession, vertices: DataFrame, num_partitions: int
+) -> DataFrame:
+    """(url, v) with v = global url-sort rank in [0, n) — distributed:
+    range-partition by url, row_number inside each sorted partition,
+    add collected per-partition offsets (num_partitions scalars). The
+    sampled range boundaries are nondeterministic but the produced
+    rank is the exact url order regardless of where the cuts fall."""
+    parts = (
+        vertices.select("url")
+        .repartitionByRange(num_partitions, "url")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in parts.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    offset_df = spark.createDataFrame(offsets, "pid int, offset long")
+    w = Window.partitionBy("pid").orderBy("url")
+    return (
+        parts.withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(offset_df), "pid")
+        .select("url", (F.col("rn") + F.col("offset")).alias("v"))
+    )
+
+
+def louvain(
+    spark: SparkSession,
+    g: GraphTables,
+    rounds: int = 6,
+) -> LouvainResult:
+    """One Louvain local-moving phase: `rounds` parity-gated synchronous
+    move rounds from singleton communities. Returns (url, community)
+    with community = the minimum url of the final group."""
+    P = g.num_partitions
+    rid = _url_rank_ids(spark, g.vertices, P).persist()
+
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .join(
+            g.vertices.select(F.col("id").alias("src_id"), F.col("url").alias("su")),
+            "src_id",
+        )
+        .join(
+            g.vertices.select(F.col("id").alias("dst_id"), F.col("url").alias("du")),
+            "dst_id",
+        )
+        .join(rid.select(F.col("url").alias("su"), F.col("v").alias("u")), "su")
+        .join(rid.select(F.col("url").alias("du"), F.col("v").alias("v")), "du")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .repartition(P, "u")
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("k")).persist()
+    m2 = deg.agg(F.sum("k")).first()[0] or 0
+    if m2 == 0:
+        raise ValueError("graph has no non-loop edges; Louvain undefined")
+
+    lab = rid.select("v", F.col("v").alias("lbl")).repartition(P, "v")
+    lab = lab.localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    with no_aqe(spark):
+        for r in range(rounds):
+            t0 = time.time()
+            tot = (
+                lab.join(deg, lab.v == deg.u)
+                .groupBy("lbl")
+                .agg(F.sum("k").alias("tot"))
+            )
+            movers = lab.filter((F.col("v") + F.lit(r)) % 2 == 0).select(
+                "v", F.col("lbl").alias("own")
+            )
+            nbr = (
+                sym.join(movers, sym.u == movers.v)
+                .join(
+                    lab.select(F.col("v").alias("nv"), F.col("lbl").alias("c")),
+                    sym.v == F.col("nv"),
+                )
+                .select("u", "own", "c", "w")
+            )
+            kiall = (
+                nbr.select("u", "own", "c", "w")
+                .union(
+                    movers.select(
+                        F.col("v").alias("u"),
+                        "own",
+                        F.col("own").alias("c"),
+                        F.lit(0).cast("long").alias("w"),
+                    )
+                )
+                .groupBy("u", "own", "c")
+                .agg(F.sum("w").alias("kin"))
+            )
+            cand = (
+                kiall.join(tot.withColumnRenamed("lbl", "c"), "c")
+                .join(deg, "u")
+                .select(
+                    "u",
+                    "own",
+                    "c",
+                    (
+                        F.lit(m2) * F.col("kin")
+                        - F.col("k")
+                        * (
+                            F.col("tot")
+                            - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(
+                                F.lit(0)
+                            )
+                        )
+                    ).alias("gain"),
+                )
+            )
+            pick = cand.groupBy("u").agg(
+                F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias(
+                    "best"
+                )
+            )
+            stay = cand.filter(F.col("c") == F.col("own")).select(
+                "u", "own", F.col("gain").alias("sg")
+            )
+            moves = (
+                pick.join(stay, "u")
+                .select(
+                    F.col("u").alias("v"),
+                    F.when(
+                        F.col("best.gain") > F.col("sg"), -F.col("best.negc")
+                    )
+                    .otherwise(F.col("own"))
+                    .alias("newlbl"),
+                    F.col("own"),
+                )
+            )
+            obs = Observation()
+            staged = (
+                lab.join(moves, "v", "left")
+                .select(
+                    "v",
+                    F.coalesce("newlbl", F.col("lbl")).alias("lbl"),
+                    (
+                        F.coalesce("newlbl", F.col("lbl")) != F.col("lbl")
+                    ).cast("int").alias("chg"),
+                )
+                .observe(obs, F.sum("chg").alias("c"))
+                .select("v", "lbl")
+                .repartition(P, "v")
+            )
+            lab = staged.localCheckpoint(eager=True)
+            metrics.append(
+                {
+                    "i": r,
+                    "moved": int(obs.get["c"] or 0),
+                    "wall_sec": time.time() - t0,
+                }
+            )
+
+    rep = (
+        lab.join(rid, lab.v == rid.v)
+        .groupBy("lbl")
+        .agg(F.min("url").alias("community"))
+    )
+    out = (
+        lab.join(rid, lab.v == rid.v)
+        .join(rep, "lbl")
+        .select("url", "community")
+        .localCheckpoint(eager=True)
+    )
+    for df in (rid, sym, deg):
+        df.unpersist()
+    return LouvainResult(communities=out, rounds=rounds, metrics=metrics)

@@ -648,3 +648,97 @@ select b.url,
        end as spam_mass
 from pr_sm0 b join pr_sm1 t on t.url = b.url"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Louvain local-moving pass — graph/louvain.py (Blondel et al. 2008)
+# ---------------------------------------------------------------------------
+
+
+def sql_louvain(rounds: int = 6) -> str:
+    """Exact replay of the engine's parity-gated synchronous Louvain
+    phase-1 (graph/louvain.py): vertices numbered by url-sort rank
+    (row_number over url — identical to the engine's distributed rank
+    pass), integer gains m2*kin - k*(tot - [own]k), strict-improvement
+    moves with min-label ties, `rounds` generated CTE blocks (the same
+    fixed-round-replay pattern as the walks oracle). DuckDB's sum()
+    returns HUGEINT so the gain arithmetic is exact; the engine's int64
+    matches wherever it doesn't overflow (contract scales are far
+    below the ~2^63 product bound).
+
+    Multi-referenced CTEs are AS MATERIALIZED: unlike the linear
+    pagerank/kcore chains (one reference per level), each lab_{{r}} is
+    referenced 4x, so DuckDB 1.0's default inlining would expand the
+    base scan 4^rounds times and exhaust file descriptors."""
+    parts = [
+        """
+rid as materialized (
+  select url, row_number() over (order by url) - 1 as v from vertices
+),
+le as (
+  select s.v as u, d.v as v2
+  from edges e join rid s on s.url = e.src join rid d on d.url = e.dst
+  where s.v <> d.v
+),
+symw2 as materialized (
+  select u, v2 as v, count(*)::bigint as w
+  from (select u, v2 from le union all select v2 as u, u as v2 from le)
+  group by u, v2
+),
+ldeg as materialized (select u, sum(w) as k from symw2 group by u),
+lm2 as materialized (select sum(w) as m2 from symw2),
+lab_0 as materialized (select v, v as lbl from rid)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+tot_{r} as (
+  select l.lbl as c, sum(d.k) as tot
+  from lab_{r} l join ldeg d on d.u = l.v group by l.lbl
+),
+mv_{r} as materialized (select v as u, lbl as own from lab_{r} where (v + {r}) % 2 = 0),
+nb_{r} as (
+  select s.u, m.own, l2.lbl as c, s.w
+  from symw2 s join mv_{r} m on m.u = s.u join lab_{r} l2 on l2.v = s.v
+),
+ki_{r} as (
+  select u, own, c, sum(w) as kin from (
+    select u, own, c, w from nb_{r}
+    union all
+    select u, own, own as c, 0::bigint as w from mv_{r}
+  ) group by u, own, c
+),
+cd_{r} as materialized (
+  select k.u, k.own, k.c,
+         m2.m2 * k.kin
+           - d.k * (t.tot - case when k.c = k.own then d.k else 0 end) as gain
+  from ki_{r} k
+  join tot_{r} t on t.c = k.c
+  join ldeg d on d.u = k.u
+  cross join lm2 m2
+),
+bg_{r} as (select u, max(gain) as bg from cd_{r} group by u),
+pk_{r} as (
+  select c.u, min(c.c) as bc, min(s.bg) as bg
+  from cd_{r} c join bg_{r} s on s.u = c.u and c.gain = s.bg
+  group by c.u
+),
+sg_{r} as (select u, gain as sg from cd_{r} where c = own),
+lab_{r + 1} as materialized (
+  select l.v,
+         case when p.bg > s.sg then p.bc else l.lbl end as lbl
+  from lab_{r} l
+  left join pk_{r} p on p.u = l.v
+  left join sg_{r} s on s.u = l.v
+)"""
+        )
+    final = f""",
+lrep as (
+  select l.lbl, min(r.url) as community
+  from lab_{rounds} l join rid r on r.v = l.v group by l.lbl
+)
+select r.url, p.community
+from lab_{rounds} l
+join rid r on r.v = l.v
+join lrep p on p.lbl = l.lbl"""
+    return ",".join(parts) + final

@@ -1,0 +1,110 @@
+"""Louvain local-moving pass (graph/louvain.py) vs an exact pure-Python
+replay of the same rules (integer gains, parity gating, strict
+improvement, min-label ties) — the engine must reproduce the replay
+EXACTLY, plus a semantic planted-communities check.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from .conftest import edges_df
+
+
+def _replay_louvain(edges: list[tuple[str, str]], rounds: int) -> dict[str, str]:
+    """Reference replay: identical rules on url-sort-rank vertices."""
+    urls = sorted({u for e in edges for u in e})
+    ridx = {u: i for i, u in enumerate(urls)}
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    for s, t in edges:
+        a, b = ridx[s], ridx[t]
+        if a == b:
+            continue
+        w[(a, b)] += 1
+        w[(b, a)] += 1
+    deg = defaultdict(int)
+    for (a, _), x in w.items():
+        deg[a] += x
+    m2 = sum(deg.values())
+    lab = {i: i for i in range(len(urls))}
+    for r in range(rounds):
+        tot = defaultdict(int)
+        for v, l in lab.items():
+            tot[l] += deg[v]
+        newlab = dict(lab)
+        for u in range(len(urls)):
+            if (u + r) % 2 != 0 or deg[u] == 0:
+                continue
+            kin = defaultdict(int)
+            kin[lab[u]] += 0  # own row always present
+            for (a, b), x in w.items():
+                if a == u:
+                    kin[lab[b]] += x
+            best = None
+            for c, k_in in kin.items():
+                t = tot[c] - (deg[u] if c == lab[u] else 0)
+                gain = m2 * k_in - deg[u] * t
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            stay_gain = m2 * kin[lab[u]] - deg[u] * (tot[lab[u]] - deg[u])
+            if best[0][0] > stay_gain:
+                newlab[u] = best[1]
+        lab = newlab
+    groups = defaultdict(list)
+    for v, l in lab.items():
+        groups[l].append(urls[v])
+    out = {}
+    for members in groups.values():
+        rep = min(members)
+        for u in members:
+            out[u] = rep
+    return out
+
+
+# two 4-cliques bridged by one edge + a pendant; multi-edges + self-loop
+CLIQUE_A = ["a.com/p1", "a.com/p2", "a.com/p3", "a.com/p4"]
+CLIQUE_B = ["b.com/q1", "b.com/q2", "b.com/q3", "b.com/q4"]
+EDGES = (
+    [(x, y) for x in CLIQUE_A for y in CLIQUE_A if x < y]
+    + [(x, y) for x in CLIQUE_B for y in CLIQUE_B if x < y]
+    + [
+        ("a.com/p1", "b.com/q1"),       # the bridge
+        ("b.com/q4", "b.com/q5"),       # pendant
+        ("a.com/p1", "a.com/p2"),       # parallel link (weight 2)
+        ("a.com/p3", "a.com/p3"),       # self-loop (dropped)
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def louvain_out(spark):
+    from pagerankproject_spark.graph.louvain import louvain
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, EDGES))
+    res = louvain(spark, g, rounds=6)
+    rows = {r["url"]: r["community"] for r in res.communities.collect()}
+    g.unpersist()
+    return res, rows
+
+
+def test_louvain_matches_exact_replay(louvain_out):
+    _, rows = louvain_out
+    assert rows == _replay_louvain(EDGES, rounds=6)
+
+
+def test_louvain_recovers_planted_cliques(louvain_out):
+    _, rows = louvain_out
+    assert len({rows[u] for u in CLIQUE_A}) == 1
+    assert len({rows[u] for u in CLIQUE_B + ["b.com/q5"]}) == 1
+    assert rows["a.com/p1"] != rows["b.com/q1"]
+
+
+def test_louvain_moves_recorded(louvain_out):
+    res, _ = louvain_out
+    assert res.rounds == 6
+    assert sum(m["moved"] for m in res.metrics) > 0
+    assert res.metrics[-1]["moved"] == 0  # settled by the last round
