@@ -408,6 +408,18 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(spark, g, k=3).vertices
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition via the h-index fixpoint (Lu et al.
+    2016, graph/kcore.py::coreness): every vertex's core number in one
+    converging refinement instead of a per-k peel. The oracle replays
+    the identical update for the same max_iterations (rounds at or past
+    the fixpoint are no-ops), so the comparison is exact integers."""
+    from pagerankproject_spark.graph.kcore import coreness
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return coreness(spark, g, max_iterations=30).vertices
+
+
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal 4-truss of the derived link graph: iterative support
     peel (graph/triangles.py::ktruss); the oracle replays the peel with
@@ -1400,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver window: all driver-green in round 2
         #     (CORRECTNESS_r02, zero err) and unchanged since ---
         "kcore": q_kcore,                             # r02 driver-green
+        "coreness": q_coreness,                       # NEW round 3 (local gate)
         "triangles_per_edge": q_triangles_per_edge,   # r02 driver-green
         "scc": q_scc,                                 # r02 driver-green
         "dedup_clusters": q_dedup_clusters,           # r02 driver-green
@@ -1904,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_communities": f"{g},{rsql.sql_louvain(rounds=6)}",
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
+        "coreness": f"{g},{rsql.sql_coreness(rounds=30)}",
         "ktruss": f"{g},{rsql.sql_ktruss(4)}",
         "bfs_distances": f"{g},{rsql.sql_bfs_distances('site.com/p1')}",
         "label_propagation": f"{g},{rsql.sql_label_propagation(5)}",

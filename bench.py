@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "salsa_scores",
     "pagerank_topics",
     "spam_mass",
+    "louvain_communities",
+    "coreness",
 ]
 
 

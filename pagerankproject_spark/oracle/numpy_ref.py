@@ -318,6 +318,39 @@ def kcore_vertices(
         und = {(a, b) for a, b in und if a not in victims and b not in victims}
 
 
+def coreness_by_url(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Brute-force core decomposition (Matula & Beck 1983 peel):
+    repeatedly remove all vertices of minimum remaining degree; a
+    vertex's core number is the peel threshold in force when it is
+    removed. Over the simple undirected graph; vertices that appear
+    only in self-loops get core number 0."""
+    und = {tuple(sorted((s, t))) for s, t in edges if s != t}
+    verts = {v for e in und for v in e}
+    loop_only = {v for s, t in edges if s == t for v in (s,)} - verts
+    adj: dict[str, set[str]] = {v: set() for v in verts}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    core: dict[str, int] = {v: 0 for v in loop_only}
+    deg = {v: len(ns) for v, ns in adj.items()}
+    k = 0
+    while deg:
+        k = max(k, min(deg.values()))
+        victims = [v for v, d in deg.items() if d <= k]
+        while victims:
+            v = victims.pop()
+            if v not in deg:
+                continue
+            core[v] = k
+            del deg[v]
+            for u in adj[v]:
+                if u in deg:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        victims.append(u)
+    return core
+
+
 def bfs_distances_by_url(
     edges: list[tuple[str, str]], sources: list[str]
 ) -> dict[str, int]:

@@ -742,3 +742,53 @@ from lab_{rounds} l
 join rid r on r.v = l.v
 join lrep p on p.lbl = l.lbl"""
     return ",".join(parts) + final
+
+
+# ---------------------------------------------------------------------------
+# Coreness (full core decomposition) — graph/kcore.py::coreness
+# ---------------------------------------------------------------------------
+
+
+def sql_coreness(rounds: int = 30) -> str:
+    """Exact replay of the engine's h-index fixpoint (Lu et al. 2016):
+    c_0 = simple undirected degree, c_{t+1}(v) = h-index of neighbor
+    values, `rounds` generated CTE blocks. Rounds at or past the
+    fixpoint are no-ops, so any `rounds` >= the engine's iteration
+    count (same argument both sides) reproduces the engine bit-exactly
+    — converged or not, both run the identical update. Each cor_{r} is
+    referenced twice (the h-index scan and the carry-forward), so the
+    blocks are AS MATERIALIZED against DuckDB 1.0's default inlining
+    (see sql_louvain). The h-index max(least(rn, c)) is invariant to
+    the rank order among equal values, so no tie-break key is needed."""
+    parts = [
+        """
+cund as (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from edges where src <> dst
+),
+cusym as materialized (
+  select a as v, b as w from cund union all select b as v, a as w from cund
+),
+cor_0 as materialized (select v, count(*)::bigint as c from cusym group by v)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+ch_{r} as (
+  select v, max(least(rn, cw)) as h from (
+    select s.v, l.c as cw,
+           row_number() over (partition by s.v order by l.c desc) as rn
+    from cusym s join cor_{r} l on l.v = s.w
+  ) group by v
+),
+cor_{r + 1} as materialized (
+  select s.v, h.h as c from cor_{r} s join ch_{r} h on h.v = s.v
+)"""
+        )
+    final = f""",
+cfin as (
+  select vt.url, coalesce(c.c, 0)::bigint as coreness
+  from vertices vt left join cor_{rounds} c on c.v = vt.url
+)
+select url, coreness from cfin"""
+    return ",".join(parts) + final

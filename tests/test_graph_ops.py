@@ -805,3 +805,42 @@ def test_betweenness_guards_depth_cap_and_missing_sources(spark):
     got = {r["url"]: r["bc"] for r in out.collect()}
     # on a chain from p0: bc(p_i) = number of (s,t) pairs through it = 8-i+... = paths p0->t for t>i
     assert got["site.com/p1"] == 8.0
+
+
+def test_coreness_known_fixture(spark):
+    """4-clique (core 3) + a tail path (core 1) + a pendant off the
+    clique (core 1): hand-checkable core numbers."""
+    from pagerankproject_spark.graph.kcore import coreness
+
+    clique = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    tail = [("d", "e"), ("e", "f")]
+    pendant = [("a", "g")]
+    g = _tables(spark, clique + tail + pendant)
+    res = coreness(spark, g)
+    got = {r["url"]: r["coreness"] for r in res.vertices.collect()}
+    assert got == {
+        "a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1, "g": 1,
+    }
+    assert res.converged
+    g.unpersist()
+
+
+def test_coreness_weblike_matches_peel_oracle(spark):
+    """h-index fixpoint == Matula-Beck peel on a weblike graph, and the
+    k-core membership it implies agrees with the kcore() operator."""
+    from pagerankproject_spark.graph.kcore import coreness, kcore
+
+    pairs = make_weblike(seed=31, n_nodes=80, m_edges=500)
+    g = _tables(spark, pairs)
+    res = coreness(spark, g)
+    got = {r["url"]: r["coreness"] for r in res.vertices.collect()}
+    want = oracle.coreness_by_url(_post_regex(pairs))
+    # engine's vertex set comes from g.vertices (post-regex edges)
+    assert got == want
+    assert res.converged
+    k3 = set(kcore(spark, g, k=3).vertices.toPandas()["url"])
+    assert k3 == {u for u, c in got.items() if c >= 3}
+    g.unpersist()

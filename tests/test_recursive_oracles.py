@@ -261,3 +261,18 @@ def test_search_top10_oracle_matches_numpy_composition(con, g):
         for r in con.execute(g + "," + rs.sql_search_top10()).fetchall()
     ]
     assert got == want
+
+
+def test_coreness_oracle_matches_python_peeler(con, g, graph):
+    """The fixed-round h-index replay (rs.sql_coreness) must land on
+    the Matula-Beck peel's core numbers once rounds >= convergence —
+    pinning the oracle itself to an independent third implementation
+    (the engine is compared to the oracle by check_contract)."""
+    from pagerankproject_spark.oracle.numpy_ref import coreness_by_url
+
+    edges, verts = graph
+    want = coreness_by_url(edges)
+    for v in verts:  # isolated vertices: coreness 0
+        want.setdefault(v, 0)
+    got = dict(con.execute(g + "," + rs.sql_coreness(rounds=30)).fetchall())
+    assert got == want
