@@ -35,9 +35,13 @@ that make the distributed pass deterministic AND oracle-checkable:
   to the smallest label. Fixed `rounds` (no early-stop) replays
   identically in the oracle (oracle/recursive_sql.py::sql_louvain).
 
-Per-round cost is LPA-shaped: one edge-scan join against the label
-table plus grouped integer aggregations, lineage truncated per round,
-the move count riding the localCheckpoint as an Observation.
+Per-round cost is LPA-shaped: ONE edge-scan join against the label
+table (parity pre-filtered arithmetically, so each round scans half
+the symmetrized edges) plus grouped integer aggregations. The label
+state carries the static weighted degree so no round re-joins it, the
+stay-gain and the argmax ride the same aggregate (no pick-vs-stay
+join), lineage is truncated per round, and the move count rides the
+localCheckpoint as an Observation — one Spark job per round.
 Self-loops are dropped (standard phase-1 treatment of the input
 graph); parallel links count as weight.
 """
@@ -103,18 +107,11 @@ def louvain(
     P = g.num_partitions
     rid = _url_rank_ids(spark, g.vertices, P).persist()
 
+    vmap = g.vertices.join(rid, "url").select("id", "v")
     e = (
         g.weighted_edges.select("src_id", "dst_id")
-        .join(
-            g.vertices.select(F.col("id").alias("src_id"), F.col("url").alias("su")),
-            "src_id",
-        )
-        .join(
-            g.vertices.select(F.col("id").alias("dst_id"), F.col("url").alias("du")),
-            "dst_id",
-        )
-        .join(rid.select(F.col("url").alias("su"), F.col("v").alias("u")), "su")
-        .join(rid.select(F.col("url").alias("du"), F.col("v").alias("v")), "du")
+        .join(vmap.select(F.col("id").alias("src_id"), F.col("v").alias("u")), "src_id")
+        .join(vmap.select(F.col("id").alias("dst_id"), F.col("v").alias("v")), "dst_id")
         .filter(F.col("u") != F.col("v"))
         .select("u", "v")
     )
@@ -130,45 +127,54 @@ def louvain(
     if m2 == 0:
         raise ValueError("graph has no non-loop edges; Louvain undefined")
 
-    lab = rid.select("v", F.col("v").alias("lbl")).repartition(P, "v")
+    # label state carries the STATIC weighted degree k so no round ever
+    # re-joins it: (v, lbl, k), one long wider than labels alone.
+    lab = (
+        rid.select("v")
+        .join(deg.select(F.col("u").alias("v"), "k"), "v", "left")
+        .select(
+            "v",
+            F.col("v").alias("lbl"),
+            F.coalesce("k", F.lit(0)).cast("long").alias("k"),
+        )
+        .repartition(P, "v")
+    )
     lab = lab.localCheckpoint(eager=True)
 
     metrics: list[dict] = []
     with no_aqe(spark):
         for r in range(rounds):
             t0 = time.time()
-            tot = (
-                lab.join(deg, lab.v == deg.u)
-                .groupBy("lbl")
-                .agg(F.sum("k").alias("tot"))
-            )
-            movers = lab.filter((F.col("v") + F.lit(r)) % 2 == 0).select(
-                "v", F.col("lbl").alias("own")
+            # the label state carries (v, lbl, k) — tot, the mover set,
+            # and the gain's k term all read it directly; the parity
+            # gate is an ARITHMETIC filter (on lab and on the edge
+            # scan's u side), never a join.
+            tot = lab.groupBy("lbl").agg(F.sum("k").alias("tot"))
+            mv = lab.filter((F.col("v") + F.lit(r)) % 2 == 0).select(
+                F.col("v").alias("u"), F.col("lbl").alias("own"), "k"
             )
             nbr = (
-                sym.join(movers, sym.u == movers.v)
+                sym.filter((F.col("u") + F.lit(r)) % 2 == 0)
                 .join(
                     lab.select(F.col("v").alias("nv"), F.col("lbl").alias("c")),
                     sym.v == F.col("nv"),
                 )
-                .select("u", "own", "c", "w")
+                .select("u", "c", "w")
             )
-            kiall = (
-                nbr.select("u", "own", "c", "w")
-                .union(
-                    movers.select(
-                        F.col("v").alias("u"),
-                        "own",
+            kin = (
+                nbr.union(
+                    mv.select(
+                        "u",
                         F.col("own").alias("c"),
                         F.lit(0).cast("long").alias("w"),
                     )
                 )
-                .groupBy("u", "own", "c")
+                .groupBy("u", "c")
                 .agg(F.sum("w").alias("kin"))
             )
             cand = (
-                kiall.join(tot.withColumnRenamed("lbl", "c"), "c")
-                .join(deg, "u")
+                kin.join(mv, "u")
+                .join(tot.withColumnRenamed("lbl", "c"), "c")
                 .select(
                     "u",
                     "own",
@@ -185,25 +191,23 @@ def louvain(
                     ).alias("gain"),
                 )
             )
+            # stay-gain rides the same aggregate as the argmax: the
+            # union above guarantees the own-community row exists, so
+            # sg is never null and no pick-vs-stay join is needed.
             pick = cand.groupBy("u").agg(
                 F.max(F.struct(F.col("gain"), (-F.col("c")).alias("negc"))).alias(
                     "best"
-                )
+                ),
+                F.max(
+                    F.when(F.col("c") == F.col("own"), F.col("gain"))
+                ).alias("sg"),
+                F.min("own").alias("own"),
             )
-            stay = cand.filter(F.col("c") == F.col("own")).select(
-                "u", "own", F.col("gain").alias("sg")
-            )
-            moves = (
-                pick.join(stay, "u")
-                .select(
-                    F.col("u").alias("v"),
-                    F.when(
-                        F.col("best.gain") > F.col("sg"), -F.col("best.negc")
-                    )
-                    .otherwise(F.col("own"))
-                    .alias("newlbl"),
-                    F.col("own"),
-                )
+            moves = pick.select(
+                F.col("u").alias("v"),
+                F.when(F.col("best.gain") > F.col("sg"), -F.col("best.negc"))
+                .otherwise(F.col("own"))
+                .alias("newlbl"),
             )
             obs = Observation()
             staged = (
@@ -211,12 +215,13 @@ def louvain(
                 .select(
                     "v",
                     F.coalesce("newlbl", F.col("lbl")).alias("lbl"),
+                    "k",
                     (
                         F.coalesce("newlbl", F.col("lbl")) != F.col("lbl")
                     ).cast("int").alias("chg"),
                 )
                 .observe(obs, F.sum("chg").alias("c"))
-                .select("v", "lbl")
+                .select("v", "lbl", "k")
                 .repartition(P, "v")
             )
             lab = staged.localCheckpoint(eager=True)
