@@ -408,6 +408,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(spark, g, k=3).vertices
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (text/spans.py — Lee et al.
+    2021 ExactSubstr re-expressed as rolling k-token md5 windows):
+    per-document duplicated-window counts and fraction."""
+    from pagerankproject_spark.text.spans import duplicate_span_stats
+
+    return duplicate_span_stats(_read(spark, sf_dir, "documents"), k=8)
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition via the h-index fixpoint (Lu et al.
     2016, graph/kcore.py::coreness): every vertex's core number in one
@@ -1413,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (CORRECTNESS_r02, zero err) and unchanged since ---
         "kcore": q_kcore,                             # r02 driver-green
         "coreness": q_coreness,                       # NEW round 3 (local gate)
+        "duplicate_spans": q_duplicate_spans,         # NEW round 3 (local gate)
         "triangles_per_edge": q_triangles_per_edge,   # r02 driver-green
         "scc": q_scc,                                 # r02 driver-green
         "dedup_clusters": q_dedup_clusters,           # r02 driver-green
@@ -1478,6 +1488,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
+    )
+    from pagerankproject_spark.text.spans import (
+        sql_duplicate_span_stats as _sql_dup_spans,
     )
 
     g = f"with {_EDGES_CTE}"
@@ -1918,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
         "coreness": f"{g},{rsql.sql_coreness(rounds=30)}",
+        "duplicate_spans": f"with {_sql_dup_spans(k=8)}",
         "ktruss": f"{g},{rsql.sql_ktruss(4)}",
         "bfs_distances": f"{g},{rsql.sql_bfs_distances('site.com/p1')}",
         "label_propagation": f"{g},{rsql.sql_label_propagation(5)}",

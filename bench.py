@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "spam_mass",
     "louvain_communities",
     "coreness",
+    "duplicate_spans",
 ]
 
 

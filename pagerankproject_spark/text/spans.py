@@ -1,0 +1,120 @@
+"""Exact-substring duplication signal (Lee, Ippolito et al. 2021,
+"Deduplicating Training Data Makes Language Models Better" — public).
+
+The paper's ExactSubstr dedup finds token spans that occur more than
+once ANYWHERE in the corpus (its suffix-array implementation is a
+single-machine program). The Spark-first re-expression is the rolling
+k-token window: a document occurrence is *duplicated* iff its k-token
+span (joined on single spaces) appears at least twice in the whole
+corpus — in another document or at another position of the same one.
+Per document the operator reports window totals, duplicated-window
+counts, and the duplicated fraction: the signal a training-data
+pipeline thresholds on (or feeds into span-stripping).
+
+Scale shape (the reason this form is the 100-TB path where a suffix
+array is not):
+
+* Window generation is a zero-shuffle explode — `transform` over a
+  `sequence` with `slice`, all JVM whole-stage codegen; output rows ==
+  corpus token count, linear.
+* The only shuffle keys are md5 fingerprints — uniformly distributed
+  by construction, so no skew salting is ever needed, and both
+  aggregations (per-document multiplicity, corpus total) are map-side
+  combinable. A natural-language corpus's top span frequency is
+  bounded by document count, not token count.
+* md5 is used (not xxhash64) because DuckDB computes the identical
+  digest, making the contract comparison exact; a production deploy
+  would switch to `F.xxhash64` for 8-byte shuffle keys — the plan
+  shape is unchanged.
+
+Cross-engine float note: dup_fraction is one integer/integer double
+division rounded once (round-6), per the repo's round-once convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analysis import sql_tokens, tokens_expr
+
+ROUND = 6
+
+
+def duplicate_span_stats(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document exact-substring duplication stats.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_fraction): rolling
+    k-token windows, windows whose span text occurs >= 2 times in the
+    corpus, and their ratio (0.0 for documents shorter than k tokens).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("win"),
+    ).select("doc_id", F.md5("win").alias("h"))
+    per = wins.groupBy("doc_id", "h").agg(F.count("*").alias("m"))
+    tot = per.groupBy("h").agg(F.sum("m").alias("tot"))
+    stats = (
+        per.join(tot, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_windows"),
+            F.sum(F.when(F.col("tot") > 1, F.col("m")).otherwise(F.lit(0))).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_dup").cast("double") / F.col("n_windows"), ROUND)
+            )
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def sql_duplicate_span_stats(k: int = 8, docs_rel: str = "documents") -> str:
+    """DuckDB twin: same tokens (sql_tokens parity), same md5 window
+    fingerprints, same >=2-total rule, same round-once division."""
+    return f"""
+sp_toks as (
+  select doc_id, {sql_tokens("text")} as t from {docs_rel}
+),
+sp_wins as (
+  select doc_id, md5(array_to_string(t[i.i : i.i + {k - 1}], ' ')) as h
+  from sp_toks, unnest(range(1, len(t) - {k} + 2)) as i(i)
+  where len(t) >= {k}
+),
+sp_per as (select doc_id, h, count(*)::bigint as m from sp_wins group by 1, 2),
+sp_tot as (select h, sum(m)::bigint as tot from sp_per group by 1),
+sp_stats as (
+  select p.doc_id,
+         sum(m)::bigint as n_windows,
+         sum(case when tot > 1 then m else 0 end)::bigint as n_dup
+  from sp_per p join sp_tot t using (h)
+  group by 1
+)
+select d.doc_id,
+       coalesce(s.n_windows, 0)::bigint as n_windows,
+       coalesce(s.n_dup, 0)::bigint as n_dup_windows,
+       case when coalesce(s.n_windows, 0) = 0 then 0.0
+            else round(s.n_dup::double / s.n_windows, {ROUND}) end as dup_fraction
+from {docs_rel} d left join sp_stats s using (doc_id)"""

@@ -787,3 +787,62 @@ def test_host_graph_contraction(spark):
         for r in host_graph(edges).collect()
     }
     assert got == {("a.com", "b.com"): 2, ("b.com", "c.com"): 1}
+
+
+def test_duplicate_span_stats_hand_oracle(spark):
+    """Planted k=3 spans: doc0 and doc1 share 'a b c' (cross-doc dup);
+    doc2 repeats 'x y z' twice internally (within-doc dup); doc3 is all
+    unique; doc4 is shorter than k (zero windows)."""
+    from pagerankproject_spark.text.spans import duplicate_span_stats
+
+    docs = docs_df(
+        spark,
+        [
+            "a b c d e",          # windows: abc bcd cde -> abc dup
+            "q a b c r",          # windows: qab abc bcr -> abc dup
+            "x y z w x y z",      # windows: xyz yzw zwx wxy xyz -> xyz*2 dup
+            "m n o p",            # all unique
+            "t u",                # < k tokens
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in duplicate_span_stats(docs, k=3).collect()
+    }
+    assert got == {
+        0: (3, 1, round(1 / 3, 6)),
+        1: (3, 1, round(1 / 3, 6)),
+        2: (5, 2, 0.4),
+        3: (2, 0, 0.0),
+        4: (0, 0, 0.0),
+    }
+
+
+def test_duplicate_span_stats_matches_duckdb_twin(spark):
+    """Engine vs sql_duplicate_span_stats on real sf0.001 documents —
+    the same comparison check_contract runs, asserted in-suite."""
+    import duckdb
+
+    from pagerankproject_spark.text.spans import (
+        duplicate_span_stats,
+        sql_duplicate_span_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in duplicate_span_stats(docs, k=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        d: (w, n, f)
+        for d, w, n, f in con.execute(
+            "with " + sql_duplicate_span_stats(k=8)
+        ).fetchall()
+    }
+    assert got == want
+    assert any(n > 0 for _, n, _ in got.values())  # signal is non-trivial
