@@ -345,6 +345,18 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain(spark, g, rounds=6).communities
 
 
+def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-level Louvain (phases 1+2, graph/louvain.py::
+    louvain_multilevel): 4 local-moving rounds, contract communities to
+    supernodes (2x-intra diagonal self-loops), 4 more rounds on the
+    coarse graph. Oracle replays both levels with the same generated
+    round blocks; exact-integer comparison."""
+    from pagerankproject_spark.graph.louvain import louvain_multilevel
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return louvain_multilevel(g=g, spark=spark, rounds_per_level=4, levels=2).communities
+
+
 SPAM_TRUSTED_PRED = "url like '%p3%' or url like '%p4%'"
 
 
@@ -1423,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,                             # r02 driver-green
         "coreness": q_coreness,                       # NEW round 3 (local gate)
         "duplicate_spans": q_duplicate_spans,         # NEW round 3 (local gate)
+        "louvain_multilevel": q_louvain_multilevel,   # NEW round 3 (local gate)
         "triangles_per_edge": q_triangles_per_edge,   # r02 driver-green
         "scc": q_scc,                                 # r02 driver-green
         "dedup_clusters": q_dedup_clusters,           # r02 driver-green
@@ -1928,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topics": f"{g},{rsql.sql_pagerank_topics(TOPIC_PREDS, alpha=0.85, iterations=15)}",
         "spam_mass": f"{g},{rsql.sql_spam_mass(SPAM_TRUSTED_PRED, alpha=0.85, iterations=15)}",
         "louvain_communities": f"{g},{rsql.sql_louvain(rounds=6)}",
+        "louvain_multilevel": f"{g},{rsql.sql_louvain_multilevel(rounds_per_level=4, levels=2)}",
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
         "coreness": f"{g},{rsql.sql_coreness(rounds=30)}",

@@ -96,52 +96,23 @@ def _url_rank_ids(
     )
 
 
-def louvain(
+def _move_rounds(
     spark: SparkSession,
-    g: GraphTables,
-    rounds: int = 6,
-) -> LouvainResult:
-    """One Louvain local-moving phase: `rounds` parity-gated synchronous
-    move rounds from singleton communities. Returns (url, community)
-    with community = the minimum url of the final group."""
-    P = g.num_partitions
-    rid = _url_rank_ids(spark, g.vertices, P).persist()
-
-    vmap = g.vertices.join(rid, "url").select("id", "v")
-    e = (
-        g.weighted_edges.select("src_id", "dst_id")
-        .join(vmap.select(F.col("id").alias("src_id"), F.col("v").alias("u")), "src_id")
-        .join(vmap.select(F.col("id").alias("dst_id"), F.col("v").alias("v")), "dst_id")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-    )
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").cast("long").alias("w"))
-        .repartition(P, "u")
-        .persist()
-    )
-    deg = sym.groupBy("u").agg(F.sum("w").alias("k")).persist()
-    m2 = deg.agg(F.sum("k")).first()[0] or 0
-    if m2 == 0:
-        raise ValueError("graph has no non-loop edges; Louvain undefined")
-
-    # label state carries the STATIC weighted degree k so no round ever
-    # re-joins it: (v, lbl, k), one long wider than labels alone.
-    lab = (
-        rid.select("v")
-        .join(deg.select(F.col("u").alias("v"), "k"), "v", "left")
-        .select(
-            "v",
-            F.col("v").alias("lbl"),
-            F.coalesce("k", F.lit(0)).cast("long").alias("k"),
-        )
-        .repartition(P, "v")
-    )
-    lab = lab.localCheckpoint(eager=True)
-
-    metrics: list[dict] = []
+    sym: DataFrame,
+    lab: DataFrame,
+    m2: int,
+    P: int,
+    rounds: int,
+    metrics: list[dict],
+) -> DataFrame:
+    """`rounds` parity-gated synchronous local-moving rounds over a
+    weighted graph. `sym` is (u, v, w) symmetric and MAY carry diagonal
+    rows (u == v, the coarse graph's 2x-intra self-loop weight): the
+    diagonal feeds the degree k (carried in `lab`) but is excluded from
+    every k_in — a vertex's self-weight moves with it, adding the same
+    constant to every candidate's gain, so it cancels in the argmax.
+    `lab` is the checkpointed (v, lbl, k) state; returns the state
+    after the final round (checkpointed)."""
     with no_aqe(spark):
         for r in range(rounds):
             t0 = time.time()
@@ -154,7 +125,10 @@ def louvain(
                 F.col("v").alias("u"), F.col("lbl").alias("own"), "k"
             )
             nbr = (
-                sym.filter((F.col("u") + F.lit(r)) % 2 == 0)
+                sym.filter(
+                    ((F.col("u") + F.lit(r)) % 2 == 0)
+                    & (F.col("u") != F.col("v"))
+                )
                 .join(
                     lab.select(F.col("v").alias("nv"), F.col("lbl").alias("c")),
                     sym.v == F.col("nv"),
@@ -184,9 +158,9 @@ def louvain(
                         - F.col("k")
                         * (
                             F.col("tot")
-                            - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(
-                                F.lit(0)
-                            )
+                            - F.when(
+                                F.col("c") == F.col("own"), F.col("k")
+                            ).otherwise(F.lit(0))
                         )
                     ).alias("gain"),
                 )
@@ -232,6 +206,57 @@ def louvain(
                     "wall_sec": time.time() - t0,
                 }
             )
+    return lab
+
+
+def _init_lab(rid_or_ids: DataFrame, deg: DataFrame, P: int) -> DataFrame:
+    """(v, lbl=v, k) singleton state; k=0 for vertices absent from deg."""
+    return (
+        rid_or_ids.join(deg.select(F.col("u").alias("v"), "k"), "v", "left")
+        .select(
+            "v",
+            F.col("v").alias("lbl"),
+            F.coalesce("k", F.lit(0)).cast("long").alias("k"),
+        )
+        .repartition(P, "v")
+        .localCheckpoint(eager=True)
+    )
+
+
+def louvain(
+    spark: SparkSession,
+    g: GraphTables,
+    rounds: int = 6,
+) -> LouvainResult:
+    """One Louvain local-moving phase: `rounds` parity-gated synchronous
+    move rounds from singleton communities. Returns (url, community)
+    with community = the minimum url of the final group."""
+    P = g.num_partitions
+    rid = _url_rank_ids(spark, g.vertices, P).persist()
+
+    vmap = g.vertices.join(rid, "url").select("id", "v")
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .join(vmap.select(F.col("id").alias("src_id"), F.col("v").alias("u")), "src_id")
+        .join(vmap.select(F.col("id").alias("dst_id"), F.col("v").alias("v")), "dst_id")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .repartition(P, "u")
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("k")).persist()
+    m2 = deg.agg(F.sum("k")).first()[0] or 0
+    if m2 == 0:
+        raise ValueError("graph has no non-loop edges; Louvain undefined")
+
+    metrics: list[dict] = []
+    lab = _init_lab(rid.select("v"), deg, P)
+    lab = _move_rounds(spark, sym, lab, m2, P, rounds, metrics)
 
     rep = (
         lab.join(rid, lab.v == rid.v)
@@ -247,3 +272,118 @@ def louvain(
     for df in (rid, sym, deg):
         df.unpersist()
     return LouvainResult(communities=out, rounds=rounds, metrics=metrics)
+
+
+@dataclass
+class LouvainMultilevelResult:
+    communities: DataFrame  # url: string, community: string (min url)
+    levels: int
+    rounds_per_level: int
+    metrics: list[list[dict]] = field(default_factory=list)
+
+
+def louvain_multilevel(
+    spark: SparkSession,
+    g: GraphTables,
+    rounds_per_level: int = 4,
+    levels: int = 2,
+) -> LouvainMultilevelResult:
+    """Full multi-level Louvain (Blondel et al. 2008 phases 1+2): run
+    the local-moving pass, contract each community to a supernode, and
+    repeat on the coarse graph.
+
+    The coarse graph is built by ONE relabel-and-sum over the
+    symmetrized weight table: inter-community rows keep both
+    directions, and intra-community rows collapse onto the diagonal —
+    since the symmetric table counts each undirected edge twice, the
+    diagonal lands at exactly the standard 2x-intra self-loop weight.
+    Coarse vertex ids ARE the phase-1 labels (deterministic integers
+    in [0, n)), so the parity gate and min-label tie-breaks replay
+    identically in the DuckDB oracle; total weight 2m is invariant
+    under contraction, so the integer gain arithmetic carries over
+    unchanged. Communities that end a level isolated (no external
+    edges) enter the next level with k = their self-loop weight and
+    never move — they are preserved through the final composition.
+
+    Cost: each level is `rounds_per_level` jobs over a graph no larger
+    than the previous level's community count — phase 2 onward is
+    usually negligible next to phase 1."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    P = g.num_partitions
+    rid = _url_rank_ids(spark, g.vertices, P).persist()
+
+    vmap = g.vertices.join(rid, "url").select("id", "v")
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .join(vmap.select(F.col("id").alias("src_id"), F.col("v").alias("u")), "src_id")
+        .join(vmap.select(F.col("id").alias("dst_id"), F.col("v").alias("v")), "dst_id")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .repartition(P, "u")
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
+    m2 = deg.agg(F.sum("k")).first()[0] or 0
+    if m2 == 0:
+        raise ValueError("graph has no non-loop edges; Louvain undefined")
+
+    all_metrics: list[list[dict]] = []
+    # mapping from ORIGINAL vertex v to its current community label;
+    # refined (composed) after every level.
+    mapping = rid.select("v", F.col("v").alias("lbl")).repartition(P, "v")
+    for lvl in range(levels):
+        metrics: list[dict] = []
+        lab = _init_lab(
+            mapping.select(F.col("lbl").alias("v")).distinct(), deg, P
+        )
+        lab = _move_rounds(spark, sym, lab, m2, P, rounds_per_level, metrics)
+        all_metrics.append(metrics)
+        mapping = (
+            mapping.join(
+                lab.select(F.col("v").alias("lbl"), F.col("lbl").alias("nl")),
+                "lbl",
+            )
+            .select("v", F.col("nl").alias("lbl"))
+            .repartition(P, "v")
+            .localCheckpoint(eager=True)
+        )
+        if lvl == levels - 1:
+            break
+        # contract: relabel both endpoints and sum — diagonal rows are
+        # the 2x-intra self-loops (symmetric table counts edges twice).
+        lv_u = lab.select(F.col("v").alias("u"), F.col("lbl").alias("lu"))
+        lv_v = lab.select(F.col("v").alias("v"), F.col("lbl").alias("lv"))
+        sym = (
+            sym.join(lv_u, "u")
+            .join(lv_v, "v")
+            .groupBy(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .agg(F.sum("w").alias("w"))
+            .repartition(P, "u")
+            .localCheckpoint(eager=True)
+        )
+        deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
+
+    rep = (
+        mapping.join(rid, "v")
+        .groupBy("lbl")
+        .agg(F.min("url").alias("community"))
+    )
+    out = (
+        mapping.join(rid, "v")
+        .join(rep, "lbl")
+        .select("url", "community")
+        .localCheckpoint(eager=True)
+    )
+    rid.unpersist()
+    return LouvainMultilevelResult(
+        communities=out,
+        levels=levels,
+        rounds_per_level=rounds_per_level,
+        metrics=all_metrics,
+    )

@@ -670,8 +670,21 @@ def sql_louvain(rounds: int = 6) -> str:
     pagerank/kcore chains (one reference per level), each lab_{{r}} is
     referenced 4x, so DuckDB 1.0's default inlining would expand the
     base scan 4^rounds times and exhaust file descriptors."""
-    parts = [
-        """
+    parts = [_LOUVAIN_BASE, "\nlab_0 as materialized (select v, v as lbl from rid)"]
+    parts += _louvain_round_blocks("", "symw2", "ldeg", "lm2", rounds)
+    final = f""",
+lrep as (
+  select l.lbl, min(r.url) as community
+  from lab_{rounds} l join rid r on r.v = l.v group by l.lbl
+)
+select r.url, p.community
+from lab_{rounds} l
+join rid r on r.v = l.v
+join lrep p on p.lbl = l.lbl"""
+    return ",".join(parts) + final
+
+
+_LOUVAIN_BASE = """
 rid as materialized (
   select url, row_number() over (order by url) - 1 as v from vertices
 ),
@@ -686,61 +699,122 @@ symw2 as materialized (
   group by u, v2
 ),
 ldeg as materialized (select u, sum(w) as k from symw2 group by u),
-lm2 as materialized (select sum(w) as m2 from symw2),
-lab_0 as materialized (select v, v as lbl from rid)"""
-    ]
+lm2 as materialized (select sum(w) as m2 from symw2)"""
+
+
+def _louvain_round_blocks(
+    X: str, sym: str, deg: str, m2: str, rounds: int
+) -> list[str]:
+    """CTE blocks for `rounds` local-moving rounds with name prefix X,
+    from {X}lab_0 (must exist: (v, lbl)) to {X}lab_{rounds}. `sym` may
+    carry diagonal rows (coarse self-loops): they feed `deg` but the
+    `s.u <> s.v` filter keeps them out of every k_in, mirroring the
+    engine's _move_rounds."""
+    out = []
     for r in range(rounds):
-        parts.append(
+        out.append(
             f"""
-tot_{r} as (
+{X}tot_{r} as (
   select l.lbl as c, sum(d.k) as tot
-  from lab_{r} l join ldeg d on d.u = l.v group by l.lbl
+  from {X}lab_{r} l join {deg} d on d.u = l.v group by l.lbl
 ),
-mv_{r} as materialized (select v as u, lbl as own from lab_{r} where (v + {r}) % 2 = 0),
-nb_{r} as (
+{X}mv_{r} as materialized (
+  select v as u, lbl as own from {X}lab_{r} where (v + {r}) % 2 = 0
+),
+{X}nb_{r} as (
   select s.u, m.own, l2.lbl as c, s.w
-  from symw2 s join mv_{r} m on m.u = s.u join lab_{r} l2 on l2.v = s.v
+  from {sym} s join {X}mv_{r} m on m.u = s.u join {X}lab_{r} l2 on l2.v = s.v
+  where s.u <> s.v
 ),
-ki_{r} as (
+{X}ki_{r} as (
   select u, own, c, sum(w) as kin from (
-    select u, own, c, w from nb_{r}
+    select u, own, c, w from {X}nb_{r}
     union all
-    select u, own, own as c, 0::bigint as w from mv_{r}
+    select u, own, own as c, 0::bigint as w from {X}mv_{r}
   ) group by u, own, c
 ),
-cd_{r} as materialized (
+{X}cd_{r} as materialized (
   select k.u, k.own, k.c,
          m2.m2 * k.kin
-           - d.k * (t.tot - case when k.c = k.own then d.k else 0 end) as gain
-  from ki_{r} k
-  join tot_{r} t on t.c = k.c
-  join ldeg d on d.u = k.u
-  cross join lm2 m2
+           - coalesce(d.k, 0)
+             * (t.tot - case when k.c = k.own then coalesce(d.k, 0) else 0 end)
+             as gain
+  from {X}ki_{r} k
+  join {X}tot_{r} t on t.c = k.c
+  left join {deg} d on d.u = k.u
+  cross join {m2} m2
 ),
-bg_{r} as (select u, max(gain) as bg from cd_{r} group by u),
-pk_{r} as (
+{X}bg_{r} as (select u, max(gain) as bg from {X}cd_{r} group by u),
+{X}pk_{r} as (
   select c.u, min(c.c) as bc, min(s.bg) as bg
-  from cd_{r} c join bg_{r} s on s.u = c.u and c.gain = s.bg
+  from {X}cd_{r} c join {X}bg_{r} s on s.u = c.u and c.gain = s.bg
   group by c.u
 ),
-sg_{r} as (select u, gain as sg from cd_{r} where c = own),
-lab_{r + 1} as materialized (
+{X}sg_{r} as (select u, gain as sg from {X}cd_{r} where c = own),
+{X}lab_{r + 1} as materialized (
   select l.v,
          case when p.bg > s.sg then p.bc else l.lbl end as lbl
-  from lab_{r} l
-  left join pk_{r} p on p.u = l.v
-  left join sg_{r} s on s.u = l.v
+  from {X}lab_{r} l
+  left join {X}pk_{r} p on p.u = l.v
+  left join {X}sg_{r} s on s.u = l.v
 )"""
         )
+    return out
+
+
+def sql_louvain_multilevel(rounds_per_level: int = 4, levels: int = 2) -> str:
+    """Exact replay of graph/louvain.py::louvain_multilevel: phase-1
+    local moves on url-sort-rank vertices, then `levels - 1` rounds of
+    contract-and-repeat. The contraction relabels both endpoints of the
+    symmetric weight table and sums — diagonal rows land at the
+    standard 2x-intra self-loop weight and feed only the degree (the
+    round template's u <> v filter keeps them out of k_in). Coarse
+    vertex ids ARE the previous level's labels, so parity gates and
+    min-label ties replay exactly; 2m is contraction-invariant."""
+    parts = [_LOUVAIN_BASE]
+    parts.append("\nl0lab_0 as materialized (select v, v as lbl from rid)")
+    parts += _louvain_round_blocks("l0", "symw2", "ldeg", "lm2", rounds_per_level)
+    R = rounds_per_level
+    prev_sym, prev_deg = "symw2", "ldeg"
+    for lvl in range(1, levels):
+        P0, P1 = f"l{lvl - 1}", f"l{lvl}"
+        parts.append(
+            f"""
+{P1}sym as materialized (
+  select a.lbl as u, b.lbl as v, sum(w)::bigint as w
+  from {prev_sym} s
+  join {P0}lab_{R} a on a.v = s.u
+  join {P0}lab_{R} b on b.v = s.v
+  group by 1, 2
+),
+{P1}deg as materialized (select u, sum(w) as k from {P1}sym group by u),
+{P1}lab_0 as materialized (select distinct lbl as v, lbl from {P0}lab_{R})"""
+        )
+        parts += _louvain_round_blocks(P1, f"{P1}sym", f"{P1}deg", "lm2", R)
+        prev_sym, prev_deg = f"{P1}sym", f"{P1}deg"
+    # compose original-vertex -> final label through the level chain
+    parts.append(
+        f"""
+mlmap_0 as (select v, lbl from l0lab_{R})"""
+    )
+    for lvl in range(1, levels):
+        parts.append(
+            f"""
+mlmap_{lvl} as (
+  select m.v, l.lbl
+  from mlmap_{lvl - 1} m join l{lvl}lab_{R} l on l.v = m.lbl
+)"""
+        )
+    L = levels - 1
     final = f""",
-lrep as (
-  select l.lbl, min(r.url) as community
-  from lab_{rounds} l join rid r on r.v = l.v group by l.lbl
+mlrep as (
+  select m.lbl, min(r.url) as community
+  from mlmap_{L} m join rid r on r.v = m.v group by m.lbl
 )
 select r.url, p.community
-from lab_{rounds} l
-join rid r on r.v = l.v
-join lrep p on p.lbl = l.lbl"""
+from mlmap_{L} m
+join rid r on r.v = m.v
+join mlrep p on p.lbl = m.lbl"""
     return ",".join(parts) + final
 
 

@@ -108,3 +108,105 @@ def test_louvain_moves_recorded(louvain_out):
     assert res.rounds == 6
     assert sum(m["moved"] for m in res.metrics) > 0
     assert res.metrics[-1]["moved"] == 0  # settled by the last round
+
+
+def _replay_move_rounds(nodes, w, deg, m2, rounds):
+    """Local-moving rounds over a weighted graph; w may carry diagonal
+    self-loop entries (excluded from k_in, included in deg upstream)."""
+    lab = {v: v for v in nodes}
+    for r in range(rounds):
+        tot = defaultdict(int)
+        for v, l in lab.items():
+            tot[l] += deg.get(v, 0)
+        newlab = dict(lab)
+        for u in nodes:
+            if (u + r) % 2 != 0:
+                continue
+            kin = defaultdict(int)
+            kin[lab[u]] += 0  # own row always present
+            for (a, b), x in w.items():
+                if a == u and b != u:
+                    kin[lab[b]] += x
+            ku = deg.get(u, 0)
+            best = None
+            for c, k_in in kin.items():
+                t = tot[c] - (ku if c == lab[u] else 0)
+                gain = m2 * k_in - ku * t
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            stay = m2 * kin[lab[u]] - ku * (tot[lab[u]] - ku)
+            if best[0][0] > stay:
+                newlab[u] = best[1]
+        lab = newlab
+    return lab
+
+
+def _replay_multilevel(
+    edges: list[tuple[str, str]], rounds: int, levels: int
+) -> dict[str, str]:
+    urls = sorted({u for e in edges for u in e})
+    ridx = {u: i for i, u in enumerate(urls)}
+    w: dict[tuple[int, int], int] = defaultdict(int)
+    for s, t in edges:
+        a, b = ridx[s], ridx[t]
+        if a == b:
+            continue
+        w[(a, b)] += 1
+        w[(b, a)] += 1
+    deg = defaultdict(int)
+    for (a, _), x in w.items():
+        deg[a] += x
+    m2 = sum(deg.values())
+    nodes = list(range(len(urls)))
+    mapping = {v: v for v in nodes}
+    for lvl in range(levels):
+        cur = sorted(set(mapping.values()))
+        lab = _replay_move_rounds(cur, w, deg, m2, rounds)
+        mapping = {v: lab[mapping[v]] for v in nodes}
+        if lvl == levels - 1:
+            break
+        nw: dict[tuple[int, int], int] = defaultdict(int)
+        for (a, b), x in w.items():
+            nw[(lab[a], lab[b])] += x
+        w = nw
+        deg = defaultdict(int)
+        for (a, b), x in w.items():
+            deg[a] += x  # diagonal (2x intra) counted once, like csym
+    groups = defaultdict(list)
+    for v, l in mapping.items():
+        groups[l].append(urls[v])
+    out = {}
+    for members in groups.values():
+        rep = min(members)
+        for u in members:
+            out[u] = rep
+    return out
+
+
+def test_louvain_multilevel_matches_exact_replay(spark):
+    from pagerankproject_spark.graph.louvain import louvain_multilevel
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, EDGES))
+    res = louvain_multilevel(spark, g, rounds_per_level=4, levels=2)
+    rows = {r["url"]: r["community"] for r in res.communities.collect()}
+    assert rows == _replay_multilevel(EDGES, rounds=4, levels=2)
+    assert len(res.metrics) == 2
+    # cliques survive contraction intact
+    assert len({rows[u] for u in CLIQUE_A}) == 1
+    assert len({rows[u] for u in CLIQUE_B + ["b.com/q5"]}) == 1
+    g.unpersist()
+
+
+def test_louvain_multilevel_single_level_equals_phase1(spark):
+    from pagerankproject_spark.graph.louvain import louvain, louvain_multilevel
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, EDGES))
+    one = louvain(spark, g, rounds=6)
+    ml = louvain_multilevel(spark, g, rounds_per_level=6, levels=1)
+    assert {tuple(r) for r in one.communities.collect()} == {
+        tuple(r) for r in ml.communities.collect()
+    }
+    g.unpersist()

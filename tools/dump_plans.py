@@ -40,6 +40,7 @@ PLAN_QUERIES = [
     "anchor_extract",          # arrays_zip dual-capture extraction
     "modularity_lpa",          # integer moments + single division
     "ppr_walks",               # walk corpus -> combinable weighted sum
+    "duplicate_spans",         # zero-shuffle window explode + digest aggs
 ]
 
 
