@@ -469,6 +469,17 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(spark, g).components
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder et al. 2000, graph/bowtie.py):
+    CORE = largest SCC (ties by min label), IN/OUT/TUBE/TENDRIL_IN/
+    TENDRIL_OUT/DISC by exact reachability. Oracle: closure-definition
+    twin (recursive_sql.sql_bowtie)."""
+    from pagerankproject_spark.graph.bowtie import bowtie
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return bowtie(spark, g).regions
+
+
 def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient composed from the
     per-edge triangle counts (graph/triangles.py); lcc rounded to 6dp
@@ -1424,20 +1435,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,     # changed: frontier mode
         "connected_components": q_connected_components,  # changed: auto pick
         "pagerank": q_pagerank,
-        "louvain_communities": q_louvain,             # NEW round 3
-        "minhash_verified_pairs": q_minhash_verified,
-        "hits_scores": q_hits_scores,
+        "louvain_multilevel": q_louvain_multilevel,   # NEW round 3 (superset of louvain_communities)
+        "coreness": q_coreness,                       # NEW round 3
+        "duplicate_spans": q_duplicate_spans,         # NEW round 3
         "salsa_scores": q_salsa_scores,               # NEW round 3
         "pagerank_topics": q_pagerank_topics,         # NEW round 3
         "spam_mass": q_spam_mass,                     # NEW round 3
         # --- past the driver window: all driver-green in round 2
-        #     (CORRECTNESS_r02, zero err) and unchanged since ---
+        #     (CORRECTNESS_r02, zero err) and unchanged since,
+        #     plus louvain_communities (⊂ louvain_multilevel above) ---
         "kcore": q_kcore,                             # r02 driver-green
-        "coreness": q_coreness,                       # NEW round 3 (local gate)
-        "duplicate_spans": q_duplicate_spans,         # NEW round 3 (local gate)
-        "louvain_multilevel": q_louvain_multilevel,   # NEW round 3 (local gate)
+        "louvain_communities": q_louvain,             # ⊂ louvain_multilevel; local gate
+        "minhash_verified_pairs": q_minhash_verified, # r02 driver-green, unchanged
+        "hits_scores": q_hits_scores,                 # r02 driver-green, unchanged
         "triangles_per_edge": q_triangles_per_edge,   # r02 driver-green
         "scc": q_scc,                                 # r02 driver-green
+        "bowtie": q_bowtie,                           # NEW round 3 (local gate)
         "dedup_clusters": q_dedup_clusters,           # r02 driver-green
         "khop_subgraph": q_khop_subgraph,             # r02 driver-green
         "katz_centrality": q_katz_centrality,         # r02 driver-green
@@ -1929,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         # --- iterative fixpoints: recursive-CTE oracles
         #     (oracle/recursive_sql.py; round-2 upgrade from rows-only) ---
         "scc": f"{g},{rsql.sql_scc()}",
+        "bowtie": f"{g},{rsql.sql_bowtie()}",
         "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
         "ppr_walks": f"{g},\n{_sql_ppr_from_walks(4, 2, 0.5)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",

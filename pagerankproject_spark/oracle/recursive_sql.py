@@ -866,3 +866,74 @@ cfin as (
 )
 select url, coreness from cfin"""
     return ",".join(parts) + final
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition — graph/bowtie.py (Broder et al. 2000)
+# ---------------------------------------------------------------------------
+
+
+def sql_bowtie() -> str:
+    """Bow-tie regions by definition over the full reachability closure
+    (the same recursive UNION-distinct as sql_scc — quadratic, fine at
+    oracle scale; the engine's four frontier sweeps are the scale
+    path). CORE = largest SCC (ties by min component label); IN/OUT by
+    closure membership against CORE; TUBE/TENDRILs by closure against
+    IN and OUT restricted to the remainder."""
+    return """
+reach as (
+  with recursive r(a, b) as (
+    select src, dst from edges where src <> dst
+    union
+    select r.a, e.dst from r join edges e on e.src = r.b
+  )
+  select a, b from r
+),
+sccm as (
+  select v, min(w) as component from (
+    select url as v, url as w from vertices
+    union all
+    select r1.a as v, r1.b as w
+    from reach r1 join reach r2 on r2.a = r1.b and r2.b = r1.a
+  ) group by v
+),
+core_pick as (
+  select component from sccm
+  group by component order by count(*) desc, component asc limit 1
+),
+core_v as (
+  select v as url from sccm
+  where component = (select component from core_pick)
+),
+out_v as (
+  select distinct r.b as url from reach r join core_v c on r.a = c.url
+  where r.b not in (select url from core_v)
+),
+in_v as (
+  select distinct r.a as url from reach r join core_v c on r.b = c.url
+  where r.a not in (select url from core_v)
+),
+rest as (
+  select url from vertices
+  except select url from core_v
+  except select url from out_v
+  except select url from in_v
+),
+from_in as (
+  select distinct t.url
+  from rest t join reach r on r.b = t.url join in_v i on r.a = i.url
+),
+to_out as (
+  select distinct t.url
+  from rest t join reach r on r.a = t.url join out_v o on r.b = o.url
+)
+select v.url,
+  case when v.url in (select url from core_v) then 'CORE'
+       when v.url in (select url from in_v) then 'IN'
+       when v.url in (select url from out_v) then 'OUT'
+       when v.url in (select url from from_in)
+            and v.url in (select url from to_out) then 'TUBE'
+       when v.url in (select url from from_in) then 'TENDRIL_IN'
+       when v.url in (select url from to_out) then 'TENDRIL_OUT'
+       else 'DISC' end as region
+from vertices v"""
