@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pagerankproject_spark.dedup.exact import dedup_exact, sql_dedup_exact
-from pagerankproject_spark.dedup.jaccard import jaccard_pairs, sql_jaccard_pairs
+from pagerankproject_spark.dedup.jaccard import (
+    jaccard_pairs,
+    sql_containment_pairs as _sql_containment_pairs,
+    sql_jaccard_pairs,
+)
 from pagerankproject_spark.dedup.minhash import (
     minhash_lsh_pairs,
     minhash_verified_pairs,
@@ -661,6 +665,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.05, n=2)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dup pairs (Broder 1997's
+    asymmetric companion of resemblance, dedup/jaccard.py::
+    containment_pairs): |S(a) ∩ S(b)| / |S(a)| — the subset-duplication
+    signal symmetric Jaccard misses."""
+    from pagerankproject_spark.dedup.jaccard import containment_pairs
+
+    return containment_pairs(_read(spark, sf_dir, "documents"), threshold=0.3, n=2)
 
 
 def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,             # r02 driver-green
         "dedup_exact": q_dedup_exact,                 # r02 driver-green
         "jaccard_pairs_capped": q_jaccard_pairs_capped,  # r02 driver-green
+        "containment_pairs": q_containment_pairs,     # NEW round 3 (local gate)
         "modularity_lpa": q_modularity_lpa,           # r02 driver-green
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,  # r02 driver-green
         "embedding_centroids": q_embedding_centroids, # r02 driver-green
@@ -1737,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": sql_jaccard_pairs("documents", threshold=0.05, n=2),
         "jaccard_pairs_capped": sql_jaccard_pairs(
             "documents", threshold=0.05, n=2, max_shingle_freq=30
+        ),
+        "containment_pairs": _sql_containment_pairs(
+            "documents", threshold=0.3, n=2
         ),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs("documents", n=2),
         "minhash_verified_pairs": sql_minhash_verified_pairs(

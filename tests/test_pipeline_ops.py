@@ -846,3 +846,50 @@ def test_duplicate_span_stats_matches_duckdb_twin(spark):
     }
     assert got == want
     assert any(n > 0 for _, n, _ in got.values())  # signal is non-trivial
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (dedup/jaccard.py) — asymmetric near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_matches_python_oracle(spark):
+    from pagerankproject_spark.dedup.jaccard import containment_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        # doc 0 embedded verbatim in a much longer doc:
+        "intro words here the quick brown fox jumps over the lazy dog "
+        "and then many more trailing words follow in this long document",
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    ]
+
+    def sh(t, n):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)} if toks else set()
+
+    out = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_pairs(
+            docs_df(spark, texts), threshold=0.3, n=3
+        ).collect()
+    }
+    expect = {}
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j:
+                continue
+            a, b = sh(texts[i], 3), sh(texts[j], 3)
+            if not a or not (a & b):
+                continue
+            c = round(len(a & b) / len(a), 6)
+            if c >= 0.3:
+                expect[(i, j)] = c
+    assert out == pytest.approx(expect)
+    # the asymmetry this operator exists for: 0 fully inside 1,
+    # while 1 is mostly NOT contained in 0
+    assert out[(0, 1)] == 1.0
+    assert out[(1, 0)] < 0.5
