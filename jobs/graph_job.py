@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -31,7 +31,7 @@ def main() -> None:
             "ktruss", "bfs", "lcc", "assortativity", "walks", "katz",
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
-            "betweenness",
+            "betweenness", "louvain", "coreness", "salsa", "bowtie",
         ],
     )
     p.add_argument(
@@ -272,6 +272,29 @@ def main() -> None:
             walk_length=args.walk_length,
             walks_per_vertex=args.walks_per_vertex,
         ).orderBy("walk_id", "step")
+    elif args.algo == "louvain":
+        from pagerankproject_spark.graph.louvain import louvain_multilevel
+
+        res = louvain_multilevel(g=g, spark=spark)
+        out = res.communities.orderBy("community", "url")
+        n_comm = out.select("community").distinct().count()
+        print(f"communities= {n_comm}")
+    elif args.algo == "coreness":
+        from pagerankproject_spark.graph.kcore import coreness
+
+        res = coreness(spark, g, max_iterations=args.max_iterations)
+        out = res.vertices.orderBy(F.desc("coreness"), "url")
+        print(f"rounds= {res.iterations} converged= {res.converged}")
+    elif args.algo == "salsa":
+        from pagerankproject_spark.graph.salsa import salsa
+
+        out = salsa(spark, g).orderBy(F.desc("authority"), "url")
+    elif args.algo == "bowtie":
+        from pagerankproject_spark.graph.bowtie import bowtie
+
+        res = bowtie(spark, g, max_iterations=args.max_iterations)
+        out = res.regions.orderBy("region", "url")
+        print(f"core_label= {res.core_label} sweeps= {res.sweeps}")
     else:
         res = triangle_counts(spark, g)
         out = res.per_edge.orderBy("a", "b")

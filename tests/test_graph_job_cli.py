@@ -44,6 +44,8 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("reciprocity", ()),             # lazy raw-edges family
         ("khop", ("--source", "3", "--k", "1")),
         ("hyperball", ("--t_max", "8")), # dense-id loop
+        ("bowtie", ()),                  # round-3 structure family
+        ("salsa", ()),                   # round-3 closed-form family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):
