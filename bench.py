@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "louvain_communities",
     "coreness",
     "duplicate_spans",
+    "louvain_multilevel",
+    "bowtie",
+    "containment_pairs",
 ]
 
 
