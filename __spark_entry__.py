@@ -79,6 +79,7 @@ from pagerankproject_spark.streaming.events import (
 from pagerankproject_spark.text import pipeline
 from pagerankproject_spark.graph.metrics import (
     sql_degree_assortativity,
+    sql_eigenvector_centrality,
     sql_katz_centrality,
 )
 from pagerankproject_spark.graph.walks import sql_random_walks
@@ -1153,6 +1154,16 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return katz_centrality(spark, g, alpha=0.05, iterations=10)
 
 
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, fixed 6-iteration integer power method
+    (graph/metrics.py — exact BIGINT walk counts, one final division;
+    recursive-CTE oracle replays the iterations)."""
+    from pagerankproject_spark.graph.metrics import eigenvector_centrality
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return eigenvector_centrality(spark, g, iterations=6)
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity from exact integer moments
     (graph/metrics.py — bit-identical across engines)."""
@@ -1460,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     plus louvain_communities (⊂ louvain_multilevel above) ---
         "kcore": q_kcore,                             # r02 driver-green
         "louvain_communities": q_louvain,             # ⊂ louvain_multilevel; local gate
+        "eigenvector_centrality": q_eigenvector_centrality,  # NEW round 3 (local gate; r4 window head)
         "minhash_verified_pairs": q_minhash_verified, # r02 driver-green, unchanged
         "hits_scores": q_hits_scores,                 # r02 driver-green, unchanged
         "triangles_per_edge": q_triangles_per_edge,   # r02 driver-green
@@ -1662,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
         "degree_assortativity": f"{g},{sql_degree_assortativity()}",
         "katz_centrality": f"{g},{sql_katz_centrality(alpha=0.05, iterations=10)}",
+        "eigenvector_centrality": f"{g},{sql_eigenvector_centrality(iterations=6)}",
         "host_graph": f"""
             with hedges as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

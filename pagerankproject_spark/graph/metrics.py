@@ -136,6 +136,111 @@ select url, katz from katz
 """
 
 
+def eigenvector_centrality(
+    spark,
+    g,
+    iterations: int = 6,
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1972) by fixed-k power iteration,
+    in EXACT integer arithmetic:
+
+        x_0 = 1;  x_{t+1}(v) = sum over in-edges (u, v) of x_t(u)
+
+    so x_k(v) is the number of k-walks ending at v — an exact BIGINT in
+    any engine (edge multiplicity counts, matching the engine's
+    degree/PageRank accounting). The score is one final double division
+    x_k / max(x_k), rounded once to 6dp: the repo's integer-moments
+    convention (see degree_assortativity above) — no per-iteration float
+    normalization, so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Caller contract: pick `iterations` small enough that the largest
+    k-walk count stays below 2^63 (growth ~ lambda_max^k; k=6 is safe up
+    to lambda_max ~ 1000). The DuckDB twin casts its 128-bit sum back to
+    BIGINT and errors loudly on overflow; Spark's non-ANSI sum would wrap
+    silently, so the bound is the caller's responsibility.
+
+    max(x_k) = 0 (a DAG shallower than k has no k-walks) yields NULL
+    scores rather than a division error, in both engines.
+
+    Execution shape = katz_centrality without the +1/alpha affine step:
+    per iteration one equi-join of the src_id-partitioned edge table with
+    the x vector and one map-side-combinable SUM keyed by dst, lineage
+    cut per iteration; the normalizing max is a 1-row scalar crossJoin
+    (the repo's established scalar pattern). Returns (url, eigenvector).
+    """
+    from ..session import no_aqe
+
+    P = g.num_partitions
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .repartition(P, "src_id")
+        .localCheckpoint(eager=True)
+    )
+    x = g.vertices.select("id", F.lit(1).cast("long").alias("x")).repartition(
+        P, "id"
+    )
+    with no_aqe(spark):
+        for _ in range(iterations):
+            msgs = (
+                e.join(x, e.src_id == x.id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg(F.sum("x").alias("m"))
+            )
+            x = (
+                x.select("id")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("x"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    mx = x.agg(F.max("x").alias("mx"))
+    return (
+        x.join(g.vertices, "id")
+        .crossJoin(mx)
+        .select(
+            "url",
+            F.round(
+                F.col("x").cast("double")
+                / F.when(F.col("mx") > 0, F.col("mx")).cast("double"),
+                6,
+            ).alias("eigenvector"),
+        )
+    )
+
+
+def sql_eigenvector_centrality(iterations: int = 6) -> str:
+    """DuckDB recursive-CTE twin over the edges/vertices CTEs — the katz
+    oracle's shape with BIGINT walk counts (anchor-typed ::bigint; the
+    128-bit sum is cast back so overflow fails loudly) and the self-row
+    trick keeping in-degree-0 vertices in every iteration. nullif guards
+    the shallow-DAG max=0 case with NULL, matching the Spark side."""
+    return f"""
+kew as (
+    select src, dst, 1::bigint as w from edges
+    union all
+    select url, url, 0::bigint from vertices
+),
+eig as (
+    with recursive st(i, v, x) as (
+        select 0, url, 1::bigint from vertices
+        union all
+        select s.i + 1, e.dst as v,
+               sum(s.x * e.w)::bigint
+        from st s join kew e on e.src = s.v
+        where s.i < {iterations}
+        group by s.i, e.dst
+    )
+    select v as url, x from st where i = {iterations}
+)
+select url,
+       round(x::double / nullif((select max(x) from eig), 0)::double, 6)
+           as eigenvector
+from eig
+"""
+
+
 def sql_degree_assortativity() -> str:
     """DuckDB twin over the `edges` CTE, identical integer moments."""
     return """

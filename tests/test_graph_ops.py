@@ -657,6 +657,48 @@ def test_katz_centrality_matches_numpy(spark):
     g.unpersist()
 
 
+def test_eigenvector_centrality_matches_numpy(spark):
+    import numpy as np
+
+    from pagerankproject_spark.graph.metrics import eigenvector_centrality
+
+    pairs = [("a.x", "b.x"), ("a.x", "b.x"), ("b.x", "c.x"), ("c.x", "a.x"),
+             ("d.x", "a.x"), ("d.x", "c.x")]
+    g = _tables(spark, pairs)
+    got = {
+        r["url"]: r["eigenvector"]
+        for r in eigenvector_centrality(spark, g, iterations=6).collect()
+    }
+
+    urls = sorted({u for p in pairs for u in p})
+    idx = {u: i for i, u in enumerate(urls)}
+    A = np.zeros((len(urls), len(urls)), dtype=np.int64)
+    for s, d in pairs:
+        A[idx[s], idx[d]] += 1  # multiplicity counts
+    x = np.ones(len(urls), dtype=np.int64)
+    for _ in range(6):
+        x = A.T @ x  # exact integer walk counts
+    mx = int(x.max())
+    for u in urls:
+        want = round(int(x[idx[u]]) / mx, 6)
+        assert abs(got[u] - want) < 1e-9, (u, got[u], want)
+    # d.x has no in-edges: all its walk counts are 0 -> score exactly 0
+    assert got["d.x"] == 0.0
+    g.unpersist()
+
+
+def test_eigenvector_centrality_shallow_dag_is_null(spark):
+    """A depth-2 DAG has no 6-walks: max(x)=0 must yield NULL scores
+    (not a division error), matching the oracle's nullif guard."""
+    from pagerankproject_spark.graph.metrics import eigenvector_centrality
+
+    g = _tables(spark, [("a.x", "b.x"), ("b.x", "c.x")])
+    rows = eigenvector_centrality(spark, g, iterations=6).collect()
+    assert len(rows) == 3
+    assert all(r["eigenvector"] is None for r in rows)
+    g.unpersist()
+
+
 def test_khop_subgraph_matches_brute_force(spark):
     from pagerankproject_spark.graph.kcore import khop_subgraph
     from pagerankproject_spark.ingest.edges import build_graph_tables
