@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -32,6 +32,7 @@ def main() -> None:
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
+            "eigenvector",
         ],
     )
     p.add_argument(
@@ -146,6 +147,13 @@ def main() -> None:
         out = katz_centrality(
             spark, g, iterations=min(args.max_iterations, 20)
         ).orderBy(F.desc("katz"), "url")
+    elif args.algo == "eigenvector":
+        from pagerankproject_spark.graph.metrics import eigenvector_centrality
+
+        # k capped low: walk counts grow ~lambda_max^k and must stay <2^63
+        out = eigenvector_centrality(
+            spark, g, iterations=min(args.max_iterations, 8)
+        ).orderBy(F.desc("eigenvector"), "url")
     elif args.algo == "lcc":
         from pagerankproject_spark.graph.triangles import clustering_coefficients
 

@@ -46,6 +46,7 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("hyperball", ("--t_max", "8")), # dense-id loop
         ("bowtie", ()),                  # round-3 structure family
         ("salsa", ()),                   # round-3 closed-form family
+        ("eigenvector", ()),             # integer power-iteration family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):
