@@ -1247,6 +1247,42 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_edges(spark, sf_dir), max_degree=60)
 
 
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link-prediction counts over 2-hop pairs, wedge
+    centers degree-capped — integer-exact, no rounding
+    (graph/linkpred.py::common_neighbors)."""
+    from pagerankproject_spark.graph.linkpred import common_neighbors
+
+    return common_neighbors(_edges(spark, sf_dir), min_count=2, max_degree=60)
+
+
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation scores (Zhou-Lü-Zhang 2009), 1/deg decay,
+    wedge centers degree-capped (graph/linkpred.py::resource_allocation)."""
+    from pagerankproject_spark.graph.linkpred import resource_allocation
+
+    return resource_allocation(_edges(spark, sf_dir), max_degree=60)
+
+
+def q_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment degree products over the 2-hop candidate
+    set, existing edges excluded — exact integer products
+    (graph/linkpred.py::preferential_attachment)."""
+    from pagerankproject_spark.graph.linkpred import preferential_attachment
+
+    return preferential_attachment(
+        _edges(spark, sf_dir), max_degree=60, exclude_existing=True
+    )
+
+
+def q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total 4-cycle count via the diagonal-pair identity — exact
+    integer arithmetic end-to-end (graph/linkpred.py::square_count)."""
+    from pagerankproject_spark.graph.linkpred import square_count
+
+    return square_count(_edges(spark, sf_dir))
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity summary (graph/linkpred.py::reciprocity)."""
     from pagerankproject_spark.graph.linkpred import reciprocity
@@ -1515,6 +1551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,  # r02 driver-green
         "embedding_centroids": q_embedding_centroids, # r02 driver-green
         "ivf_topk_fullprobe": q_ivf_topk,             # r02 driver-green
+        "common_neighbors": q_common_neighbors,       # NEW round 3 (local gate; r4 window head)
+        "resource_allocation": q_resource_allocation, # NEW round 3 (local gate; r4 window head)
+        "preferential_attachment": q_preferential_attachment,  # NEW round 3 (local gate; r4 window head)
+        "square_count": q_square_count,               # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1745,6 +1785,56 @@ def oracle_sql() -> dict[str, str]:
             select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as aa_score
             from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
             group by 1, 2""",
+        "common_neighbors": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            usym as (select a as w, b as x from und
+                     union all select b as w, a as x from und),
+            deg as (select w, count(*) as deg from usym group by 1),
+            ctr as (select w from deg where deg between 2 and 60),
+            hop as (select s.w, s.x from usym s join ctr c using (w))
+            select e1.x as a, e2.x as b, count(*)::bigint as cn
+            from hop e1 join hop e2 on e1.w = e2.w and e1.x < e2.x
+            group by 1, 2 having count(*) >= 2""",
+        "resource_allocation": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            usym as (select a as w, b as x from und
+                     union all select b as w, a as x from und),
+            deg as (select w, count(*) as deg from usym group by 1),
+            ctr as (select w, 1.0 / deg::double as wgt
+                    from deg where deg between 2 and 60),
+            wsym as (select s.w, s.x, c.wgt from usym s join ctr c using (w))
+            select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as ra_score
+            from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
+            group by 1, 2""",
+        "preferential_attachment": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            usym as (select a as w, b as x from und
+                     union all select b as w, a as x from und),
+            deg as (select w, count(*) as deg from usym group by 1),
+            ctr as (select w from deg where deg between 2 and 60),
+            hop as (select s.w, s.x from usym s join ctr c using (w)),
+            pairs as (select e1.x as a, e2.x as b
+                      from hop e1 join hop e2 on e1.w = e2.w and e1.x < e2.x
+                      group by 1, 2)
+            select p.a, p.b, (da.deg * db.deg)::bigint as pa_score
+            from pairs p
+            join deg da on da.w = p.a
+            join deg db on db.w = p.b
+            where not exists (select 1 from und u
+                              where u.a = p.a and u.b = p.b)""",
+        "square_count": f"""{g},
+            und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+                    from edges where src <> dst),
+            usym as (select a as w, b as x from und
+                     union all select b as w, a as x from und),
+            codeg as (select e1.x as a, e2.x as b, count(*) as cn
+                      from usym e1 join usym e2 on e1.w = e2.w and e1.x < e2.x
+                      group by 1, 2)
+            select (coalesce(sum(cn * (cn - 1)), 0) // 4)::bigint as n_squares
+            from codeg""",
         "reciprocity": f"""{g},
             simple as (select distinct src, dst from edges where src <> dst)
             select (select count(*) from simple)::bigint as total_edges,

@@ -11,7 +11,11 @@ from pagerankproject_spark.graph.linkpred import (
     adamic_adar,
     bibliographic_coupling,
     cocitation,
+    common_neighbors,
+    preferential_attachment,
     reciprocity,
+    resource_allocation,
+    square_count,
 )
 
 from .conftest import edges_df
@@ -97,6 +101,103 @@ def test_adamic_adar_exclude_existing(spark):
     got = adamic_adar(edges_df(spark, PAIRS), exclude_existing=True).collect()
     assert all((r["a"], r["b"]) not in und for r in got)
     assert len(got) > 0
+
+
+def _und_adj():
+    adj = {}
+    for a, b in {tuple(sorted(p)) for p in _simple()}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_common_neighbors_matches_brute_force(spark):
+    adj = _und_adj()
+    expect = {}
+    for u, v in combinations(sorted(adj), 2):
+        cn = len(adj[u] & adj[v])
+        if cn >= 1:
+            expect[(u, v)] = cn
+    got = {
+        (r["a"], r["b"]): r["cn"]
+        for r in common_neighbors(edges_df(spark, PAIRS)).collect()
+    }
+    assert got == expect
+
+
+def test_common_neighbors_degree_cap_and_exclude_existing(spark):
+    adj = _und_adj()
+    cap = 3
+    expect = {}
+    und = {tuple(sorted(p)) for p in _simple()}
+    for u, v in combinations(sorted(adj), 2):
+        cn = len({w for w in adj[u] & adj[v] if len(adj[w]) <= cap})
+        if cn >= 1 and (u, v) not in und:
+            expect[(u, v)] = cn
+    got = {
+        (r["a"], r["b"]): r["cn"]
+        for r in common_neighbors(
+            edges_df(spark, PAIRS), max_degree=cap, exclude_existing=True
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_resource_allocation_matches_brute_force(spark):
+    adj = _und_adj()
+    expect = {}
+    for u, v in combinations(sorted(adj), 2):
+        common = adj[u] & adj[v]
+        score = sum(1.0 / len(adj[w]) for w in common if len(adj[w]) >= 2)
+        if score > 0:
+            expect[(u, v)] = round(score, 6)
+    got = {
+        (r["a"], r["b"]): r["ra_score"]
+        for r in resource_allocation(edges_df(spark, PAIRS)).collect()
+    }
+    assert got == expect
+
+
+def test_preferential_attachment_on_candidate_pairs(spark):
+    adj = _und_adj()
+    expect = {}
+    for u, v in combinations(sorted(adj), 2):
+        if adj[u] & adj[v]:
+            expect[(u, v)] = len(adj[u]) * len(adj[v])
+    got = {
+        (r["a"], r["b"]): r["pa_score"]
+        for r in preferential_attachment(edges_df(spark, PAIRS)).collect()
+    }
+    assert got == expect
+
+
+def _brute_squares(adj):
+    # count 4-cycles by diagonal-pair identity; verify evenness
+    total_pairs = 0
+    for u, v in combinations(sorted(adj), 2):
+        cn = len(adj[u] & adj[v])
+        total_pairs += cn * (cn - 1) // 2
+    assert total_pairs % 2 == 0
+    return total_pairs // 2
+
+
+def test_square_count_on_k4_and_cycle(spark):
+    # C4: exactly one square
+    c4 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert square_count(edges_df(spark, c4)).collect()[0]["n_squares"] == 1
+    # K4 contains 3 distinct 4-cycles
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert square_count(edges_df(spark, k4)).collect()[0]["n_squares"] == 3
+    # triangle has none; empty simple graph has none
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    assert square_count(edges_df(spark, tri)).collect()[0]["n_squares"] == 0
+    assert square_count(edges_df(spark, [("a", "a")])).collect()[0]["n_squares"] == 0
+
+
+def test_square_count_matches_brute_force_on_fixture(spark):
+    adj = _und_adj()
+    got = square_count(edges_df(spark, PAIRS)).collect()[0]["n_squares"]
+    assert got == _brute_squares(adj)
 
 
 def test_reciprocity(spark):
