@@ -1247,6 +1247,42 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_edges(spark, sf_dir), max_degree=60)
 
 
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (CCNet/C4-style domain balancing):
+    top-25 docs per domain in deterministic permille-hash order
+    (text/pipeline.py::domain_cap_sample)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", _messy_url_expr().alias("raw"))
+    return pipeline.domain_cap_sample(
+        d, F.col("raw"), F.col("doc_id"), k=25
+    ).select("doc_id", "domain", "domain_rank")
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-wave crawl frontier over the multi-host derived page edges
+    (host_graph's edge table — the contract's main graph is single-host,
+    so per-host capping would be trivial there): the deterministic
+    permille-hash half of the vertices is marked crawled, frontier =
+    uncrawled targets with >= 2 crawled citers, top-5 per host
+    (ingest/frontier.py::crawl_frontier)."""
+    from pagerankproject_spark.ingest.frontier import crawl_frontier
+
+    o = _read(spark, sf_dir, "orders")
+    src = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 13).cast("string"),
+        F.lit(".com/p"), (F.col("o_custkey") % 59).cast("string"),
+    )
+    dst = F.concat(
+        F.lit("h"), (F.col("o_orderkey") % 11).cast("string"),
+        F.lit(".com/p"), (F.col("o_orderkey") % 43).cast("string"),
+    )
+    edges = o.select(src.alias("src"), dst.alias("dst"))
+    verts = edges.select(F.col("src").alias("url")).union(
+        edges.select(F.col("dst").alias("url"))
+    ).distinct()
+    crawled = verts.filter(pipeline.sample_hash_expr(F.col("url")) < 500)
+    return crawl_frontier(edges, crawled, per_host_cap=10, min_citers=2)
+
+
 def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link-prediction counts over 2-hop pairs, wedge
     centers degree-capped — integer-exact, no rounding
@@ -1555,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation": q_resource_allocation, # NEW round 3 (local gate; r4 window head)
         "preferential_attachment": q_preferential_attachment,  # NEW round 3 (local gate; r4 window head)
         "square_count": q_square_count,               # NEW round 3 (local gate; r4 window head)
+        "domain_cap_sample": q_domain_cap_sample,     # NEW round 3 (local gate; r4 window head)
+        "crawl_frontier": q_crawl_frontier,           # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1584,6 +1622,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.text.spans import (
         sql_duplicate_span_stats as _sql_dup_spans,
+    )
+    from pagerankproject_spark.ingest.frontier import (
+        sql_crawl_frontier as _sql_crawl_frontier,
     )
 
     g = f"with {_EDGES_CTE}"
@@ -1785,6 +1826,19 @@ def oracle_sql() -> dict[str, str]:
             select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as aa_score
             from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
             group by 1, 2""",
+        "domain_cap_sample": f"""
+            with u as (select doc_id, ({_MESSY_URL_SQL}) as raw from documents)
+            {pipeline.sql_domain_cap_sample('u', 'raw', 'doc_id', 25, ['doc_id'])}""",
+        "crawl_frontier": f"""
+            with hedges as (
+                select 'h' || (o_custkey % 13) || '.com/p' || (o_custkey % 59) as src,
+                       'h' || (o_orderkey % 11) || '.com/p' || (o_orderkey % 43) as dst
+                from orders
+            ),
+            hverts as (select src as url from hedges union select dst from hedges),
+            crawled as (select url from hverts
+                        where {pipeline.sql_sample_hash('url')} < 500),
+            {_sql_crawl_frontier('hedges', 'crawled', per_host_cap=10, min_citers=2)}""",
         "common_neighbors": f"""{g},
             und as (select distinct least(src, dst) as a, greatest(src, dst) as b
                     from edges where src <> dst),

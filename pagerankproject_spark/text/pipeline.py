@@ -169,6 +169,56 @@ def stratified_keep_expr(key: Column, stratum: Column) -> Column:
     return sample_hash_expr(key) < rate
 
 
+def domain_cap_sample(
+    df: DataFrame, url: Column, key: Column, k: int
+) -> DataFrame:
+    """Per-domain document cap — the CCNet/C4-style domain-balancing
+    sampler: keep at most `k` documents per registrable domain, chosen
+    in a content-independent deterministic order (the portable 60-bit
+    md5 permille hash of the row key, then the key itself) so reruns,
+    resumes, and the DuckDB twin pick the SAME survivors.
+
+    Output: all input columns + `domain` + `domain_rank` (1-based rank
+    of the row within its domain under the deterministic order).
+
+    Scale notes: one hash-partitioned window sort keyed by domain. A
+    mega-domain (the 100-TB skew case) sorts all its rows in one
+    partition; because the order key is the content-independent hash,
+    a pre-filter on the permille bucket (keep `h < p` for p chosen so
+    the expected survivors per giant domain >> k) prunes the sort input
+    without changing the top-k for any domain that keeps >= k rows in
+    the bucket — the standard two-phase trick, left to callers because
+    it trades exactness on small domains for the prune.
+    """
+    from pyspark.sql import Window
+
+    d = df.withColumn("domain", domain_expr(url)).withColumn(
+        "_h", sample_hash_expr(key)
+    )
+    w = Window.partitionBy("domain").orderBy(F.asc("_h"), key.asc())
+    return (
+        d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= k)
+        .drop("_h")
+    )
+
+
+def sql_domain_cap_sample(
+    rel: str, url: str, key: str, k: int, cols: list[str]
+) -> str:
+    projected = ", ".join(cols)
+    return f"""
+    select {projected}, domain, domain_rank from (
+        select {projected}, {sql_domain(url)} as domain,
+               row_number() over (
+                   partition by {sql_domain(url)}
+                   order by {sql_sample_hash(key)}, {key}
+               )::bigint as domain_rank
+        from {rel}
+    ) where domain_rank <= {k}
+    """
+
+
 def ngram_topk(
     df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
 ) -> DataFrame:
