@@ -1359,6 +1359,16 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(spark, g, _BC_SOURCES)
 
 
+def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness estimates (Eppstein-Wang) from 3 fixed
+    sources — exact integer aggregates + one division
+    (graph/betweenness.py::closeness_sampled)."""
+    from pagerankproject_spark.graph.betweenness import closeness_sampled
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return closeness_sampled(spark, g, _BC_SOURCES)
+
+
 def q_khop_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop ego-net edge subgraph around two fixed seeds
     (graph/kcore.py::khop_subgraph; depth-bounded recursive-CTE
@@ -1593,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": q_square_count,               # NEW round 3 (local gate; r4 window head)
         "domain_cap_sample": q_domain_cap_sample,     # NEW round 3 (local gate; r4 window head)
         "crawl_frontier": q_crawl_frontier,           # NEW round 3 (local gate; r4 window head)
+        "closeness_sampled": q_closeness_sampled,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1606,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.betweenness import (
         sql_betweenness_sampled as _sql_bc,
+        sql_closeness_sampled as _sql_close,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1683,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
             select url, label as new_label from ranked where rn = 1""",
         "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
         "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
+        "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -185,6 +185,141 @@ def betweenness_sampled(
     return out
 
 
+def closeness_sampled(
+    spark: SparkSession,
+    g: GraphTables,
+    sources: list[str],
+    max_depth: int = 64,
+) -> DataFrame:
+    """Sampled-source closeness centrality (Eppstein & Wang 2004
+    estimator, deterministic source set like betweenness_sampled):
+    for every vertex v reached by any sampled source,
+        closeness_est(v) = |S_v| / sum over s in S_v of d(s, v)
+    where S_v = the sampled sources reaching v — the inverse of v's
+    mean observed distance FROM the sample (in-closeness; run on the
+    reversed graph for out-closeness). Scaling to Eppstein-Wang's
+    normalized form is a global constant (n, k) left to the caller.
+
+    Output: url, n_sources (long), dist_total (long), closeness_est
+    (double — NULL when dist_total = 0, i.e. v is only reached as a
+    seed at distance 0). The two aggregates are EXACT INTEGERS and the
+    score is one final division, so the cross-engine contract needs no
+    rounding (the degree_assortativity/modularity discipline).
+
+    Same batched one-job-per-level forward pass as betweenness_sampled
+    (state keyed (s, v), frontier anti-joined against the lazy union of
+    checkpointed levels), minus the sigma bookkeeping and the whole
+    backward phase — per level: one join + one distinct + one anti-join.
+    """
+    e = simple_edges(g)
+    graph_vids = (
+        e.select(F.col("src_id").alias("id"))
+        .union(e.select(F.col("dst_id").alias("id")))
+        .distinct()
+    )
+    src_df = spark.createDataFrame([(u,) for u in set(sources)], "url string")
+    seeds = (
+        g.vertices.join(F.broadcast(src_df), "url", "left_semi")
+        .join(graph_vids, "id", "left_semi")
+        .select(F.col("id").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seeds.count()
+    if n_seeds != len(set(sources)):
+        raise ValueError(
+            f"only {n_seeds} of {len(set(sources))} source urls are "
+            "vertices of the simple graph"
+        )
+
+    level = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    settled = level
+    levels = [level]
+    with no_aqe(spark):
+        for depth in range(1, max_depth + 2):
+            cand = (
+                level.join(e, level.v == e.src_id)
+                .select("s", F.col("dst_id").alias("v"))
+                .distinct()
+            )
+            obs = Observation()
+            nxt = (
+                cand.join(settled.select("s", "v"), ["s", "v"], "left_anti")
+                .select("s", "v", F.lit(depth).cast("long").alias("d"))
+                .observe(obs, F.count(F.lit(1)).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            if int(obs.get["c"] or 0) == 0:
+                break
+            if depth > max_depth:
+                raise ValueError(
+                    f"forward BFS still expanding past max_depth={max_depth}; "
+                    "raise max_depth"
+                )
+            levels.append(nxt)
+            settled = settled.unionByName(nxt)
+            level = nxt
+
+    dist = levels[0]
+    for lv in levels[1:]:
+        dist = dist.unionByName(lv)
+    agg = dist.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("d").cast("long").alias("dist_total"),
+    )
+    score = F.when(
+        F.col("dist_total") > 0,
+        F.col("n_sources").cast("double") / F.col("dist_total").cast("double"),
+    )
+    return (
+        agg.withColumnRenamed("v", "id")
+        .join(g.vertices, "id")
+        .select("url", "n_sources", "dist_total", score.alias("closeness_est"))
+    )
+
+
+def sql_closeness_sampled(sources: list[str]) -> str:
+    """DuckDB twin over the `edges` CTE: seed-anchored level-synced BFS
+    recursion (the engine BFS oracle's chg pattern), then the same
+    integer aggregates and single division."""
+    seed_rows = ", ".join("('" + s.replace("'", "''") + "')" for s in sources)
+    return f"""
+simple as (select distinct src, dst from edges where src <> dst),
+allv as (select src as u from simple union select dst from simple),
+symw as (
+    select src, dst, 1 as w from simple
+    union all
+    select u, u, 0 from allv
+),
+cl_dist as (
+    with recursive st(s, v, d, chg) as (
+        select s, s, 0::bigint, 1 from (values {seed_rows}) seeds(s)
+        union all
+        select s, v, d,
+               max(case when old is null or d < old then 1 else 0 end)
+                   over () as chg
+        from (
+            select st.s as s, e.dst as v,
+                   min(st.d + e.w) as d,
+                   min(st.d) filter (where e.w = 0) as old
+            from st join symw e on e.src = st.v
+            where st.chg = 1
+            group by st.s, e.dst
+        )
+    )
+    select s, v, min(d) as d from st group by s, v
+)
+select d.v as url,
+       count(*)::bigint as n_sources,
+       sum(d.d)::bigint as dist_total,
+       case when sum(d.d) > 0
+            then count(*)::double / sum(d.d)::double
+       end as closeness_est
+from cl_dist d
+group by d.v"""
+
+
 def sql_betweenness_sampled(sources: list[str]) -> str:
     """DuckDB twin over the `edges` CTE: all-pairs (dist, sigma) by one
     level-synced recursion, then the closed-form pair-dependency sum

@@ -826,6 +826,58 @@ def test_betweenness_sampled_matches_pair_dependency_brute_force(spark):
     assert got == expect
 
 
+def test_closeness_sampled_matches_brute_force_bfs(spark):
+    from collections import deque
+
+    from pagerankproject_spark.graph.betweenness import closeness_sampled
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "a"), ("b", "d"),
+        ("d", "e"), ("e", "a"), ("f", "a"),  # f unreachable from the sample
+    ]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    def bfs(s):
+        dist, q = {s: 0}, deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    sources = ["a", "b"]
+    per_v: dict[str, tuple[int, int]] = {}
+    for s in sources:
+        for v, d in bfs(s).items():
+            n, t = per_v.get(v, (0, 0))
+            per_v[v] = (n + 1, t + d)
+    expect = {
+        v: (n, t, (n / t if t > 0 else None)) for v, (n, t) in per_v.items()
+    }
+
+    g = build_graph_tables(spark, edges_df(spark, edges))
+    got = {
+        r["url"]: (r["n_sources"], r["dist_total"], r["closeness_est"])
+        for r in closeness_sampled(spark, g, sources).collect()
+    }
+    assert got == expect
+    assert "f" not in got  # nothing reaches f
+    # every vertex reached only at distance 0 has NULL score: none here
+    # (both sources reach each other), but the guard is the 'a'-only case
+    single = {
+        r["url"]: r["closeness_est"]
+        for r in closeness_sampled(spark, g, ["f"]).collect()
+    }
+    assert single["f"] is None  # seed reached only by itself at d=0
+
+
 def test_betweenness_guards_depth_cap_and_missing_sources(spark):
     import pytest as _pytest
 
