@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -32,7 +32,7 @@ def main() -> None:
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
-            "eigenvector",
+            "eigenvector", "closeness", "squares",
         ],
     )
     p.add_argument(
@@ -71,7 +71,7 @@ def main() -> None:
     # shuffles for them (it roughly doubled their wall-clock)
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
-        "adamicadar", "reciprocity", "hostrank", "hostsssp",
+        "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares",
     }
     g = None
     if needs_g:
@@ -229,6 +229,27 @@ def main() -> None:
         )
         out = betweenness_sampled(spark, g, srcs).orderBy(
             F.desc("bc"), "url"
+        )
+    elif args.algo == "closeness":
+        from pagerankproject_spark.graph.betweenness import closeness_sampled
+
+        if not (args.sources or args.source):
+            p.error("--sources (comma-separated) or --source required")
+        srcs = (
+            [s.strip() for s in args.sources.split(",") if s.strip()]
+            if args.sources
+            else [args.source]
+        )
+        out = closeness_sampled(spark, g, srcs).orderBy(
+            F.desc("closeness_est"), "url"
+        )
+    elif args.algo == "squares":
+        from pagerankproject_spark.graph.linkpred import square_count
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = square_count(
+            regex_filter(read_edge_csv(spark, args.data)),
+            max_degree=args.degree_cap,
         )
     elif args.algo == "hostsssp":
         from pagerankproject_spark.graph.kcore import sssp_weighted

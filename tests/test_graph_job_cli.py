@@ -47,6 +47,8 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("bowtie", ()),                  # round-3 structure family
         ("salsa", ()),                   # round-3 closed-form family
         ("eigenvector", ()),             # integer power-iteration family
+        ("closeness", ("--sources", "1,3")),  # sampled-BFS family
+        ("squares", ()),                 # codegree motif family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):
