@@ -487,6 +487,125 @@ def stream_incremental_components(
     )
 
 
+def stream_incremental_triangles(
+    spark: SparkSession,
+    edges_dir: str,
+    state: dict,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous EXACT triangle-count maintenance — unlike the
+    pagerank/CC incremental twins (which warm-restart a fixpoint), this
+    is a true delta operator: each micro-batch pays work proportional
+    to the NEW edges' neighborhoods, never recounting the old graph.
+
+    Per batch, with Δ = genuinely-new undirected simple edges and OLD =
+    the maintained edge set, the added triangles split exactly by how
+    many Δ edges they contain (the standard incremental/streaming
+    triangle decomposition, e.g. Stefani et al. TRIÈST 2016 uses the
+    same per-edge neighborhood form):
+
+      T1 (one new edge): Δ edge (a,b) + old (a,c) + old (b,c) — found
+         by expanding each Δ edge from its a-side into OLD adjacency
+         and closing against OLD; counted once per triangle because
+         only the UNIQUE new edge generates it.
+      T2 (two new edges): the two new edges share exactly one vertex
+         (the wedge center w): Δ wedge (w,b),(w,c) with b<c + old
+         (b,c); counted once at its unique center.
+      T3 (all new): triangles inside Δ (the batch's own oriented
+         3-join, same shape as the batch counter's oracle).
+
+    state after each batch: {"edges": DataFrame (a,b) a<b distinct,
+    "total": int, "batches": int}. State is the undirected simple edge
+    set — the minimum any exact maintenance must hold (a dropped edge
+    could close future triangles); at 100 TB this lives as a bucketed
+    table keyed by `a`, and every join below is a plain equi-join on
+    vertex keys, Δ-sized on one side. Verified stream == cold batch
+    recount in tests.
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new = (
+            batch_df.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+        )
+        old = state.get("edges")
+        if old is None:
+            old = spark.createDataFrame([], "a string, b string")
+        delta = new.join(old, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+
+        sym_old = old.select(F.col("a").alias("w"), F.col("b").alias("x")).union(
+            old.select(F.col("b").alias("w"), F.col("a").alias("x"))
+        )
+        sym_new = delta.select(F.col("a").alias("w"), F.col("b").alias("x")).union(
+            delta.select(F.col("b").alias("w"), F.col("a").alias("x"))
+        )
+
+        # T1: Δ(a,b) + old(a,c) + old(b,c)
+        t1 = (
+            delta.join(
+                sym_old.select(F.col("w").alias("a"), F.col("x").alias("c")), "a"
+            )
+            .join(
+                old.select(
+                    F.col("a").alias("bc_a"), F.col("b").alias("bc_b")
+                ),
+                (F.least("b", "c") == F.col("bc_a"))
+                & (F.greatest("b", "c") == F.col("bc_b")),
+                "left_semi",
+            )
+            .count()
+        )
+        # T2: Δ wedge (w,b),(w,c), b<c, closed by old (b,c)
+        t2 = (
+            sym_new.select("w", F.col("x").alias("b"))
+            .join(sym_new.select("w", F.col("x").alias("c")), "w")
+            .filter(F.col("b") < F.col("c"))
+            .join(
+                old.select(F.col("a").alias("b"), F.col("b").alias("c")),
+                ["b", "c"],
+                "left_semi",
+            )
+            .count()
+        )
+        # T3: triangles entirely inside Δ (oriented 3-join)
+        e1 = delta.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        e2 = delta.select(F.col("a").alias("u"), F.col("b").alias("t"))
+        t3 = (
+            e1.join(e2, "u")
+            .filter(F.col("v") < F.col("t"))
+            .join(
+                delta.select(F.col("a").alias("v"), F.col("b").alias("t")),
+                ["v", "t"],
+                "left_semi",
+            )
+            .count()
+        )
+
+        merged = old.unionByName(delta).localCheckpoint(eager=True)
+        state.update(
+            {
+                "edges": merged,
+                "total": state.get("total", 0) + t1 + t2 + t3,
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(EDGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(edges_dir, header=True)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sliding_event_counts(
     events: DataFrame,
     window: str = "1 hour",

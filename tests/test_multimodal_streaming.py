@@ -554,6 +554,54 @@ def test_stream_incremental_components_matches_batch(spark, tmp_path):
     g_full.unpersist()
 
 
+def test_stream_incremental_triangles_matches_batch(spark, tmp_path):
+    from itertools import combinations
+
+    from pagerankproject_spark.streaming.events import (
+        stream_incremental_triangles,
+    )
+
+    edges_dir = tmp_path / "tri_edge_stream"
+    edges_dir.mkdir()
+    # batch 0 seeds a triangle + a path; batch 1 adds: a 1-new-edge
+    # closure (c-a over old c-b, b-a wait: close p-q path), a 2-new
+    # wedge closure, and a fully-new triangle; batch 2 re-sends dups
+    # (must add nothing) and closes one more
+    b0 = [("a", "b"), ("b", "c"), ("c", "a"), ("p", "q"), ("q", "r")]
+    b1 = [("p", "r"),                       # T1: old (p,q),(q,r) + new (p,r)
+          ("a", "x"), ("b", "x"),           # T2: wedge at x closed by old (a,b)
+          ("u", "v"), ("v", "w"), ("w", "u")]  # T3: all-new triangle
+    b2 = [("a", "b"), ("p", "r"),           # exact dups: no-ops
+          ("b", "a"),                       # reversed dup: no-op
+          ("c", "x")]                       # closes (a,c,x) via new edge +
+                                            # old (a,x),(a,c): T1 again... and (b,c,x)
+    for i, batch in enumerate((b0, b1, b2)):
+        (edges_dir / f"batch{i}.csv").write_text(
+            "src,dst\n" + "\n".join(f"{s},{d}" for s, d in batch)
+        )
+
+    state: dict = {}
+    q = stream_incremental_triangles(spark, str(edges_dir), state)
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    # cold brute-force recount over everything
+    und = {tuple(sorted(p)) for p in b0 + b1 + b2 if p[0] != p[1]}
+    adj: dict[str, set[str]] = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expect = sum(
+        1
+        for u, v, w in combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    assert state["total"] == expect
+    # the maintained edge set is the undirected simple closure
+    got_edges = {(r["a"], r["b"]) for r in state["edges"].collect()}
+    assert got_edges == und
+
+
 def test_stream_latest_snapshots_matches_batch(spark, tmp_path):
     import datetime
 
