@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "louvain_multilevel",
     "bowtie",
     "containment_pairs",
+    # late round-3 additions: sampled closeness (shares the batched BFS
+    # with betweenness), the codegree link-prediction family's heaviest
+    # member, and the crawl-frontier chooser
+    "closeness_sampled",
+    "resource_allocation",
+    "crawl_frontier",
 ]
 
 

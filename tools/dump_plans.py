@@ -41,6 +41,8 @@ PLAN_QUERIES = [
     "modularity_lpa",          # integer moments + single division
     "ppr_walks",               # walk corpus -> combinable weighted sum
     "duplicate_spans",         # zero-shuffle window explode + digest aggs
+    "domain_cap_sample",       # hash-order per-domain top-k window
+    "crawl_frontier",          # semi/anti joins + per-host top-k window
 ]
 
 
