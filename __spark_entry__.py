@@ -1247,6 +1247,49 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_edges(spark, sf_dir), max_degree=60)
 
 
+def _lined_text_expr() -> F.Column:
+    """Deterministic multi-line text derived from the single-line
+    fixture corpus (three literal word->newline replaces; identical
+    left-to-right non-overlapping semantics in Spark and DuckDB)."""
+    return F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("batch"), F.lit("\n")),
+            F.lit("scan"), F.lit("\n"),
+        ),
+        F.lit("join"), F.lit("\n"),
+    )
+
+
+_LINED_TEXT_SQL = (
+    "replace(replace(replace(text, 'batch', chr(10)), 'scan', chr(10)),"
+    " 'join', chr(10))"
+)
+
+
+def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc paragraph-dedup damage report (CCNet line dedup —
+    text/paragraphs.py::paragraph_dedup_stats) over the derived
+    multi-line corpus."""
+    from pagerankproject_spark.text.paragraphs import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(
+        _read(spark, sf_dir, "documents"), text=_lined_text_expr()
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-document-frequency lines per source (RefinedWeb boilerplate
+    — text/paragraphs.py::boilerplate_lines), df >= 3."""
+    from pagerankproject_spark.text.paragraphs import boilerplate_lines
+
+    return boilerplate_lines(
+        _read(spark, sf_dir, "documents"),
+        "source",
+        min_doc_freq=3,
+        text=_lined_text_expr(),
+    )
+
+
 def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (CCNet/C4-style domain balancing):
     top-25 docs per domain in deterministic permille-hash order
@@ -1604,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_sample": q_domain_cap_sample,     # NEW round 3 (local gate; r4 window head)
         "crawl_frontier": q_crawl_frontier,           # NEW round 3 (local gate; r4 window head)
         "closeness_sampled": q_closeness_sampled,     # NEW round 3 (local gate; r4 window head)
+        "paragraph_dedup_stats": q_paragraph_dedup_stats,  # NEW round 3 (local gate; r4 window head)
+        "boilerplate_lines": q_boilerplate_lines,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1637,6 +1682,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.ingest.frontier import (
         sql_crawl_frontier as _sql_crawl_frontier,
+    )
+    from pagerankproject_spark.text.paragraphs import (
+        sql_boilerplate_lines as _sql_boilerplate,
+        sql_paragraph_dedup_stats as _sql_para_stats,
     )
 
     g = f"with {_EDGES_CTE}"
@@ -1839,6 +1888,12 @@ def oracle_sql() -> dict[str, str]:
             select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as aa_score
             from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
             group by 1, 2""",
+        "paragraph_dedup_stats": _sql_para_stats(
+            "documents", "doc_id", _LINED_TEXT_SQL
+        ),
+        "boilerplate_lines": _sql_boilerplate(
+            "documents", "source", 3, "doc_id", _LINED_TEXT_SQL
+        ),
         "domain_cap_sample": f"""
             with u as (select doc_id, ({_MESSY_URL_SQL}) as raw from documents)
             {pipeline.sql_domain_cap_sample('u', 'raw', 'doc_id', 25, ['doc_id'])}""",

@@ -893,3 +893,119 @@ def test_containment_pairs_matches_python_oracle(spark):
     # while 1 is mostly NOT contained in 0
     assert out[(0, 1)] == 1.0
     assert out[(1, 0)] < 0.5
+
+
+def test_paragraph_dedup_matches_python_replay(spark):
+    """Hand corpus: shared paragraphs across docs, within-doc repeats,
+    empty segments (consume positions but emit nothing), case/space
+    normalization folding."""
+    from pagerankproject_spark.text.paragraphs import (
+        paragraph_dedup,
+        paragraph_dedup_stats,
+    )
+
+    rows = [
+        (1, "hello world\nfooter text\nunique one"),
+        (2, "FOOTER TEXT  \nhello world\nsecond only"),
+        (3, "footer text\n\nfooter text"),   # empty middle + self-repeat
+        (4, "   \n\n"),                      # only empties: no rows at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fp(p):
+        return hashlib.md5(p.strip().lower().encode()).hexdigest()
+
+    occ = []
+    for doc_id, text in rows:
+        for pos, para in enumerate(text.split("\n")):
+            if para.strip():
+                occ.append((doc_id, pos, fp(para)))
+    by_fp = {}
+    for doc_id, pos, f in occ:
+        by_fp.setdefault(f, []).append((doc_id, pos))
+    expect = {
+        (d, p): (f, len(by_fp[f]), (d, p) == min(by_fp[f]))
+        for d, p, f in occ
+    }
+    got = {
+        (r["doc_id"], r["pos"]): (r["fp"], r["n_occurrences"], r["keep"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == expect
+    assert not any(k[0] == 4 for k in got)  # all-empty doc emits nothing
+    # "footer text" appears 4x, survivor is (1, 1)
+    assert got[(1, 1)] == (fp("footer text"), 4, True)
+    assert got[(2, 0)][2] is False and got[(3, 0)][2] is False
+
+    stats = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["kept_ratio"])
+        for r in paragraph_dedup_stats(df).collect()
+    }
+    assert stats == {1: (3, 3, 1.0), 2: (3, 1, 1 / 3), 3: (2, 0, 0.0)}
+
+
+def test_boilerplate_lines_doc_freq_within_group(spark):
+    from pagerankproject_spark.text.paragraphs import boilerplate_lines
+
+    rows = [
+        (1, "s1", "nav bar\ncontent a\nnav bar"),   # repeat within ONE doc: df 1
+        (2, "s1", "nav bar\ncontent b"),
+        (3, "s1", "nav bar\ncontent c"),
+        (4, "s2", "nav bar\nother"),                # same line, other group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["group"], r["fp"]): r["doc_freq"]
+        for r in boilerplate_lines(df, "source", min_doc_freq=3).collect()
+    }
+    nav = hashlib.md5(b"nav bar").hexdigest()
+    # 3 distinct s1 docs contain it (doc 1's repeat counts once); s2 has 1 < 3
+    assert got == {("s1", nav): 3}
+
+
+def test_paragraph_dedup_matches_duckdb_twin(spark):
+    """Engine vs sql twins on real sf0.001 documents with the derived
+    multi-line text (the same comparison check_contract runs)."""
+    import duckdb
+
+    from pagerankproject_spark.text.paragraphs import (
+        boilerplate_lines,
+        paragraph_dedup_stats,
+        sql_boilerplate_lines,
+        sql_paragraph_dedup_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    lined = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("batch"), F.lit("\n")),
+            F.lit("scan"), F.lit("\n"),
+        ),
+        F.lit("join"), F.lit("\n"),
+    )
+    got = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["kept_ratio"])
+        for r in paragraph_dedup_stats(docs, text=lined).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    _lined_sql = (
+        "replace(replace(replace(text, 'batch', chr(10)), 'scan', chr(10)),"
+        " 'join', chr(10))"
+    )
+    sql = sql_paragraph_dedup_stats("documents", "doc_id", _lined_sql)
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) > 0
+
+    got_b = {
+        (r["group"], r["fp"]): r["doc_freq"]
+        for r in boilerplate_lines(
+            docs, "source", min_doc_freq=3, text=lined
+        ).collect()
+    }
+    sql_b = sql_boilerplate_lines("documents", "source", 3, "doc_id", _lined_sql)
+    want_b = {(r[0], r[1]): r[2] for r in con.execute(sql_b).fetchall()}
+    assert got_b == want_b and len(got_b) > 0
