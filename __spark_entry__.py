@@ -1266,6 +1266,13 @@ _LINED_TEXT_SQL = (
 )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary coverage curve (tokenizer-design statistic —
+    text/pipeline.py::vocab_coverage; exact integer cumsums, one
+    division)."""
+    return pipeline.vocab_coverage(_read(spark, sf_dir, "documents"), k=100)
+
+
 def q_paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc paragraph-dedup damage report (CCNet line dedup —
     text/paragraphs.py::paragraph_dedup_stats) over the derived
@@ -1649,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": q_closeness_sampled,     # NEW round 3 (local gate; r4 window head)
         "paragraph_dedup_stats": q_paragraph_dedup_stats,  # NEW round 3 (local gate; r4 window head)
         "boilerplate_lines": q_boilerplate_lines,     # NEW round 3 (local gate; r4 window head)
+        "vocab_coverage": q_vocab_coverage,           # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1888,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
             select e1.x as a, e2.x as b, round(sum(e1.wgt), 6) as aa_score
             from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
             group by 1, 2""",
+        "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL
         ),

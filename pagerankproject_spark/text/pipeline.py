@@ -234,6 +234,65 @@ def ngram_topk(
     )
 
 
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design statistic: the
+    top-k corpus tokens with each prefix's cumulative share of ALL
+    token occurrences (how much of the corpus a k-entry vocabulary
+    covers; the elbow picks the vocab size / UNK budget).
+
+    Output: rank (1-based long, by count desc / token asc — total
+    order, fully deterministic), token, cnt (long), cum_cnt (long),
+    coverage (double = cum_cnt / corpus_total — two exact integers,
+    one division, bit-identical cross-engine).
+
+    Scale: token counting is explode + map-side-combinable count; the
+    top-k is a TakeOrderedAndProject (never a full sort); only the k
+    SURVIVORS enter the single-partition running-sum window, so the
+    unpartitioned window is k rows by construction, not corpus-sized.
+    The corpus total rides the same counts table as one scalar agg.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    if total == 0:
+        raise ValueError("corpus has no tokens; vocab_coverage undefined")
+    topk = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return topk.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        (F.sum("cnt").over(w).cast("double") / F.lit(float(total))).alias(
+            "coverage"
+        ),
+    )
+
+
+def sql_vocab_coverage(rel: str, text_col: str = "text", k: int = 100) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+    with vc_tok as (select unnest({toks}) as token from {rel}),
+    vc_cnt as (select token, count(*)::bigint as cnt from vc_tok group by 1),
+    vc_top as (select token, cnt from vc_cnt order by cnt desc, token asc limit {k})
+    select row_number() over (order by cnt desc, token asc)::bigint as rank,
+           token, cnt,
+           sum(cnt) over (order by cnt desc, token asc
+                          rows between unbounded preceding and current row
+           )::bigint as cum_cnt,
+           sum(cnt) over (order by cnt desc, token asc
+                          rows between unbounded preceding and current row
+           )::double / (select sum(cnt) from vc_cnt)::double as coverage
+    from vc_top
+    """
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins
 # ---------------------------------------------------------------------------

@@ -1009,3 +1009,34 @@ def test_paragraph_dedup_matches_duckdb_twin(spark):
     sql_b = sql_boilerplate_lines("documents", "source", 3, "doc_id", _lined_sql)
     want_b = {(r[0], r[1]): r[2] for r in con.execute(sql_b).fetchall()}
     assert got_b == want_b and len(got_b) > 0
+
+
+def test_vocab_coverage_matches_python_replay(spark):
+    from collections import Counter
+
+    from pagerankproject_spark.text.pipeline import vocab_coverage
+
+    rows = [(1, "a b a c"), (2, "a b  b"), (3, "  "), (4, "c a d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Counter()
+    for _, t in rows:
+        c.update(t.split())
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    cum = 0
+    expect = []
+    for i, (tok, cnt) in enumerate(ordered, 1):
+        cum += cnt
+        expect.append((i, tok, cnt, cum, cum / total))
+    got = [
+        (r["rank"], r["token"], r["cnt"], r["cum_cnt"], r["coverage"])
+        for r in vocab_coverage(df, k=3).orderBy("rank").collect()
+    ]
+    assert got == expect
+    assert got[-1][4] < 1.0  # k=3 doesn't cover everything here
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        vocab_coverage(empty)
