@@ -181,14 +181,14 @@ def domain_cap_sample(
     Output: all input columns + `domain` + `domain_rank` (1-based rank
     of the row within its domain under the deterministic order).
 
-    Scale notes: one hash-partitioned window sort keyed by domain. A
-    mega-domain (the 100-TB skew case) sorts all its rows in one
-    partition; because the order key is the content-independent hash,
-    a pre-filter on the permille bucket (keep `h < p` for p chosen so
-    the expected survivors per giant domain >> k) prunes the sort input
-    without changing the top-k for any domain that keeps >= k rows in
-    the bucket — the standard two-phase trick, left to callers because
-    it trades exactness on small domains for the prune.
+    Scale notes: one hash-partitioned window keyed by domain — and
+    Catalyst plants a PARTIAL `WindowGroupLimit` before the exchange
+    (plan-asserted in PLANS.md), so at most k rows per domain per input
+    partition ever shuffle: the mega-domain skew case is bounded to
+    k x input-partitions rows at the exchange, not the domain's corpus
+    share. The content-independent hash order additionally allows the
+    classic permille pre-prune (keep `h < p`) when k << domain size,
+    left to callers because it trades exactness on small domains.
     """
     from pyspark.sql import Window
 

@@ -183,6 +183,27 @@ def test_sequence_pack_has_no_global_sort_window(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_domain_cap_sample_plan_has_partial_window_group_limit(spark):
+    """The per-domain top-k must shuffle at most k rows per domain per
+    input partition: Catalyst's rank-limit pushdown plants a Partial
+    WindowGroupLimit BEFORE the exchange (the docstring's mega-domain
+    bound relies on it), and the whole plan stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from pagerankproject_spark.text.pipeline import domain_cap_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"ex{i % 3}.com/p{i}") for i in range(60)],
+        "doc_id long, url string",
+    )
+    p = plan(domain_cap_sample(docs, F.col("url"), F.col("doc_id"), k=5))
+    # two WindowGroupLimit nodes: the map-side Partial below the
+    # exchange and the Final above it
+    assert p.count("WindowGroupLimit") >= 2, p
+    assert ", Partial" in p, p
+    assert "BatchEvalPython" not in p
+
+
 def test_random_walks_step_is_jvm_only(spark):
     from pagerankproject_spark.graph.walks import random_walks
 
