@@ -1266,6 +1266,15 @@ _LINED_TEXT_SQL = (
 )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document sketches (Schleimer-Wilkerson-Aiken 2003 MOSS
+    fingerprinting, k=4-gram / w=4 windows, rightmost-min ties —
+    text/spans.py::winnow_fingerprints)."""
+    from pagerankproject_spark.text.spans import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=4, w=4)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 vocabulary coverage curve (tokenizer-design statistic —
     text/pipeline.py::vocab_coverage; exact integer cumsums, one
@@ -1657,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_stats": q_paragraph_dedup_stats,  # NEW round 3 (local gate; r4 window head)
         "boilerplate_lines": q_boilerplate_lines,     # NEW round 3 (local gate; r4 window head)
         "vocab_coverage": q_vocab_coverage,           # NEW round 3 (local gate; r4 window head)
+        "winnow_fingerprints": q_winnow_fingerprints, # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1687,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.text.spans import (
         sql_duplicate_span_stats as _sql_dup_spans,
+        sql_winnow_fingerprints as _sql_winnow,
     )
     from pagerankproject_spark.ingest.frontier import (
         sql_crawl_frontier as _sql_crawl_frontier,
@@ -1897,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
             from wsym e1 join wsym e2 on e1.w = e2.w and e1.x < e2.x
             group by 1, 2""",
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
+        "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL
         ),

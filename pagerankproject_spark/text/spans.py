@@ -118,3 +118,108 @@ select d.doc_id,
        case when coalesce(s.n_windows, 0) = 0 then 0.0
             else round(s.n_dup::double / s.n_windows, {ROUND}) end as dup_fraction
 from {docs_rel} d left join sp_stats s using (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+# "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+# algorithm, public). Guarantee: every w consecutive k-gram hashes
+# contribute at least one selected fingerprint, and any shared span of
+# length >= k + w - 1 tokens is caught by a shared fingerprint — at
+# ~1/w the fingerprint density of keeping every window.
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """Winnowed fingerprint set per document: from every window of `w`
+    consecutive k-token-gram hashes select the MINIMUM hash, breaking
+    ties by RIGHTMOST position (the paper's robust-winnowing tie rule,
+    via one min(struct(hash, -pos)) — combinable, no window function);
+    the union of selections, deduplicated, is the document's sketch.
+
+    Output: doc_id, pos (0-based k-gram position), fp (60-bit portable
+    hash, long). Documents shorter than k tokens emit nothing; a
+    document with fewer than w k-grams emits the minimum of one
+    all-gram window (so every fingerprintable doc has >= 1 row).
+
+    Scale shape: gram generation is the zero-shuffle explode of
+    duplicate_span_stats; window membership is a bounded x w explode
+    (w is a small constant); selection is ONE map-side-combinable
+    min(struct) keyed by (doc_id, window) — uniform keys; the final
+    distinct is keyed by (doc_id, pos). Downstream, matching sketches
+    join on fp exactly like the shingle inverted index.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    base = docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    grams = base.select(
+        "doc_id",
+        (F.size("toks") - F.lit(k) + 1).alias("m"),
+        F.posexplode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - k + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos", "gram"),
+    ).select(
+        "doc_id",
+        "m",
+        "gpos",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp"),
+    )
+    wins = grams.select(
+        "doc_id",
+        "gpos",
+        "fp",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("gpos") - F.lit(w) + 1),
+                F.least(F.col("gpos"), F.greatest(F.lit(0), F.col("m") - F.lit(w))),
+            )
+        ).alias("wid"),
+    )
+    sel = wins.groupBy("doc_id", "wid").agg(
+        F.min(F.struct("fp", (-F.col("gpos")).alias("npos"))).alias("s")
+    )
+    return (
+        sel.select("doc_id", (-F.col("s.npos")).alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def sql_winnow_fingerprints(
+    docs_rel: str = "documents", k: int = 4, w: int = 4
+) -> str:
+    """DuckDB twin: same grams, same window membership (range lateral),
+    rightmost-min selection via row_number."""
+    toks = sql_tokens("text")
+    return f"""
+    with wf_base as (
+        select doc_id, {toks} as l from {docs_rel}
+    ),
+    wf_grams as (
+        select doc_id, len(l) - {k} + 1 as m, i - 1 as gpos,
+               ('0x' || substr(md5(array_to_string(l[i : i + {k} - 1], ' ')), 1, 15))::bigint as fp
+        from wf_base, unnest(range(1, greatest(len(l) - {k} + 1, 0) + 1)) u(i)
+    ),
+    wf_wins as (
+        select doc_id, gpos, fp, wid
+        from wf_grams,
+             unnest(range(greatest(0, gpos - {w} + 1),
+                          least(gpos, greatest(0, m - {w})) + 1)) v(wid)
+    ),
+    wf_sel as (
+        select doc_id, gpos, fp,
+               row_number() over (partition by doc_id, wid
+                                  order by fp asc, gpos desc) as rn
+        from wf_wins
+    )
+    select distinct doc_id, gpos as pos, fp
+    from wf_sel where rn = 1
+    """

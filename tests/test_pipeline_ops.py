@@ -1040,3 +1040,70 @@ def test_vocab_coverage_matches_python_replay(spark):
     empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokens"):
         vocab_coverage(empty)
+
+
+def test_winnow_fingerprints_matches_python_replay(spark):
+    from pagerankproject_spark.text.spans import winnow_fingerprints
+
+    k, w = 2, 3
+    rows = [
+        (1, "a b a b a b c d"),   # repeated grams force hash ties
+        (2, "a b"),               # exactly one gram: one all-gram window
+        (3, "a"),                 # shorter than k: nothing
+        (4, "x y z x y z x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    expect = set()
+    for doc_id, text in rows:
+        toks = text.split()
+        grams = [
+            (i, h(" ".join(toks[i : i + k])))
+            for i in range(len(toks) - k + 1)
+        ]
+        m = len(grams)
+        if m == 0:
+            continue
+        n_wins = max(m - w, 0) + 1
+        for s in range(n_wins):
+            window = grams[s : s + w]
+            mn = min(fp for _, fp in window)
+            pos = max(i for i, fp in window if fp == mn)  # rightmost min
+            expect.add((doc_id, pos, mn))
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expect
+    assert not any(d == 3 for d, _, _ in got)
+    assert sum(1 for d, _, _ in got if d == 2) == 1
+    # winnowing guarantee: consecutive selected positions within a doc
+    # are at most w apart
+    for doc_id in (1, 4):
+        ps = sorted(p for d, p, _ in got if d == doc_id)
+        assert all(b - a <= w for a, b in zip(ps, ps[1:]))
+
+
+def test_winnow_fingerprints_matches_duckdb_twin(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.spans import (
+        sql_winnow_fingerprints,
+        winnow_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(docs, k=4, w=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(sql_winnow_fingerprints()).fetchall()}
+    assert got == want and len(got) > 0
