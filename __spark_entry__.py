@@ -1418,6 +1418,17 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(spark, g, _BC_SOURCES)
 
 
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-peel densest subgraph (Bahmani et al. 2012, eps=1/2 —
+    integer-exact peel thresholds, one final density division;
+    graph/densest.py; the oracle replays the identical rounds
+    unrolled)."""
+    from pagerankproject_spark.graph.densest import densest_subgraph
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return densest_subgraph(spark, g).members
+
+
 def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source closeness estimates (Eppstein-Wang) from 3 fixed
     sources — exact integer aggregates + one division
@@ -1667,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,     # NEW round 3 (local gate; r4 window head)
         "vocab_coverage": q_vocab_coverage,           # NEW round 3 (local gate; r4 window head)
         "winnow_fingerprints": q_winnow_fingerprints, # NEW round 3 (local gate; r4 window head)
+        "densest_subgraph": q_densest_subgraph,       # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1681,6 +1693,9 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.betweenness import (
         sql_betweenness_sampled as _sql_bc,
         sql_closeness_sampled as _sql_close,
+    )
+    from pagerankproject_spark.graph.densest import (
+        sql_densest_subgraph as _sql_densest,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1764,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
         "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
         "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
+        "densest_subgraph": f"{g},{_sql_densest()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -32,7 +32,7 @@ def main() -> None:
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
-            "eigenvector", "closeness", "squares",
+            "eigenvector", "closeness", "squares", "densest",
         ],
     )
     p.add_argument(
@@ -243,6 +243,12 @@ def main() -> None:
         out = closeness_sampled(spark, g, srcs).orderBy(
             F.desc("closeness_est"), "url"
         )
+    elif args.algo == "densest":
+        from pagerankproject_spark.graph.densest import densest_subgraph
+
+        res = densest_subgraph(spark, g)
+        out = res.members.orderBy("url")
+        print(f"n= {res.n} e= {res.e} density= {res.e / res.n} rounds= {res.rounds}")
     elif args.algo == "squares":
         from pagerankproject_spark.graph.linkpred import square_count
         from pagerankproject_spark.ingest.edges import regex_filter

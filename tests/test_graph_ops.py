@@ -938,3 +938,83 @@ def test_coreness_weblike_matches_peel_oracle(spark):
     k3 = set(kcore(spark, g, k=3).vertices.toPandas()["url"])
     assert k3 == {u for u, c in got.items() if c >= 3}
     g.unpersist()
+
+
+def _densest_replay(pairs, eps_num=1, eps_den=2):
+    """Literal python replay of the integer-exact batched greedy peel."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    alive = {v for e in und for v in e}
+    thr = 2 * (eps_den + eps_num)
+    best = (0, 0, set())  # (e, n, members)
+    while True:
+        n, e = len(alive), len(und)
+        if e == 0:
+            break
+        if e * best[1] > best[0] * n or best[0] == 0:
+            best = (e, n, set(alive))
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        victims = {v for v in alive if deg.get(v, 0) * n * eps_den <= thr * e}
+        alive -= victims
+        und = {(a, b) for a, b in und if a not in victims and b not in victims}
+    e, n, members = best
+    return members, e / n
+
+
+def test_densest_subgraph_matches_python_replay(spark):
+    from pagerankproject_spark.graph.densest import densest_subgraph
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    # K5 clique (density 2.0) + a 12-path + bridges + noise
+    k5 = [(f"k{i}", f"k{j}") for i in range(5) for j in range(i + 1, 5)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(12)]
+    bridge = [("k0", "p0"), ("p12", "k3"), ("x", "k1"), ("x", "x")]
+    pairs = k5 + path + bridge
+    want_members, want_density = _densest_replay(pairs)
+    assert want_members == {f"k{i}" for i in range(5)}  # sanity: K5 wins
+    assert want_density == 2.0
+
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    res = densest_subgraph(spark, g)
+    got = {r["url"] for r in res.members.collect()}
+    dens = {r["density"] for r in res.members.collect()}
+    assert got == want_members
+    assert dens == {want_density}
+    assert (res.e, res.n) == (10, 5)
+
+    # edgeless simple graph must fail fast
+    import pytest as _pytest
+
+    g2 = build_graph_tables(spark, edges_df(spark, [("a", "b")]))
+    # single edge: densest is the pair, density 1/2
+    res2 = densest_subgraph(spark, g2)
+    assert {r["url"] for r in res2.members.collect()} == {"a", "b"}
+    assert res2.e == 1 and res2.n == 2
+    with _pytest.raises(ValueError, match="no non-loop|no edges"):
+        densest_subgraph(
+            spark, build_graph_tables(spark, edges_df(spark, [("a", "a")]))
+        )
+
+
+def test_densest_subgraph_random_graph_replay(spark):
+    from pagerankproject_spark.graph.densest import densest_subgraph
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    from .conftest import edges_df
+
+    import hashlib
+
+    # deterministic pseudo-random graph (md5 edges)
+    pairs = []
+    for i in range(220):
+        h = int(hashlib.md5(f"dense{i}".encode()).hexdigest()[:12], 16)
+        pairs.append((f"v{h % 37}", f"v{(h // 37) % 37}"))
+    want_members, want_density = _densest_replay(pairs)
+    g = build_graph_tables(spark, edges_df(spark, pairs))
+    res = densest_subgraph(spark, g)
+    assert {r["url"] for r in res.members.collect()} == want_members
+    assert res.e / res.n == want_density

@@ -276,3 +276,32 @@ def test_coreness_oracle_matches_python_peeler(con, g, graph):
         want.setdefault(v, 0)
     got = dict(con.execute(g + "," + rs.sql_coreness(rounds=30)).fetchall())
     assert got == want
+
+
+def test_densest_subgraph_oracle_matches_python_replay(con, g, graph):
+    """sql_densest_subgraph (unrolled integer-exact peel) vs a literal
+    python replay of the same rule on the real derived edge table."""
+    from pagerankproject_spark.graph.densest import sql_densest_subgraph
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    alive = {v for e in und for v in e}
+    best = (0, 0, set())
+    while True:
+        n, e = len(alive), len(und)
+        if e == 0:
+            break
+        if e * best[1] > best[0] * n or best[0] == 0:
+            best = (e, n, set(alive))
+        deg = Counter()
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        victims = {v for v in alive if deg.get(v, 0) * n * 2 <= 6 * e}
+        alive -= victims
+        und = {(a, b) for a, b in und if a not in victims and b not in victims}
+    e_b, n_b, members = best
+
+    rows = con.execute(g + "," + sql_densest_subgraph()).fetchall()
+    assert {r[0] for r in rows} == members
+    assert {r[1] for r in rows} == {e_b / n_b}
