@@ -1266,6 +1266,13 @@ _LINED_TEXT_SQL = (
 )
 
 
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy under the corpus distribution
+    (the CCNet perplexity-filter stand-in —
+    text/pipeline.py::unigram_logloss)."""
+    return pipeline.unigram_logloss(_read(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed document sketches (Schleimer-Wilkerson-Aiken 2003 MOSS
     fingerprinting, k=4-gram / w=4 windows, rightmost-min ties —
@@ -1679,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,           # NEW round 3 (local gate; r4 window head)
         "winnow_fingerprints": q_winnow_fingerprints, # NEW round 3 (local gate; r4 window head)
         "densest_subgraph": q_densest_subgraph,       # NEW round 3 (local gate; r4 window head)
+        "unigram_logloss": q_unigram_logloss,         # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1925,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2""",
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
+        "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL
         ),

@@ -234,6 +234,65 @@ def ngram_topk(
     )
 
 
+def unigram_logloss(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's own
+    unigram distribution — the sandbox-honest stand-in for CCNet's
+    KenLM perplexity filter (Wenzek et al. 2020 rank documents by LM
+    score; a unigram LM needs no external model and already separates
+    word-salad from typical text):
+
+        logloss(d) = round( (1/|d|) * sum over tokens t of
+                            -ln( cnt(t) / total ), 6 )
+
+    Output: doc_id, n_tokens (long), logloss (double 6dp; zero-token
+    documents are omitted — no tokens, no distribution). Lower is more
+    typical; corpus-level thresholding mirrors the quality_score gate.
+
+    Scale: one corpus unigram count (combinable), one scalar total, one
+    token-keyed equi-join of the exploded corpus against its own vocab,
+    one per-doc combinable sum. Float note: ln differs by <= 1 ulp
+    across engines and the per-doc sum is an unordered float reduction
+    — the 6dp round absorbs it everywhere except exact boundary
+    values, which are non-systematic here (the adamic_adar precedent;
+    the repo's round-once convention applies: ONE round at the end).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    if total == 0:
+        raise ValueError("corpus has no tokens; unigram_logloss undefined")
+    weighted = toks.join(counts, "token").select(
+        "doc_id",
+        (-F.log(F.col("cnt").cast("double") / F.lit(float(total)))).alias("nll"),
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), ROUND_DP).alias("logloss"),
+    )
+
+
+def sql_unigram_logloss(
+    rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+    with ul_tok as (select {id_col} as doc_id, unnest({toks}) as token from {rel}),
+    ul_cnt as (select token, count(*)::bigint as cnt from ul_tok group by 1),
+    ul_tot as (select sum(cnt)::double as total from ul_cnt)
+    select t.doc_id,
+           count(*)::bigint as n_tokens,
+           round(sum(-ln(c.cnt::double / (select total from ul_tot)))
+                 / count(*), {ROUND_DP}) as logloss
+    from ul_tok t join ul_cnt c using (token)
+    group by t.doc_id
+    """
+
+
 def vocab_coverage(
     df: DataFrame, text_col: str = "text", k: int = 100
 ) -> DataFrame:

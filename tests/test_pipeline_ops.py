@@ -1107,3 +1107,32 @@ def test_winnow_fingerprints_matches_duckdb_twin(spark):
     )
     want = {tuple(r) for r in con.execute(sql_winnow_fingerprints()).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_unigram_logloss_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from pagerankproject_spark.text.pipeline import unigram_logloss
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "   "), (4, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = Counter()
+    for _, t in rows:
+        c.update(t.split())
+    total = sum(c.values())
+    expect = {}
+    for doc_id, t in rows:
+        toks = t.split()
+        if not toks:
+            continue
+        nll = sum(-math.log(c[tok] / total) for tok in toks) / len(toks)
+        expect[doc_id] = (len(toks), round(nll, 6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logloss"])
+        for r in unigram_logloss(df).collect()
+    }
+    assert got == pytest.approx(expect)
+    assert 3 not in got  # blank doc omitted
+    # the most typical doc (all high-frequency tokens) scores lowest
+    assert got[4][1] <= got[2][1]
