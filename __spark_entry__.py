@@ -1425,6 +1425,15 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(spark, g, _BC_SOURCES)
 
 
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set via fixed-priority Luby rounds
+    (graph/mis.py::luby_mis; the oracle replays the identical rounds
+    unrolled)."""
+    from pagerankproject_spark.graph.mis import luby_mis
+
+    return luby_mis(spark, _edges(spark, sf_dir)).members
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-peel densest subgraph (Bahmani et al. 2012, eps=1/2 —
     integer-exact peel thresholds, one final density division;
@@ -1687,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints, # NEW round 3 (local gate; r4 window head)
         "densest_subgraph": q_densest_subgraph,       # NEW round 3 (local gate; r4 window head)
         "unigram_logloss": q_unigram_logloss,         # NEW round 3 (local gate; r4 window head)
+        "luby_mis": q_luby_mis,                       # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1704,6 +1714,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.densest import (
         sql_densest_subgraph as _sql_densest,
+    )
+    from pagerankproject_spark.graph.mis import (
+        sql_luby_mis as _sql_mis,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1788,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
         "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
         "densest_subgraph": f"{g},{_sql_densest()}",
+        "luby_mis": f"{g},{_sql_mis()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

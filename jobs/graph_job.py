@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -32,7 +32,7 @@ def main() -> None:
             "cocitation", "coupling", "adamicadar", "reciprocity",
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
-            "eigenvector", "closeness", "squares", "densest",
+            "eigenvector", "closeness", "squares", "densest", "mis",
         ],
     )
     p.add_argument(
@@ -71,7 +71,7 @@ def main() -> None:
     # shuffles for them (it roughly doubled their wall-clock)
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
-        "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares",
+        "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares", "mis",
     }
     g = None
     if needs_g:
@@ -249,6 +249,13 @@ def main() -> None:
         res = densest_subgraph(spark, g)
         out = res.members.orderBy("url")
         print(f"n= {res.n} e= {res.e} density= {res.e / res.n} rounds= {res.rounds}")
+    elif args.algo == "mis":
+        from pagerankproject_spark.graph.mis import luby_mis
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        res = luby_mis(spark, regex_filter(read_edge_csv(spark, args.data)))
+        out = res.members.orderBy("mis_round", "url")
+        print(f"rounds= {res.rounds} members= {res.members.count()}")
     elif args.algo == "squares":
         from pagerankproject_spark.graph.linkpred import square_count
         from pagerankproject_spark.ingest.edges import regex_filter

@@ -50,6 +50,7 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("closeness", ("--sources", "1,3")),  # sampled-BFS family
         ("squares", ()),                 # codegree motif family
         ("densest", ()),                 # integer-exact peel family
+        ("mis", ()),                     # symmetry-breaking family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):

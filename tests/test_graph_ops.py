@@ -1018,3 +1018,71 @@ def test_densest_subgraph_random_graph_replay(spark):
     res = densest_subgraph(spark, g)
     assert {r["url"] for r in res.members.collect()} == want_members
     assert res.e / res.n == want_density
+
+
+def _mis_replay(pairs):
+    """Literal python replay of the fixed-priority Luby rounds."""
+    import hashlib
+
+    def pri(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    mis = {}
+    r = 0
+    while alive:
+        winners = {
+            v
+            for v in alive
+            if not (adj[v] & alive)
+            or pri(v) < min(pri(u) for u in adj[v] & alive)
+        }
+        for v in winners:
+            mis[v] = r
+        dead = set(winners)
+        for v in winners:
+            dead |= adj[v] & alive
+        alive -= dead
+        r += 1
+    return mis
+
+
+def test_luby_mis_matches_replay_and_invariants(spark):
+    from pagerankproject_spark.graph.mis import luby_mis
+
+    pairs = make_weblike(seed=13, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    res = luby_mis(spark, edges_df(spark, post))
+    got = {r["url"]: r["mis_round"] for r in res.members.collect()}
+    assert got == _mis_replay(post)
+
+    und = {tuple(sorted(p)) for p in post if p[0] != p[1]}
+    members = set(got)
+    # independence: no edge inside the set
+    assert not any(a in members and b in members for a, b in und)
+    # maximality: every non-member vertex has a member neighbor
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in adj:
+        if v not in members:
+            assert adj[v] & members, v
+
+    # a path graph: alternating-ish set, still independent + maximal
+    chain = [(f"c{i}", f"c{i+1}") for i in range(20)]
+    got2 = {
+        r["url"]: r["mis_round"]
+        for r in luby_mis(spark, edges_df(spark, chain)).members.collect()
+    }
+    assert got2 == _mis_replay(chain)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        luby_mis(spark, edges_df(spark, [("a", "a")]))

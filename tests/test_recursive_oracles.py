@@ -305,3 +305,38 @@ def test_densest_subgraph_oracle_matches_python_replay(con, g, graph):
     rows = con.execute(g + "," + sql_densest_subgraph()).fetchall()
     assert {r[0] for r in rows} == members
     assert {r[1] for r in rows} == {e_b / n_b}
+
+
+def test_luby_mis_oracle_matches_python_replay(con, g, graph):
+    """sql_luby_mis (unrolled fixed-priority rounds) vs a literal python
+    replay on the real derived edge table."""
+    import hashlib
+
+    from pagerankproject_spark.graph.mis import sql_luby_mis
+
+    def pri(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive, mis, r = set(adj), {}, 0
+    while alive:
+        winners = {
+            v for v in alive
+            if not (adj[v] & alive)
+            or pri(v) < min(pri(u) for u in adj[v] & alive)
+        }
+        for v in winners:
+            mis[v] = r
+        dead = set(winners)
+        for v in winners:
+            dead |= adj[v] & alive
+        alive -= dead
+        r += 1
+
+    rows = con.execute(g + "," + sql_luby_mis()).fetchall()
+    assert {u: rr for u, rr in rows} == mis
