@@ -1434,6 +1434,24 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(spark, _edges(spark, sf_dir)).members
 
 
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring with fixed hash priorities
+    (graph/coloring.py::greedy_coloring; the oracle replays the
+    identical rounds unrolled)."""
+    from pagerankproject_spark.graph.coloring import greedy_coloring
+
+    return greedy_coloring(spark, _edges(spark, sf_dir)).colors
+
+
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-dominant maximal matching with fixed edge-hash priorities
+    (graph/matching.py::maximal_matching; the oracle replays the
+    identical rounds unrolled)."""
+    from pagerankproject_spark.graph.matching import maximal_matching
+
+    return maximal_matching(spark, _edges(spark, sf_dir)).pairs
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-peel densest subgraph (Bahmani et al. 2012, eps=1/2 —
     integer-exact peel thresholds, one final density division;
@@ -1697,6 +1715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,       # NEW round 3 (local gate; r4 window head)
         "unigram_logloss": q_unigram_logloss,         # NEW round 3 (local gate; r4 window head)
         "luby_mis": q_luby_mis,                       # NEW round 3 (local gate; r4 window head)
+        "greedy_coloring": q_greedy_coloring,         # NEW round 3 (local gate; r4 window head)
+        "maximal_matching": q_maximal_matching,       # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1717,6 +1737,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.mis import (
         sql_luby_mis as _sql_mis,
+    )
+    from pagerankproject_spark.graph.coloring import (
+        sql_greedy_coloring as _sql_coloring,
+    )
+    from pagerankproject_spark.graph.matching import (
+        sql_maximal_matching as _sql_matching,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1802,6 +1828,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
         "densest_subgraph": f"{g},{_sql_densest()}",
         "luby_mis": f"{g},{_sql_mis()}",
+        "greedy_coloring": f"{g},{_sql_coloring()}",
+        "maximal_matching": f"{g},{_sql_matching()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

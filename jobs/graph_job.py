@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|coloring|matching|louvain|coreness|salsa|bowtie --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -33,6 +33,7 @@ def main() -> None:
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
+            "coloring", "matching",
         ],
     )
     p.add_argument(
@@ -72,6 +73,7 @@ def main() -> None:
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
         "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares", "mis",
+        "coloring", "matching",
     }
     g = None
     if needs_g:
@@ -256,6 +258,21 @@ def main() -> None:
         res = luby_mis(spark, regex_filter(read_edge_csv(spark, args.data)))
         out = res.members.orderBy("mis_round", "url")
         print(f"rounds= {res.rounds} members= {res.members.count()}")
+    elif args.algo == "coloring":
+        from pagerankproject_spark.graph.coloring import greedy_coloring
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        res = greedy_coloring(spark, regex_filter(read_edge_csv(spark, args.data)))
+        out = res.colors.orderBy("color", "url")
+        n_colors = out.agg({"color": "max"}).collect()[0][0] + 1
+        print(f"rounds= {res.rounds} colors= {n_colors}")
+    elif args.algo == "matching":
+        from pagerankproject_spark.graph.matching import maximal_matching
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        res = maximal_matching(spark, regex_filter(read_edge_csv(spark, args.data)))
+        out = res.pairs.orderBy("match_round", "a", "b")
+        print(f"rounds= {res.rounds} pairs= {res.pairs.count()}")
     elif args.algo == "squares":
         from pagerankproject_spark.graph.linkpred import square_count
         from pagerankproject_spark.ingest.edges import regex_filter

@@ -1,0 +1,256 @@
+"""Greedy distance-1 graph coloring — Jones & Plassmann 1993 ("A
+parallel graph coloring heuristic"), public literature; no reference
+implementation (/root/reference/pagerank.py has no coloring). Web-graph
+use: a proper coloring is a conflict-free schedule — color classes are
+independent sets, so per-class batches can update vertex state (crawl
+politeness slots, in-place rank writes, lock-free accumulators) with no
+neighbor races; it is also the standard register-allocation/scheduling
+primitive an engine claiming distributed-graph completeness needs.
+
+Jones-Plassmann round, DERANDOMIZED the repo's way (same fixed
+priority as graph/mis.py): every vertex carries
+    (hash60(url), url)
+— the portable md5-derived 60-bit integer with the url tie-break,
+identical in Spark and DuckDB. A vertex colors itself when its
+priority is a local minimum among still-UNCOLORED neighbors (vertices
+with no uncolored neighbor color unconditionally); winners take the
+smallest color absent from their already-colored neighborhood (the
+greedy mex), so same-round winners are never adjacent and the result
+is a proper coloring with at most maxdeg+1 colors — bit-identical to
+sequential greedy coloring in priority order. One fixed hash order is
+the random-permutation variant (Blelloch, Fineman & Shun 2012 analyze
+this greedy-in-permutation-order family); its round count equals the
+longest priority-INCREASING path, which is O(log n)-ish on
+bounded-degree graphs but grows with density (a k-clique takes k
+rounds — measured 69 rounds on the 700-vertex/12.6k-edge contract
+fixture), hence the generous max_rounds default and the loud error
+past it. The output is a pure function of the edge set:
+reproducible, oracle-replayable, resumable.
+
+Per round: one neighbor-min aggregate over the RESIDUAL (uncolored)
+adjacency — which shrinks by the winners each round, so late rounds
+touch only the unresolved core — one winner-neighborhood join against
+the colored table for the mex, computed JVM-side as
+aggregate(sort_array(collect_set(color))) with exact integers (no UDF,
+no float). The colored log accumulates with a coalesce(P) before each
+checkpoint (see [[spark-iterative-loop-pitfalls]]: union concatenates
+partition sets).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import no_aqe
+from ..text.analysis import hash60_expr, sql_hash60
+
+
+@dataclass
+class ColoringResult:
+    colors: DataFrame  # url: string, color: long
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _mex_expr(arr):
+    """Smallest nonnegative long absent from the sorted-distinct array:
+    fold left counting the matched prefix (acc starts 0; each element
+    equal to acc extends the prefix). Exact integers, JVM-side."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(x == acc, acc + F.lit(1).cast("long")).otherwise(acc),
+    )
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 256,
+) -> ColoringResult:
+    """Proper greedy coloring of the simple undirected graph of
+    `edges(src, dst)` (self-loops dropped, directions merged).
+
+    Output: url, color (0-based long, <= degree per vertex — the
+    greedy bound). Guarantees (pytest-asserted): no edge joins two
+    equal colors (proper); exact Jones-Plassmann-with-fixed-priority
+    replay. Vertices with no simple-graph edge are not part of the
+    input universe (same convention as mis/kcore/densest_subgraph);
+    they are trivially color 0 and callers can union them in.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("w"), F.col("b").alias("x"))
+        .union(und.select(F.col("b").alias("w"), F.col("a").alias("x")))
+        .localCheckpoint(eager=True)
+    )
+    P = max(sym.rdd.getNumPartitions(), 1)
+    unc = sym.select(F.col("w").alias("v")).distinct().localCheckpoint(eager=True)
+    sym_unc = sym  # residual adjacency: both endpoints still uncolored
+
+    colored: DataFrame | None = None
+    metrics: list[dict] = []
+    rounds = 0
+    with no_aqe(spark):
+        for r in range(max_rounds):
+            t0 = time.time()
+            n = unc.count()
+            if n == 0:
+                break
+            rounds = r + 1
+            pri = unc.select(
+                "v",
+                F.struct(
+                    hash60_expr(F.col("v")).alias("h"), F.col("v").alias("u")
+                ).alias("p"),
+            )
+            nbr_min = (
+                sym_unc.join(
+                    pri.select(F.col("v").alias("x"), F.col("p").alias("px")), "x"
+                )
+                .groupBy("w")
+                .agg(F.min("px").alias("pmin"))
+            )
+            winners = (
+                pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
+                .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
+                .select("v")
+                .localCheckpoint(eager=True)
+            )
+            n_win = winners.count()
+            # greedy mex over the winners' already-colored neighborhoods
+            # (full adjacency `sym`, colored side only)
+            if colored is None:
+                painted = winners.select(
+                    "v", F.lit(0).cast("long").alias("color")
+                )
+            else:
+                nbr_colors = (
+                    sym.join(winners.withColumnRenamed("v", "w"), "w", "left_semi")
+                    .join(
+                        colored.select(
+                            F.col("v").alias("x"), F.col("color").alias("c")
+                        ),
+                        "x",
+                    )
+                    .groupBy("w")
+                    .agg(_mex_expr(F.collect_set("c")).alias("mex"))
+                    .withColumnRenamed("w", "v")
+                )
+                painted = winners.join(nbr_colors, "v", "left").select(
+                    "v", F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color")
+                )
+            colored = painted.localCheckpoint(eager=True) if colored is None else (
+                colored.unionByName(painted)
+                .coalesce(P)
+                .localCheckpoint(eager=True)
+            )
+            metrics.append(
+                {"r": r, "uncolored": n, "winners": n_win,
+                 "wall_sec": time.time() - t0}
+            )
+            unc = unc.join(winners, "v", "left_anti").localCheckpoint(eager=True)
+            sym_unc = (
+                sym_unc.join(winners, sym_unc.w == winners.v, "left_anti")
+                .join(winners, sym_unc.x == winners.v, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise ValueError(
+                f"coloring still running after max_rounds={max_rounds}; "
+                "raise max_rounds"
+            )
+
+    if colored is None:
+        raise ValueError(
+            "simple graph has no edges; coloring of the edge universe is empty"
+        )
+    return ColoringResult(
+        colors=colored.withColumnRenamed("v", "url"), rounds=rounds,
+        metrics=metrics,
+    )
+
+
+def sql_greedy_coloring(rounds: int = 96) -> str:
+    """DuckDB twin over the `edges` CTE: the identical fixed-priority
+    Jones-Plassmann rounds unrolled (MATERIALIZED — plain CTEs inline
+    per reference and the round recurrence would expand exponentially,
+    see sql_densest_subgraph). The mex is the row_number formulation:
+    with a winner's distinct neighbor colors sorted ascending and
+    0-indexed, mex = the first index whose color differs from it, else
+    the count. rounds=96 covers the contract fixture's measured 69
+    (round count = longest priority-increasing path, see module
+    docstring) with margin at ~8s of DuckDB time; an insufficient
+    unroll fails loudly as a row-count mismatch (uncolored vertices
+    simply missing)."""
+    h = sql_hash60("v")
+    parts = [
+        f"""
+    c_und as materialized (
+        select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+    c_sym as materialized (
+        select a as w, b as x from c_und union all select b, a from c_und),
+    c_unc0 as materialized (select distinct w as v from c_sym),
+    c_symu0 as materialized (select w, x from c_sym),
+    c_pri as materialized (
+        select v, {h} as h from c_unc0),
+    c_col0 as materialized (
+        select ''::varchar as v, 0::bigint as color where false)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    c_win{r} as materialized (
+        select uv.v from c_unc{r} uv
+        join c_pri p using (v)
+        left join (
+            select s.w, min((p2.h, p2.v)) as pmin
+            from c_symu{r} s
+            join c_pri p2 on p2.v = s.x
+            group by s.w
+        ) nm on nm.w = uv.v
+        where nm.pmin is null or (p.h, p.v) < nm.pmin
+    ),
+    c_mex{r} as materialized (
+        select v,
+               coalesce(min(case when color <> idx then idx end),
+                        count(*))::bigint as mex
+        from (
+            select d.v, d.color,
+                   row_number() over (partition by d.v order by d.color)
+                       - 1 as idx
+            from (
+                select distinct s.w as v, c.color
+                from c_sym s
+                join c_win{r} wn on wn.v = s.w
+                join c_col{r} c on c.v = s.x
+            ) d
+        ) group by v
+    ),
+    c_col{r + 1} as materialized (
+        select v, color from c_col{r}
+        union all
+        select w.v, coalesce(m.mex, 0)::bigint as color
+        from c_win{r} w left join c_mex{r} m using (v)
+    ),
+    c_unc{r + 1} as materialized (
+        select v from c_unc{r}
+        where v not in (select v from c_win{r})),
+    c_symu{r + 1} as materialized (
+        select w, x from c_symu{r}
+        where w not in (select v from c_win{r})
+          and x not in (select v from c_win{r}))""")
+    parts.append(f"""
+    c_members as (select v as url, color from c_col{rounds})
+    select url, color from c_members""")
+    return ",".join(parts)

@@ -1,0 +1,192 @@
+"""Maximal matching — the parallel local-dominant (locally-lightest)
+edge rule: an edge joins the matching when its priority is the minimum
+among ALL edges sharing either endpoint; matched endpoints leave the
+graph; repeat until no edges survive. This is the random-permutation
+greedy maximal matching of Israeli & Itai 1986 / Blelloch, Fineman &
+Shun 2012 ("Greedy sequential maximal independent set and matching are
+parallel on average") — O(log m) rounds w.h.p. over the priority hash.
+Public literature; no reference implementation
+(/root/reference/pagerank.py has no matching). Web-pipeline use:
+maximal matching is the pairing primitive — graph coarsening for
+multilevel partitioners (METIS-style), 1-to-1 near-duplicate pairing,
+and load-balanced merge scheduling all start from one.
+
+DERANDOMIZED the repo's way: each simple undirected edge (a<b)
+carries the fixed priority
+    (hash60(a || '|' || b), a, b)
+— portable md5-derived 60-bit integer, (a,b) as the total-order
+tie-break, identical in Spark and DuckDB — so the matching is a pure
+function of the edge set: exactly reproducible, oracle-replayable,
+resumable. Winners are vertex-disjoint by construction (a vertex's
+incident minimum is a single edge), and termination with an empty
+residual edge set IS maximality: every unmatched edge lost an endpoint
+to an earlier winner.
+
+Per round: one explode of the residual edge set to (endpoint,
+priority), one map-side-combinable per-vertex min, two equi-joins back
+to find edges that are the minimum at BOTH endpoints, two anti-joins
+to drop matched endpoints — the residual graph shrinks by at least
+half the edges in expectation per round. The matched log accumulates
+with a coalesce(P) before each checkpoint (see
+[[spark-iterative-loop-pitfalls]]: union concatenates partition sets).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import no_aqe
+from ..text.analysis import hash60_expr, sql_hash60
+
+
+@dataclass
+class MatchingResult:
+    pairs: DataFrame  # a: string, b: string (a<b), match_round: long
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def maximal_matching(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 64,
+) -> MatchingResult:
+    """Maximal matching of the simple undirected graph of
+    `edges(src, dst)` (self-loops dropped, directions merged).
+
+    Output: a, b (the matched pair, a<b), match_round (the 0-based
+    round the pair matched). Guarantees (pytest-asserted): no vertex
+    appears in two pairs (matching); every simple-graph edge has at
+    least one matched endpoint (maximality). Raises on an edgeless
+    simple graph.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .select(
+            "a",
+            "b",
+            F.struct(
+                hash60_expr(F.concat_ws("|", "a", "b")).alias("h"),
+                F.col("a").alias("ta"),
+                F.col("b").alias("tb"),
+            ).alias("pe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    P = max(und.rdd.getNumPartitions(), 1)
+
+    matched: DataFrame | None = None
+    metrics: list[dict] = []
+    rounds = 0
+    with no_aqe(spark):
+        for r in range(max_rounds):
+            t0 = time.time()
+            m = und.count()
+            if m == 0:
+                break
+            rounds = r + 1
+            vmin = (
+                und.select(F.col("a").alias("v"), "pe")
+                .union(und.select(F.col("b").alias("v"), "pe"))
+                .groupBy("v")
+                .agg(F.min("pe").alias("pmin"))
+            )
+            winners = (
+                und.join(
+                    vmin.select(F.col("v").alias("a"), F.col("pmin").alias("pa")),
+                    "a",
+                )
+                .join(
+                    vmin.select(F.col("v").alias("b"), F.col("pmin").alias("pb")),
+                    "b",
+                )
+                .filter((F.col("pe") == F.col("pa")) & (F.col("pe") == F.col("pb")))
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_win = winners.count()
+            metrics.append(
+                {"r": r, "edges": m, "matched": n_win,
+                 "wall_sec": time.time() - t0}
+            )
+            tagged = winners.select(
+                "a", "b", F.lit(r).cast("long").alias("match_round")
+            )
+            matched = tagged.localCheckpoint(eager=True) if matched is None else (
+                matched.unionByName(tagged)
+                .coalesce(P)
+                .localCheckpoint(eager=True)
+            )
+            used = (
+                winners.select(F.col("a").alias("v"))
+                .union(winners.select(F.col("b").alias("v")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            und = (
+                und.join(used, und.a == used.v, "left_anti")
+                .join(used, und.b == used.v, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise ValueError(
+                f"matching still peeling after max_rounds={max_rounds}; "
+                "raise max_rounds"
+            )
+
+    if matched is None:
+        raise ValueError(
+            "simple graph has no edges; maximal matching of the edge "
+            "universe is empty"
+        )
+    return MatchingResult(pairs=matched, rounds=rounds, metrics=metrics)
+
+
+def sql_maximal_matching(rounds: int = 32) -> str:
+    """DuckDB twin over the `edges` CTE: the identical fixed-priority
+    local-dominant rounds unrolled (MATERIALIZED — plain CTEs inline
+    per reference and the round recurrence would expand exponentially,
+    see sql_densest_subgraph). rounds=32 is far beyond the O(log m)
+    need at oracle scale; tail rounds are empty and idempotent."""
+    h = sql_hash60("a || '|' || b")
+    parts = [
+        f"""
+    mm_e0 as materialized (
+        select a, b, ({h}, a, b) as pe from (
+            select distinct least(src, dst) as a, greatest(src, dst) as b
+            from edges where src <> dst))"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    mm_vmin{r} as materialized (
+        select v, min(pe) as pmin from (
+            select a as v, pe from mm_e{r}
+            union all select b, pe from mm_e{r}
+        ) group by v),
+    mm_win{r} as materialized (
+        select e.a, e.b from mm_e{r} e
+        join mm_vmin{r} va on va.v = e.a
+        join mm_vmin{r} vb on vb.v = e.b
+        where e.pe = va.pmin and e.pe = vb.pmin),
+    mm_used{r} as materialized (
+        select a as v from mm_win{r} union select b from mm_win{r}),
+    mm_e{r + 1} as materialized (
+        select a, b, pe from mm_e{r}
+        where a not in (select v from mm_used{r})
+          and b not in (select v from mm_used{r}))""")
+    members = "\n        union all ".join(
+        f"select a, b, {r}::bigint as match_round from mm_win{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+    mm_members as ({members})
+    select a, b, match_round from mm_members""")
+    return ",".join(parts)

@@ -51,6 +51,8 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("squares", ()),                 # codegree motif family
         ("densest", ()),                 # integer-exact peel family
         ("mis", ()),                     # symmetry-breaking family
+        ("coloring", ()),                # symmetry-breaking family
+        ("matching", ()),                # symmetry-breaking family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):

@@ -1086,3 +1086,120 @@ def test_luby_mis_matches_replay_and_invariants(spark):
 
     with _pytest.raises(ValueError, match="no edges"):
         luby_mis(spark, edges_df(spark, [("a", "a")]))
+
+
+def _coloring_replay(pairs):
+    """Literal python replay of fixed-priority Jones-Plassmann."""
+    import hashlib
+
+    def pri(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    unc, colors = set(adj), {}
+    while unc:
+        winners = {
+            v
+            for v in unc
+            if not (adj[v] & unc)
+            or pri(v) < min(pri(u) for u in adj[v] & unc)
+        }
+        newc = {}
+        for v in winners:
+            used = {colors[u] for u in adj[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            newc[v] = c
+        colors.update(newc)
+        unc -= winners
+    return colors, adj
+
+
+def test_greedy_coloring_matches_replay_and_is_proper(spark):
+    from pagerankproject_spark.graph.coloring import greedy_coloring
+
+    pairs = make_weblike(seed=17, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    res = greedy_coloring(spark, edges_df(spark, post))
+    got = {r["url"]: r["color"] for r in res.colors.collect()}
+    want, adj = _coloring_replay(post)
+    assert got == want
+    # proper: no edge joins two equal colors; greedy bound: color <= deg
+    for v, nbrs in adj.items():
+        assert all(got[v] != got[u] for u in nbrs)
+        assert got[v] <= len(nbrs)
+
+    # a path graph: greedy uses at most maxdeg+1 = 3 colors, proper
+    chain = [(f"c{i}", f"c{i+1}") for i in range(20)]
+    got2 = {
+        r["url"]: r["color"]
+        for r in greedy_coloring(spark, edges_df(spark, chain)).colors.collect()
+    }
+    want2, _ = _coloring_replay(chain)
+    assert got2 == want2
+    assert set(got2.values()) <= {0, 1, 2}
+    assert all(got2[f"c{i}"] != got2[f"c{i+1}"] for i in range(20))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        greedy_coloring(spark, edges_df(spark, [("a", "a")]))
+
+
+def _matching_replay(pairs):
+    """Literal python replay of fixed-priority local-dominant matching."""
+    import hashlib
+
+    def epri(a, b):
+        return (
+            int(hashlib.md5((a + "|" + b).encode()).hexdigest()[:15], 16), a, b
+        )
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    edges = {e: epri(*e) for e in und}
+    matched, r = {}, 0
+    while edges:
+        vmin = {}
+        for e, pe in edges.items():
+            for v in e:
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        winners = [
+            e for e, pe in edges.items()
+            if vmin[e[0]] == pe and vmin[e[1]] == pe
+        ]
+        for e in winners:
+            matched[e] = r
+        used = {v for e in winners for v in e}
+        edges = {
+            e: p for e, p in edges.items()
+            if e[0] not in used and e[1] not in used
+        }
+        r += 1
+    return matched, und
+
+
+def test_maximal_matching_matches_replay_and_invariants(spark):
+    from pagerankproject_spark.graph.matching import maximal_matching
+
+    pairs = make_weblike(seed=19, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    res = maximal_matching(spark, edges_df(spark, post))
+    got = {(r["a"], r["b"]): r["match_round"] for r in res.pairs.collect()}
+    want, und = _matching_replay(post)
+    assert got == want
+    # matching: vertex-disjoint pairs
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))
+    # maximality: every simple edge has a matched endpoint
+    assert all(a in set(used) or b in set(used) for a, b in und)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        maximal_matching(spark, edges_df(spark, [("a", "a")]))

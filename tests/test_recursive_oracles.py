@@ -340,3 +340,79 @@ def test_luby_mis_oracle_matches_python_replay(con, g, graph):
 
     rows = con.execute(g + "," + sql_luby_mis()).fetchall()
     assert {u: rr for u, rr in rows} == mis
+
+
+def test_greedy_coloring_oracle_matches_python_replay(con, g, graph):
+    """sql_greedy_coloring (unrolled Jones-Plassmann rounds) vs a
+    literal python replay on the real derived edge table."""
+    import hashlib
+
+    from pagerankproject_spark.graph.coloring import sql_greedy_coloring
+
+    def pri(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    unc, colors = set(adj), {}
+    while unc:
+        winners = {
+            v for v in unc
+            if not (adj[v] & unc)
+            or pri(v) < min(pri(u) for u in adj[v] & unc)
+        }
+        newc = {}
+        for v in winners:
+            used = {colors[u] for u in adj[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            newc[v] = c
+        colors.update(newc)
+        unc -= winners
+
+    rows = con.execute(g + "," + sql_greedy_coloring()).fetchall()
+    assert {u: c for u, c in rows} == colors
+
+
+def test_maximal_matching_oracle_matches_python_replay(con, g, graph):
+    """sql_maximal_matching (unrolled local-dominant rounds) vs a
+    literal python replay on the real derived edge table."""
+    import hashlib
+
+    from pagerankproject_spark.graph.matching import sql_maximal_matching
+
+    def epri(a, b):
+        return (
+            int(hashlib.md5((a + "|" + b).encode()).hexdigest()[:15], 16), a, b
+        )
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    eds = {e: epri(*e) for e in und}
+    matched, r = {}, 0
+    while eds:
+        vmin = {}
+        for e, pe in eds.items():
+            for v in e:
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        winners = [
+            e for e, pe in eds.items()
+            if vmin[e[0]] == pe and vmin[e[1]] == pe
+        ]
+        for e in winners:
+            matched[e] = r
+        used = {v for e in winners for v in e}
+        eds = {
+            e: p for e, p in eds.items()
+            if e[0] not in used and e[1] not in used
+        }
+        r += 1
+
+    rows = con.execute(g + "," + sql_maximal_matching()).fetchall()
+    assert {(a, b): rr for a, b, rr in rows} == matched
