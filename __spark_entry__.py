@@ -1452,6 +1452,14 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(spark, _edges(spark, sf_dir)).pairs
 
 
+def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METIS-style one-level contraction over the maximal matching
+    (graph/matching.py::coarsen_graph)."""
+    from pagerankproject_spark.graph.matching import coarsen_graph
+
+    return coarsen_graph(spark, _edges(spark, sf_dir))
+
+
 def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy-peel densest subgraph (Bahmani et al. 2012, eps=1/2 —
     integer-exact peel thresholds, one final density division;
@@ -1717,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luby_mis": q_luby_mis,                       # NEW round 3 (local gate; r4 window head)
         "greedy_coloring": q_greedy_coloring,         # NEW round 3 (local gate; r4 window head)
         "maximal_matching": q_maximal_matching,       # NEW round 3 (local gate; r4 window head)
+        "coarsen_graph": q_coarsen_graph,             # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1742,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         sql_greedy_coloring as _sql_coloring,
     )
     from pagerankproject_spark.graph.matching import (
+        sql_coarsen_graph as _sql_coarsen,
         sql_maximal_matching as _sql_matching,
     )
     from pagerankproject_spark.graph.kcore import (
@@ -1830,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
         "luby_mis": f"{g},{_sql_mis()}",
         "greedy_coloring": f"{g},{_sql_coloring()}",
         "maximal_matching": f"{g},{_sql_matching()}",
+        "coarsen_graph": f"{g},{_sql_coarsen()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -190,3 +190,76 @@ def sql_maximal_matching(rounds: int = 32) -> str:
     mm_members as ({members})
     select a, b, match_round from mm_members""")
     return ",".join(parts)
+
+
+def coarsen_graph(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One coarsening level of the multilevel-partitioner pipeline
+    (Karypis & Kumar 1998, METIS; Hendrickson & Leland 1995): contract
+    each maximal-matching pair into a supervertex named by its smaller
+    endpoint, map every simple undirected edge through the contraction,
+    drop the now-internal pair edges, and sum multiplicities.
+
+    Output: sa, sb (supervertex pair, sa<sb), weight (count of merged
+    simple edges — exact long). Unmatched vertices map to themselves,
+    so iterating this roughly halves the graph per level while edge
+    weights preserve total cut structure. One broadcast-sized mate map
+    at web scale? No — the map is O(n); it shuffles as an equi-join on
+    the vertex key, the same partitioning the matching rounds already
+    used.
+    """
+    mates = maximal_matching(spark, edges).pairs
+    vmap = mates.select(
+        F.col("a").alias("v"), F.col("a").alias("s")
+    ).unionByName(mates.select(F.col("b").alias("v"), F.col("a").alias("s")))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    mapped = (
+        und.join(vmap.withColumnRenamed("v", "a").withColumnRenamed("s", "sa0"),
+                 "a", "left")
+        .join(vmap.withColumnRenamed("v", "b").withColumnRenamed("s", "sb0"),
+              "b", "left")
+        .select(
+            F.coalesce("sa0", F.col("a")).alias("u"),
+            F.coalesce("sb0", F.col("b")).alias("w"),
+        )
+        .filter(F.col("u") != F.col("w"))
+    )
+    return (
+        mapped.select(
+            F.least("u", "w").alias("sa"), F.greatest("u", "w").alias("sb")
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def sql_coarsen_graph(rounds: int = 32) -> str:
+    """DuckDB twin: the matching CTE chain plus the identical
+    contraction (map through mates, drop internal edges, sum)."""
+    return (
+        sql_maximal_matching(rounds)
+        .replace(
+            "select a, b, match_round from mm_members",
+            """,
+    cg_map as (
+        select a as v, a as s from mm_members
+        union all select b, a from mm_members),
+    cg_und as (
+        select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+    cg_mapped as (
+        select coalesce(ma.s, e.a) as u, coalesce(mb.s, e.b) as w
+        from cg_und e
+        left join cg_map ma on ma.v = e.a
+        left join cg_map mb on mb.v = e.b)
+    select least(u, w) as sa, greatest(u, w) as sb,
+           count(*)::bigint as weight
+    from cg_mapped where u <> w
+    group by 1, 2""",
+        )
+    )

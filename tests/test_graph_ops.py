@@ -1203,3 +1203,28 @@ def test_maximal_matching_matches_replay_and_invariants(spark):
 
     with _pytest.raises(ValueError, match="no edges"):
         maximal_matching(spark, edges_df(spark, [("a", "a")]))
+
+
+def test_coarsen_graph_matches_replay_and_conserves_edges(spark):
+    from pagerankproject_spark.graph.matching import coarsen_graph
+
+    pairs = make_weblike(seed=23, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    matched, und = _matching_replay(post)
+    smap = {}
+    for a, b in matched:
+        smap[a] = a
+        smap[b] = a
+    want = {}
+    for a, b in und:
+        u, w = smap.get(a, a), smap.get(b, b)
+        if u != w:
+            k = (min(u, w), max(u, w))
+            want[k] = want.get(k, 0) + 1
+    got = {
+        (r["sa"], r["sb"]): r["weight"]
+        for r in coarsen_graph(spark, edges_df(spark, post)).collect()
+    }
+    assert got == want
+    # every matched pair's own edge became internal; the rest survive
+    assert sum(got.values()) == len(und) - len(matched)

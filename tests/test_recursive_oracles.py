@@ -416,3 +416,50 @@ def test_maximal_matching_oracle_matches_python_replay(con, g, graph):
 
     rows = con.execute(g + "," + sql_maximal_matching()).fetchall()
     assert {(a, b): rr for a, b, rr in rows} == matched
+
+
+def test_coarsen_graph_oracle_matches_python_replay(con, g, graph):
+    """sql_coarsen_graph (matching chain + contraction) vs a literal
+    python replay on the real derived edge table."""
+    import hashlib
+
+    from pagerankproject_spark.graph.matching import sql_coarsen_graph
+
+    def epri(a, b):
+        return (
+            int(hashlib.md5((a + "|" + b).encode()).hexdigest()[:15], 16), a, b
+        )
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    eds = {e: epri(*e) for e in und}
+    matched = {}
+    while eds:
+        vmin = {}
+        for e, pe in eds.items():
+            for v in e:
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        winners = [
+            e for e, pe in eds.items()
+            if vmin[e[0]] == pe and vmin[e[1]] == pe
+        ]
+        for e in winners:
+            matched[e] = True
+        used = {v for e in winners for v in e}
+        eds = {
+            e: p for e, p in eds.items()
+            if e[0] not in used and e[1] not in used
+        }
+    smap = {}
+    for a, b in matched:
+        smap[a] = a
+        smap[b] = a
+    want = defaultdict(int)
+    for a, b in und:
+        u, w = smap.get(a, a), smap.get(b, b)
+        if u != w:
+            want[(min(u, w), max(u, w))] += 1
+
+    rows = con.execute(g + "," + sql_coarsen_graph()).fetchall()
+    assert {(a, b): w for a, b, w in rows} == dict(want)
