@@ -1452,6 +1452,37 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(spark, _edges(spark, sf_dir)).pairs
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode with SQL-expressible rule codebooks
+    (similarity/pq.py::pq_encode): every distance is an exact
+    int64-in-double on the micro-unit grid, so code assignment and
+    quantization error are bit-identical cross-engine. The k-means
+    TRAINED codebook path is pinned by pytest recall instead."""
+    from pagerankproject_spark.similarity.pq import pq_encode, rule_codebooks
+
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, rule_codebooks(emb))
+    return enc.select(
+        F.col("id").alias("vec_id"),
+        F.concat_ws("-", F.transform("code", lambda c: c.cast("string"))).alias(
+            "code"
+        ),
+        "qerr",
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-k (similarity/pq.py::adc_topk) for
+    every 25th vector as query, rule codebooks — exact-integer ADC
+    distances, deterministic (dist asc, b asc) ranking."""
+    from pagerankproject_spark.similarity.pq import adc_topk, rule_codebooks
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return adc_topk(
+        emb, rule_codebooks(emb), k=5, query_pred=F.col("a") % 25 == 0
+    )
+
+
 def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """METIS-style one-level contraction over the maximal matching
     (graph/matching.py::coarsen_graph)."""
@@ -1726,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": q_greedy_coloring,         # NEW round 3 (local gate; r4 window head)
         "maximal_matching": q_maximal_matching,       # NEW round 3 (local gate; r4 window head)
         "coarsen_graph": q_coarsen_graph,             # NEW round 3 (local gate; r4 window head)
+        "pq_codes": q_pq_codes,                       # NEW round 3 (local gate; r4 window head)
+        "pq_adc_topk": q_pq_adc_topk,                 # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1753,6 +1786,10 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.matching import (
         sql_coarsen_graph as _sql_coarsen,
         sql_maximal_matching as _sql_matching,
+    )
+    from pagerankproject_spark.similarity.pq import (
+        sql_adc_topk as _sql_adc,
+        sql_pq_codes as _sql_pq,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1841,6 +1878,8 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": f"{g},{_sql_coloring()}",
         "maximal_matching": f"{g},{_sql_matching()}",
         "coarsen_graph": f"{g},{_sql_coarsen()}",
+        "pq_codes": f"with {_sql_pq()}",
+        "pq_adc_topk": f"with {_sql_adc()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -1136,3 +1136,129 @@ def test_unigram_logloss_matches_python_replay(spark):
     assert 3 not in got  # blank doc omitted
     # the most typical doc (all high-frequency tokens) scores lowest
     assert got[4][1] <= got[2][1]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity/pq.py)
+# ---------------------------------------------------------------------------
+
+def _np_pq(qvs, books):
+    """Numpy replay of encode + ADC over already-quantized vectors."""
+    import numpy as np
+
+    qvs = {i: np.asarray(v) for i, v in qvs.items()}
+    m_sub, dsub = len(books), len(books[0][0])
+    codes, qerrs, recon = {}, {}, {}
+    for i, v in qvs.items():
+        code, err, rec = [], 0, []
+        for sp in range(m_sub):
+            sub = v[sp * dsub:(sp + 1) * dsub]
+            d = [float(((sub - np.asarray(c)) ** 2).sum()) for c in books[sp]]
+            cid = min(range(len(d)), key=lambda j: (d[j], j))
+            code.append(cid)
+            err += d[cid]
+            rec.extend(books[sp][cid])
+        codes[i], qerrs[i], recon[i] = code, int(err), np.asarray(rec)
+    return codes, qerrs, recon
+
+
+def test_pq_encode_rule_codebooks_exact(spark):
+    from pagerankproject_spark.similarity.pq import pq_encode, rule_codebooks
+
+    vecs = _clustered_vecs(n_per=10, dim=16, n_clusters=4, seed=5)
+    df = emb_df(spark, vecs)
+    books = rule_codebooks(df, m_sub=4, ksub=8)
+    enc = pq_encode(df, books)
+    rows = {r["id"]: r for r in enc.collect()}
+    qvs = {i: list(r["qv"]) for i, r in rows.items()}
+    codes, qerrs, _ = _np_pq(qvs, books)
+    assert {i: list(r["code"]) for i, r in rows.items()} == codes
+    assert {i: r["qerr"] for i, r in rows.items()} == qerrs
+    # the ksub anchor vectors ARE codebook entries: zero error, own id
+    for i in range(8):
+        assert rows[i]["qerr"] == 0
+        assert list(rows[i]["code"]) == [i] * 4
+
+
+def test_pq_adc_full_codebook_equals_quantized_l2(spark):
+    """With rule codebooks covering EVERY vector's subvectors, the
+    reconstruction is exact, so ADC top-k == brute quantized-L2
+    top-k."""
+    import numpy as np
+
+    from pagerankproject_spark.similarity.pq import (
+        adc_topk, pq_encode, rule_codebooks,
+    )
+
+    vecs = _clustered_vecs(n_per=3, dim=16, n_clusters=4, seed=7)  # n=12
+    df = emb_df(spark, vecs)
+    books = rule_codebooks(df, m_sub=4, ksub=12)
+    qvs = {
+        r["id"]: np.asarray(list(r["qv"]))
+        for r in pq_encode(df, books).collect()
+    }
+    want = {}
+    for a, va in qvs.items():
+        d = sorted(
+            (int(((va - vb) ** 2).sum()), b)
+            for b, vb in qvs.items() if b != a
+        )
+        for rank, (dist, b) in enumerate(d[:3], start=1):
+            want[(a, rank)] = (b, dist)
+    got = {
+        (r["a"], r["rank"]): (r["b"], r["adc_dist"])
+        for r in adc_topk(df, books, k=3).collect()
+    }
+    assert got == want
+
+
+def test_pq_trained_codebooks_recall_and_determinism(spark):
+    from pagerankproject_spark.similarity.pq import adc_topk, train_codebooks
+
+    vecs = _clustered_vecs(n_per=12, dim=16, n_clusters=4, seed=3)
+    df = emb_df(spark, vecs)
+    books = train_codebooks(df, m_sub=4, ksub=8, seed=11)
+    run = lambda: {
+        (r["a"], r["rank"]): r["b"]
+        for r in adc_topk(df, books, k=3).collect()
+    }
+    got1, got2 = run(), run()
+    assert got1 == got2  # seeded k-means + deterministic ties
+    # within a tight cluster every vector shares a code, so ADC cannot
+    # rank cluster-mates (distances tie); the meaningful recall is
+    # cluster-level: neighbors come from the query's own cluster
+    # (_clustered_vecs lays ids out in blocks of n_per=12)
+    cluster = lambda i: i // 12
+    hits = sum(1 for (a, _), b in got1.items() if cluster(a) == cluster(b))
+    assert hits / len(got1) > 0.9
+
+
+def test_ivfpq_full_probe_full_codebook_equals_brute(spark):
+    import numpy as np
+
+    from pagerankproject_spark.similarity.pq import (
+        ivfpq_topk, pq_encode, rule_codebooks,
+    )
+
+    vecs = _clustered_vecs(n_per=4, dim=16, n_clusters=4, seed=9)  # n=16
+    df = emb_df(spark, vecs)
+    books = rule_codebooks(df, m_sub=4, ksub=16)
+    qvs = {
+        r["id"]: np.asarray(list(r["qv"]))
+        for r in pq_encode(df, books).collect()
+    }
+    want = {}
+    for a, va in qvs.items():
+        d = sorted(
+            (int(((va - vb) ** 2).sum()), b)
+            for b, vb in qvs.items() if b != a
+        )
+        for rank, (dist, b) in enumerate(d[:3], start=1):
+            want[(a, rank)] = (b, dist)
+    got = {
+        (r["a"], r["rank"]): (r["b"], r["adc_dist"])
+        for r in ivfpq_topk(
+            df, k=3, nlist=4, nprobe=4, codebooks=books, seed=13
+        ).collect()
+    }
+    assert got == want
