@@ -1452,6 +1452,17 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(spark, _edges(spark, sf_dir)).pairs
 
 
+def q_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the SCC condensation DAG
+    (graph/scc.py::condensation_layers): layer = longest condensation
+    path into the component, worklist-relaxed Bellman-Ford."""
+    from pagerankproject_spark.graph.scc import condensation_layers
+
+    edges = _edges(spark, sf_dir)
+    g = build_graph_tables(spark, edges)
+    return condensation_layers(spark, g, edges).layers
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode with SQL-expressible rule codebooks
     (similarity/pq.py::pq_encode): every distance is an exact
@@ -1759,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_graph": q_coarsen_graph,             # NEW round 3 (local gate; r4 window head)
         "pq_codes": q_pq_codes,                       # NEW round 3 (local gate; r4 window head)
         "pq_adc_topk": q_pq_adc_topk,                 # NEW round 3 (local gate; r4 window head)
+        "condensation_layers": q_condensation_layers, # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1790,6 +1802,9 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.similarity.pq import (
         sql_adc_topk as _sql_adc,
         sql_pq_codes as _sql_pq,
+    )
+    from pagerankproject_spark.graph.scc import (
+        sql_condensation_layers as _sql_condlayers,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1880,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
         "coarsen_graph": f"{g},{_sql_coarsen()}",
         "pq_codes": f"with {_sql_pq()}",
         "pq_adc_topk": f"with {_sql_adc()}",
+        "condensation_layers": f"{g},{_sql_condlayers()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -82,6 +82,15 @@ BENCH_QUERIES = [
     "closeness_sampled",
     "resource_allocation",
     "crawl_frontier",
+    # symmetry-breaking family (fixed-hash-priority peeling loops) and
+    # the PQ compressed-ANN pair — greedy_coloring is deliberately NOT
+    # benched: its round count is the longest priority-increasing path
+    # (structure-, not size-, bound; see graph/coloring.py)
+    "luby_mis",
+    "maximal_matching",
+    "coarsen_graph",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 

@@ -325,3 +325,136 @@ def incremental_scc(
         .select(F.col("prev").alias("url"), F.col("merged").alias("component"))
     )
     return old_side.union(new_side)
+
+
+@dataclass
+class CondensationLayersResult:
+    layers: DataFrame  # url: string, component: string, layer: long
+    depth: int  # number of layers - 1 (max layer value)
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def condensation_layers(
+    spark: SparkSession,
+    g: GraphTables,
+    edges: DataFrame,
+    max_rounds: int = 200,
+) -> CondensationLayersResult:
+    """Topological layering of the SCC condensation DAG: layer(C) =
+    length of the longest condensation path ending at C (sources are
+    layer 0). The classic stratification for dependency-ordered
+    processing — crawl scheduling waves, incremental recompute order,
+    stage-parallel link analysis: everything in layer k can run once
+    layers < k are done, and within a layer all components are
+    independent (Tarjan's condensation; Kahn 1962 gives the layered
+    schedule semantics — "topological generations").
+
+    Iteration is the Bellman-Ford longest-path fixpoint with the
+    repo's WORKLIST restriction (VERDICT round-2 item 1 discipline):
+    each round relaxes only out-edges of components whose layer ROSE
+    last round, so total work is O(cond-edges x avg-raises), not
+    O(depth x cond-edges). Terminates because the condensation is
+    acyclic (depth <= #components; max_rounds guards + fails loudly).
+
+    `edges` must be the same url-space edge table `g` was built from
+    (used for the condensation edge map). Output: url, component
+    (min-url SCC label, identical to strongly_connected_components),
+    layer (long).
+    """
+    comp = strongly_connected_components(spark, g).components
+    comp = comp.localCheckpoint(eager=True)
+    P = g.num_partitions
+    cedges = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(comp.withColumnRenamed("url", "src")
+                  .withColumnRenamed("component", "cs"), "src")
+        .join(comp.withColumnRenamed("url", "dst")
+                  .withColumnRenamed("component", "ct"), "dst")
+        .filter(F.col("cs") != F.col("ct"))
+        .select("cs", "ct")
+        .distinct()
+        .repartition(P, "cs")
+        .localCheckpoint(eager=True)
+    )
+    level = (
+        comp.select(F.col("component").alias("c"))
+        .distinct()
+        .select("c", F.lit(0).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = level
+    metrics: list[dict] = []
+    rounds = 0
+    with no_aqe(spark):
+        for r in range(max_rounds):
+            if frontier.isEmpty():
+                break
+            rounds = r + 1
+            t0 = time.time()
+            cand = (
+                cedges.join(frontier.withColumnRenamed("c", "cs"), "cs")
+                .groupBy(F.col("ct").alias("c"))
+                .agg((F.max("d") + F.lit(1)).alias("nd"))
+            )
+            merged = (
+                level.join(cand, "c", "left")
+                .select(
+                    "c",
+                    F.greatest(F.col("d"), F.coalesce(F.col("nd"), F.lit(0))).alias("d"),
+                    (F.coalesce(F.col("nd"), F.lit(0)) > F.col("d")).alias("rose"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = merged.filter("rose").select("c", "d").localCheckpoint(
+                eager=True
+            )
+            level = merged.select("c", "d")
+            metrics.append(
+                {"r": r, "raised": frontier.count(),
+                 "wall_sec": time.time() - t0}
+            )
+        else:
+            raise ValueError(
+                f"layering still relaxing after max_rounds={max_rounds}; "
+                "the condensation should be acyclic — raise max_rounds or "
+                "check the component labels"
+            )
+
+    out = comp.join(
+        level.withColumnRenamed("c", "component").withColumnRenamed("d", "layer"),
+        "component",
+    ).select("url", "component", "layer")
+    depth = level.agg(F.max("d")).collect()[0][0] or 0
+    return CondensationLayersResult(
+        layers=out, depth=int(depth), rounds=rounds, metrics=metrics
+    )
+
+
+def sql_condensation_layers() -> str:
+    """DuckDB twin over the `edges`/`vertices` CTEs: sql_scc's
+    reachability-closure components, condensation edges, then layer =
+    max walk length into each component via a recursive CTE (the
+    union-distinct on (c, d) pairs is cycle-free because the
+    condensation is a DAG)."""
+    from ..oracle.recursive_sql import sql_scc
+
+    scc_select = sql_scc()  # a CTE list + final select: nest under WITH
+    return f"""
+cl_comp as (with {scc_select}),
+cl_cedges as (
+    select distinct c1.component as cs, c2.component as ct
+    from edges e
+    join cl_comp c1 on c1.url = e.src
+    join cl_comp c2 on c2.url = e.dst
+    where c1.component <> c2.component and e.src <> e.dst),
+cl_walk as (
+    with recursive w(c, d) as (
+        select component, 0 from (select distinct component from cl_comp)
+        union
+        select ce.ct, w.d + 1 from w join cl_cedges ce on ce.cs = w.c
+    )
+    select c, max(d) as layer from w group by c
+)
+select p.url, p.component, w.layer::bigint as layer
+from cl_comp p join cl_walk w on w.c = p.component"""

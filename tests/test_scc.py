@@ -265,3 +265,54 @@ def test_incremental_scc_random_digraph(spark):
         ).collect()
     }
     assert got == python_scc(pairs)
+
+
+def python_condensation_layers(pairs):
+    """Hand replay: Tarjan components + longest-path layering of the
+    condensation (memoized DFS on the DAG)."""
+    comp = python_scc(pairs)
+    cedges = {}
+    for s, t in pairs:
+        if s != t and comp[s] != comp[t]:
+            cedges.setdefault(comp[t], set()).add(comp[s])  # preds of t
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def layer(c):
+        return max((layer(p) + 1 for p in cedges.get(c, ())), default=0)
+
+    return {u: (comp[u], layer(comp[u])) for u in comp}
+
+
+def test_condensation_layers_hand_graph(spark):
+    from pagerankproject_spark.graph.scc import condensation_layers
+
+    # cycle {a,b,c} -> d -> e, f -> e, isolated pair g -> h
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"),
+        ("f", "e"), ("g", "h"),
+    ]
+    g = _tables(spark, pairs)
+    res = condensation_layers(spark, g, edges_df(spark, pairs))
+    got = {r["url"]: (r["component"], r["layer"]) for r in res.layers.collect()}
+    assert got == {
+        "a": ("a", 0), "b": ("a", 0), "c": ("a", 0),
+        "d": ("d", 1), "e": ("e", 2), "f": ("f", 0),
+        "g": ("g", 0), "h": ("h", 1),
+    }
+    assert res.depth == 2
+
+
+def test_condensation_layers_random_digraph(spark):
+    from pagerankproject_spark.graph.scc import condensation_layers
+
+    pairs = make_random_digraph(seed=21, n=60, m=240)
+    g = _tables(spark, pairs)
+    res = condensation_layers(spark, g, edges_df(spark, pairs))
+    got = {r["url"]: (r["component"], r["layer"]) for r in res.layers.collect()}
+    assert got == python_condensation_layers(pairs)
+    # layering is a valid topological stratification: every cond edge
+    # goes strictly upward
+    for s, t in pairs:
+        if s != t and got[s][0] != got[t][0]:
+            assert got[t][1] > got[s][1], (s, t)
