@@ -1443,6 +1443,15 @@ def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coloring(spark, _edges(spark, sf_dir)).colors
 
 
+def q_palette_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johansson trial-color (deg+1)-coloring — the O(log n)-round
+    scale path next to Jones-Plassmann
+    (graph/coloring.py::palette_coloring)."""
+    from pagerankproject_spark.graph.coloring import palette_coloring
+
+    return palette_coloring(spark, _edges(spark, sf_dir)).colors
+
+
 def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-dominant maximal matching with fixed edge-hash priorities
     (graph/matching.py::maximal_matching; the oracle replays the
@@ -1771,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,                       # NEW round 3 (local gate; r4 window head)
         "pq_adc_topk": q_pq_adc_topk,                 # NEW round 3 (local gate; r4 window head)
         "condensation_layers": q_condensation_layers, # NEW round 3 (local gate; r4 window head)
+        "palette_coloring": q_palette_coloring,       # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1794,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.coloring import (
         sql_greedy_coloring as _sql_coloring,
+        sql_palette_coloring as _sql_palette,
     )
     from pagerankproject_spark.graph.matching import (
         sql_coarsen_graph as _sql_coarsen,
@@ -1896,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": f"with {_sql_pq()}",
         "pq_adc_topk": f"with {_sql_adc()}",
         "condensation_layers": f"{g},{_sql_condlayers()}",
+        "palette_coloring": f"{g},{_sql_palette()}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

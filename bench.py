@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "luby_mis",
     "maximal_matching",
     "coarsen_graph",
+    "palette_coloring",
     "pq_codes",
     "pq_adc_topk",
 ]

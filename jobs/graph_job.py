@@ -33,7 +33,7 @@ def main() -> None:
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
-            "coloring", "matching",
+            "coloring", "palette", "matching",
         ],
     )
     p.add_argument(
@@ -73,7 +73,7 @@ def main() -> None:
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
         "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares", "mis",
-        "coloring", "matching",
+        "coloring", "palette", "matching",
     }
     g = None
     if needs_g:
@@ -263,6 +263,14 @@ def main() -> None:
         from pagerankproject_spark.ingest.edges import regex_filter
 
         res = greedy_coloring(spark, regex_filter(read_edge_csv(spark, args.data)))
+        out = res.colors.orderBy("color", "url")
+        n_colors = out.agg({"color": "max"}).collect()[0][0] + 1
+        print(f"rounds= {res.rounds} colors= {n_colors}")
+    elif args.algo == "palette":
+        from pagerankproject_spark.graph.coloring import palette_coloring
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        res = palette_coloring(spark, regex_filter(read_edge_csv(spark, args.data)))
         out = res.colors.orderBy("color", "url")
         n_colors = out.agg({"color": "max"}).collect()[0][0] + 1
         print(f"rounds= {res.rounds} colors= {n_colors}")

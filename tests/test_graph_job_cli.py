@@ -52,6 +52,7 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("densest", ()),                 # integer-exact peel family
         ("mis", ()),                     # symmetry-breaking family
         ("coloring", ()),                # symmetry-breaking family
+        ("palette", ()),                 # symmetry-breaking family
         ("matching", ()),                # symmetry-breaking family
     ],
 )

@@ -1228,3 +1228,53 @@ def test_coarsen_graph_matches_replay_and_conserves_edges(spark):
     assert got == want
     # every matched pair's own edge became internal; the rest survive
     assert sum(got.values()) == len(und) - len(matched)
+
+
+def _palette_replay(pairs):
+    """Literal python replay of the per-round hash trial coloring."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(s) for v, s in adj.items()}
+    unc, colors, r = set(adj), {}, 0
+    while unc:
+        pick = {v: h60(f"{v}#{r}") % (deg[v] + 1) for v in unc}
+        win = {}
+        for v in unc:
+            if any(colors.get(u) == pick[v] for u in adj[v]):
+                continue
+            if any(u in unc and pick[u] == pick[v] for u in adj[v]):
+                continue
+            win[v] = pick[v]
+        colors.update(win)
+        unc -= set(win)
+        r += 1
+        assert r < 200
+    return colors, adj, deg
+
+
+def test_palette_coloring_matches_replay_and_bounds(spark):
+    from pagerankproject_spark.graph.coloring import palette_coloring
+
+    pairs = make_weblike(seed=29, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    res = palette_coloring(spark, edges_df(spark, post))
+    got = {r["url"]: r["color"] for r in res.colors.collect()}
+    want, adj, deg = _palette_replay(post)
+    assert got == want
+    # proper + per-vertex (deg+1) palette bound
+    for v, nbrs in adj.items():
+        assert all(got[v] != got[u] for u in nbrs)
+        assert 0 <= got[v] <= deg[v]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        palette_coloring(spark, edges_df(spark, [("a", "a")]))

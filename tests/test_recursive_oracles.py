@@ -463,3 +463,38 @@ def test_coarsen_graph_oracle_matches_python_replay(con, g, graph):
 
     rows = con.execute(g + "," + sql_coarsen_graph()).fetchall()
     assert {(a, b): w for a, b, w in rows} == dict(want)
+
+
+def test_palette_coloring_oracle_matches_python_replay(con, g, graph):
+    """sql_palette_coloring (unrolled hash-trial rounds) vs a literal
+    python replay on the real derived edge table."""
+    import hashlib
+
+    from pagerankproject_spark.graph.coloring import sql_palette_coloring
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    edges, _ = graph
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(s) for v, s in adj.items()}
+    unc, colors, r = set(adj), {}, 0
+    while unc:
+        pick = {v: h60(f"{v}#{r}") % (deg[v] + 1) for v in unc}
+        win = {}
+        for v in unc:
+            if any(colors.get(u) == pick[v] for u in adj[v]):
+                continue
+            if any(u in unc and pick[u] == pick[v] for u in adj[v]):
+                continue
+            win[v] = pick[v]
+        colors.update(win)
+        unc -= set(win)
+        r += 1
+
+    rows = con.execute(g + "," + sql_palette_coloring()).fetchall()
+    assert {u: c for u, c in rows} == colors
