@@ -1472,6 +1472,21 @@ def q_condensation_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return condensation_layers(spark, g, edges).layers
 
 
+def q_alias_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/alias canonicalization by pointer doubling
+    (graph/pointers.py::functional_rooting) over the derived
+    functional map nxt(src) = min outlink: canonical = min url of the
+    forward orbit, O(log n) rounds, cycle-safe."""
+    from pagerankproject_spark.graph.pointers import functional_rooting
+
+    ptr = (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.min("dst").alias("nxt"))
+    )
+    return functional_rooting(spark, ptr).canonical
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode with SQL-expressible rule codebooks
     (similarity/pq.py::pq_encode): every distance is an exact
@@ -1781,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,                 # NEW round 3 (local gate; r4 window head)
         "condensation_layers": q_condensation_layers, # NEW round 3 (local gate; r4 window head)
         "palette_coloring": q_palette_coloring,       # NEW round 3 (local gate; r4 window head)
+        "alias_canonical": q_alias_canonical,         # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1816,6 +1832,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.scc import (
         sql_condensation_layers as _sql_condlayers,
+    )
+    from pagerankproject_spark.graph.pointers import (
+        sql_functional_rooting as _sql_rooting,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1908,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": f"with {_sql_adc()}",
         "condensation_layers": f"{g},{_sql_condlayers()}",
         "palette_coloring": f"{g},{_sql_palette()}",
+        "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

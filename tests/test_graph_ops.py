@@ -1278,3 +1278,58 @@ def test_palette_coloring_matches_replay_and_bounds(spark):
 
     with _pytest.raises(ValueError, match="no edges"):
         palette_coloring(spark, edges_df(spark, [("a", "a")]))
+
+
+def test_functional_rooting_replay_chain_and_cycle(spark):
+    from pagerankproject_spark.graph.pointers import functional_rooting
+
+    # derived functional map from the weblike fixture: min outlink
+    pairs = make_weblike(seed=37, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    nxt = {}
+    for s, t in post:
+        nxt[s] = min(nxt.get(s, t), t)
+
+    def orbit_min(v):
+        seen, cur, best = {v}, v, v
+        while cur in nxt:
+            cur = nxt[cur]
+            best = min(best, cur)
+            if cur in seen:
+                break
+            seen.add(cur)
+        return best
+
+    want = {v: orbit_min(v) for v in set(nxt) | set(nxt.values())}
+    ptr = spark.createDataFrame(sorted(nxt.items()), ["v", "nxt"])
+    res = functional_rooting(spark, ptr)
+    got = {r["url"]: r["canonical"] for r in res.canonical.collect()}
+    assert got == want
+
+    # 1000-hop descending chain (c1000 -> ... -> c0000): every vertex's
+    # orbit min is the terminal; resolves in <= ceil(log2(1000)) + 1 =
+    # 11 doubling rounds, NOT 1000 hop rounds
+    chain = spark.createDataFrame(
+        [(f"c{i+1:04d}", f"c{i:04d}") for i in range(1000)], ["v", "nxt"]
+    )
+    res2 = functional_rooting(spark, chain)
+    got2 = {r["url"]: r["canonical"] for r in res2.canonical.collect()}
+    assert set(got2.values()) == {"c0000"}
+    assert res2.rounds <= 11
+
+    # pure 3-cycle: every member canonicalizes to the cycle min
+    cyc = spark.createDataFrame(
+        [("x2", "x0"), ("x0", "x1"), ("x1", "x2")], ["v", "nxt"]
+    )
+    got3 = {
+        r["url"]: r["canonical"]
+        for r in functional_rooting(spark, cyc).canonical.collect()
+    }
+    assert got3 == {"x0": "x0", "x1": "x0", "x2": "x0"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not functional"):
+        functional_rooting(
+            spark, spark.createDataFrame([("a", "b"), ("a", "c")], ["v", "nxt"])
+        )

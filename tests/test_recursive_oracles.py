@@ -498,3 +498,31 @@ def test_palette_coloring_oracle_matches_python_replay(con, g, graph):
 
     rows = con.execute(g + "," + sql_palette_coloring()).fetchall()
     assert {u: c for u, c in rows} == colors
+
+
+def test_functional_rooting_oracle_matches_python_replay(con, g, graph):
+    """sql_functional_rooting (recursive orbit closure) vs a literal
+    python orbit walk on the derived min-outlink map."""
+    from pagerankproject_spark.graph.pointers import sql_functional_rooting
+
+    edges, _ = graph
+    nxt = {}
+    for s, t in edges:
+        nxt[s] = min(nxt.get(s, t), t)
+
+    def orbit_min(v):
+        seen, cur, best = {v}, v, v
+        while cur in nxt:
+            cur = nxt[cur]
+            best = min(best, cur)
+            if cur in seen:
+                break
+            seen.add(cur)
+        return best
+
+    want = {v: orbit_min(v) for v in set(nxt) | set(nxt.values())}
+    sql = sql_functional_rooting(
+        "select src as v, min(dst) as nxt from edges group by src"
+    )
+    rows = con.execute(g + "," + sql).fetchall()
+    assert dict(rows) == want
