@@ -1518,6 +1518,24 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locally-heaviest weighted matching (1/2-approx of maximum
+    weight; graph/matching.py::weighted_matching) over the simple
+    undirected graph weighted by raw-edge multiplicity — exact integer
+    weights, so the priority compare is cross-engine exact."""
+    from pagerankproject_spark.graph.matching import weighted_matching
+
+    e = _edges(spark, sf_dir)
+    wedges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return weighted_matching(spark, wedges).pairs
+
+
 def q_coarsen_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """METIS-style one-level contraction over the maximal matching
     (graph/matching.py::coarsen_graph)."""
@@ -1797,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_layers": q_condensation_layers, # NEW round 3 (local gate; r4 window head)
         "palette_coloring": q_palette_coloring,       # NEW round 3 (local gate; r4 window head)
         "alias_canonical": q_alias_canonical,         # NEW round 3 (local gate; r4 window head)
+        "weighted_matching": q_weighted_matching,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1825,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.matching import (
         sql_coarsen_graph as _sql_coarsen,
         sql_maximal_matching as _sql_matching,
+        sql_weighted_matching as _sql_wmatching,
     )
     from pagerankproject_spark.similarity.pq import (
         sql_adc_topk as _sql_adc,
@@ -1928,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         "condensation_layers": f"{g},{_sql_condlayers()}",
         "palette_coloring": f"{g},{_sql_palette()}",
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
+        "weighted_matching": f"{g},{_sql_wmatching('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

@@ -81,6 +81,47 @@ def maximal_matching(
         )
         .localCheckpoint(eager=True)
     )
+    return _match_loop(spark, und, max_rounds)
+
+
+def weighted_matching(
+    spark: SparkSession,
+    wedges: DataFrame,
+    max_rounds: int = 64,
+) -> MatchingResult:
+    """Greedy WEIGHTED maximal matching — the locally-heaviest edge
+    rule (Preis 1999 / Avis 1983's greedy, a 1/2-approximation of
+    maximum weight matching): identical round structure to
+    maximal_matching, but the priority orders by weight DESC first
+    (then the hash, then (a,b)), so each round matches edges that are
+    the heaviest at both endpoints. This is what makes METIS-style
+    coarsening weight-aware: heavy edges contract first, preserving
+    cut structure across levels.
+
+    `wedges(a, b, w)`: simple undirected weighted edges, a < b
+    expected, integer weights (the repo's exact-arithmetic convention
+    — multiplicities, counts — so the priority compare is exact;
+    fractional weights would reintroduce cross-engine float ordering).
+    Output as maximal_matching.
+    """
+    und = wedges.select(
+        "a",
+        "b",
+        F.struct(
+            (-F.col("w").cast("long")).alias("nw"),
+            hash60_expr(F.concat_ws("|", "a", "b")).alias("h"),
+            F.col("a").alias("ta"),
+            F.col("b").alias("tb"),
+        ).alias("pe"),
+    ).localCheckpoint(eager=True)
+    return _match_loop(spark, und, max_rounds)
+
+
+def _match_loop(
+    spark: SparkSession, und: DataFrame, max_rounds: int
+) -> MatchingResult:
+    """Shared local-dominant rounds over (a, b, pe): an edge matches
+    when pe is the minimum among all edges at BOTH endpoints."""
     P = max(und.rdd.getNumPartitions(), 1)
 
     matched: DataFrame | None = None
@@ -263,3 +304,41 @@ def sql_coarsen_graph(rounds: int = 32) -> str:
     group by 1, 2""",
         )
     )
+
+
+def sql_weighted_matching(wedges_sql: str, rounds: int = 32) -> str:
+    """DuckDB twin of weighted_matching: identical locally-heaviest
+    rounds unrolled over `wedges_sql` (must select a, b, w with a < b;
+    see sql_maximal_matching for the unroll discipline)."""
+    h = sql_hash60("a || '|' || b")
+    parts = [
+        f"""
+    wm_e0 as materialized (
+        select a, b, (-(w::bigint), {h}, a, b) as pe from ({wedges_sql}))"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    wm_vmin{r} as materialized (
+        select v, min(pe) as pmin from (
+            select a as v, pe from wm_e{r}
+            union all select b, pe from wm_e{r}
+        ) group by v),
+    wm_win{r} as materialized (
+        select e.a, e.b from wm_e{r} e
+        join wm_vmin{r} va on va.v = e.a
+        join wm_vmin{r} vb on vb.v = e.b
+        where e.pe = va.pmin and e.pe = vb.pmin),
+    wm_used{r} as materialized (
+        select a as v from wm_win{r} union select b from wm_win{r}),
+    wm_e{r + 1} as materialized (
+        select a, b, pe from wm_e{r}
+        where a not in (select v from wm_used{r})
+          and b not in (select v from wm_used{r}))""")
+    members = "\n        union all ".join(
+        f"select a, b, {r}::bigint as match_round from wm_win{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+    wm_members as ({members})
+    select a, b, match_round from wm_members""")
+    return ",".join(parts)

@@ -1333,3 +1333,66 @@ def test_functional_rooting_replay_chain_and_cycle(spark):
         functional_rooting(
             spark, spark.createDataFrame([("a", "b"), ("a", "c")], ["v", "nxt"])
         )
+
+
+def _weighted_matching_replay(wtriples):
+    """Literal python replay of the locally-heaviest rounds."""
+    import hashlib
+
+    def epri(a, b, w):
+        return (
+            -w,
+            int(hashlib.md5((a + "|" + b).encode()).hexdigest()[:15], 16),
+            a,
+            b,
+        )
+
+    eds = {(a, b): epri(a, b, w) for a, b, w in wtriples}
+    matched, r = {}, 0
+    while eds:
+        vmin = {}
+        for e, pe in eds.items():
+            for v in e:
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        winners = [
+            e for e, pe in eds.items()
+            if vmin[e[0]] == pe and vmin[e[1]] == pe
+        ]
+        for e in winners:
+            matched[e] = r
+        used = {v for e in winners for v in e}
+        eds = {
+            e: p for e, p in eds.items()
+            if e[0] not in used and e[1] not in used
+        }
+        r += 1
+    return matched
+
+
+def test_weighted_matching_replay_and_heaviest_first(spark):
+    from collections import Counter
+
+    from pagerankproject_spark.graph.matching import weighted_matching
+
+    pairs = make_weblike(seed=41, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    mult = Counter(
+        (min(s, t), max(s, t)) for s, t in post if s != t
+    )
+    wtriples = [(a, b, w) for (a, b), w in mult.items()]
+    df = spark.createDataFrame(wtriples, "a string, b string, w long")
+    res = weighted_matching(spark, df)
+    got = {(r["a"], r["b"]): r["match_round"] for r in res.pairs.collect()}
+    assert got == _weighted_matching_replay(wtriples)
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))  # vertex-disjoint
+
+    # hand fixture: the heavier edge of a path wins regardless of hash
+    path = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 3)], "a string, b string, w long"
+    )
+    got2 = {
+        (r["a"], r["b"]) for r in weighted_matching(spark, path).pairs.collect()
+    }
+    assert got2 == {("a", "b")}

@@ -526,3 +526,51 @@ def test_functional_rooting_oracle_matches_python_replay(con, g, graph):
     )
     rows = con.execute(g + "," + sql).fetchall()
     assert dict(rows) == want
+
+
+def test_weighted_matching_oracle_matches_python_replay(con, g, graph):
+    """sql_weighted_matching (locally-heaviest unrolled rounds,
+    multiplicity weights) vs a literal python replay."""
+    import hashlib
+    from collections import Counter
+
+    from pagerankproject_spark.graph.matching import sql_weighted_matching
+
+    edges, _ = graph
+    mult = Counter((min(s, t), max(s, t)) for s, t in edges if s != t)
+
+    def epri(a, b, w):
+        return (
+            -w,
+            int(hashlib.md5((a + "|" + b).encode()).hexdigest()[:15], 16),
+            a,
+            b,
+        )
+
+    eds = {(a, b): epri(a, b, w) for (a, b), w in mult.items()}
+    matched, r = {}, 0
+    while eds:
+        vmin = {}
+        for e, pe in eds.items():
+            for v in e:
+                if v not in vmin or pe < vmin[v]:
+                    vmin[v] = pe
+        winners = [
+            e for e, pe in eds.items()
+            if vmin[e[0]] == pe and vmin[e[1]] == pe
+        ]
+        for e in winners:
+            matched[e] = r
+        used = {v for e in winners for v in e}
+        eds = {
+            e: p for e, p in eds.items()
+            if e[0] not in used and e[1] not in used
+        }
+        r += 1
+
+    sql = sql_weighted_matching(
+        "select least(src, dst) as a, greatest(src, dst) as b, "
+        "count(*) as w from edges where src <> dst group by 1, 2"
+    )
+    rows = con.execute(g + "," + sql).fetchall()
+    assert {(a, b): rr for a, b, rr in rows} == matched
