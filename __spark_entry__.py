@@ -1518,6 +1518,19 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
+    multi-table hyperplane-LSH near-dup pairs (exact rescored cosine,
+    the at-scale detector) -> min-label transitive clusters ->
+    survivors. Pure composition of two driver-green operators; the
+    oracle composes the same pair SQL under the same closure."""
+    from pagerankproject_spark.dedup.clusters import dedup_clusters
+    from pagerankproject_spark.similarity.lsh import near_dup_pairs
+
+    pairs = near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.3)
+    return dedup_clusters(spark, pairs)
+
+
 def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Locally-heaviest weighted matching (1/2-approx of maximum
     weight; graph/matching.py::weighted_matching) over the simple
@@ -1816,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "palette_coloring": q_palette_coloring,       # NEW round 3 (local gate; r4 window head)
         "alias_canonical": q_alias_canonical,         # NEW round 3 (local gate; r4 window head)
         "weighted_matching": q_weighted_matching,     # NEW round 3 (local gate; r4 window head)
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,  # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2416,5 +2430,8 @@ def oracle_sql() -> dict[str, str]:
         "search_top10": f"{g},{rsql.sql_search_top10(epsilon=1e-6, max_iterations=60)}",
         "dedup_clusters": rsql.sql_dedup_clusters(
             sql_minhash_verified_pairs("documents", threshold=0.2, n=2)
+        ),
+        "embedding_dedup_clusters": rsql.sql_dedup_clusters(
+            sql_near_dup_pairs("embeddings", threshold=0.3)
         ),
     }
