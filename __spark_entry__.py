@@ -1273,6 +1273,13 @@ def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.unigram_logloss(_read(spark, sf_dir, "documents"))
 
 
+def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram cross-entropy under the corpus bigram MLE — the
+    order-sensitive step past unigram_logloss toward CCNet's KenLM
+    filter (text/pipeline.py::bigram_logloss)."""
+    return pipeline.bigram_logloss(_read(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed document sketches (Schleimer-Wilkerson-Aiken 2003 MOSS
     fingerprinting, k=4-gram / w=4 windows, rightmost-min ties —
@@ -1830,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_canonical": q_alias_canonical,         # NEW round 3 (local gate; r4 window head)
         "weighted_matching": q_weighted_matching,     # NEW round 3 (local gate; r4 window head)
         "embedding_dedup_clusters": q_embedding_dedup_clusters,  # NEW round 3 (local gate; r4 window head)
+        "bigram_logloss": q_bigram_logloss,           # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2109,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
+        "bigram_logloss": pipeline.sql_bigram_logloss("documents"),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL
         ),

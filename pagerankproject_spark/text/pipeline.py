@@ -402,3 +402,93 @@ def sql_stratified_keep(key: str, stratum: str) -> str:
     for s, r in sorted(SAMPLE_RATES_PERMILLE.items()):
         rate = f"case when {stratum} = '{s}' then {r} else {rate} end"
     return f"{sql_sample_hash(key)} < ({rate})"
+
+
+def bigram_logloss(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document BIGRAM cross-entropy under the corpus's own bigram
+    MLE — the order-sensitive step past unigram_logloss toward CCNet's
+    KenLM filter (Wenzek et al. 2020): a shuffled-word document keeps
+    its unigram score but its bigrams turn rare, so bigram log-loss
+    separates word-salad from fluent text (pytest-pinned).
+
+        P(w2 | w1) = cnt(w1 w2) / ctx(w1),  ctx(w1) = bigrams from w1
+        logloss(d) = round(mean over d's bigrams of -ln P, 6)
+
+    MLE needs no smoothing here because the corpus scores itself:
+    every scored bigram was counted (cnt >= 1). Output: doc_id,
+    n_bigrams (long), logloss (double 6dp); documents with fewer than
+    two tokens are omitted (no bigrams, no distribution).
+
+    Scale: bigram formation is a zero-shuffle zip_with over each
+    document's own token array (no window, no self-join); then one
+    combinable bigram count, one combinable context count, one
+    bigram-keyed equi-join of the exploded corpus against its own
+    table, one per-doc combinable mean. Float note: same round-once
+    discipline as unigram_logloss (ONE 6dp round at the end; ln <= 1
+    ulp, unordered per-doc float sum absorbed by the round)."""
+    arr = tokens_expr(F.col(text_col))
+    n = F.size(arr)
+    # negative slice lengths error, so gate the <2-token documents
+    bigram_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigram_arr).alias("bigram")
+    )
+    cnt = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("cnt"))
+    ctx = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("ctx"))
+    )
+    if bg.isEmpty():
+        raise ValueError("corpus has no bigrams; bigram_logloss undefined")
+    weighted = (
+        bg.join(cnt, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1")
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double"))).alias(
+                "nll"
+            ),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), ROUND_DP).alias("logloss"),
+    )
+
+
+def sql_bigram_logloss(
+    rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+    with bl_arr as (
+        select {id_col} as doc_id, {toks} as t from {rel}),
+    bl_bg as (
+        select doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) as bigram
+        from bl_arr where len(t) >= 2),
+    bl_cnt as (select bigram, count(*)::bigint as cnt from bl_bg group by 1),
+    bl_ctx as (
+        select split_part(bigram, ' ', 1) as w1, count(*)::bigint as ctx
+        from bl_bg group by 1)
+    select b.doc_id,
+           count(*)::bigint as n_bigrams,
+           round(sum(-ln(c.cnt::double / x.ctx::double)) / count(*),
+                 {ROUND_DP}) as logloss
+    from bl_bg b
+    join bl_cnt c using (bigram)
+    join bl_ctx x on x.w1 = split_part(b.bigram, ' ', 1)
+    group by b.doc_id
+    """

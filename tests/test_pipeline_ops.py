@@ -1262,3 +1262,42 @@ def test_ivfpq_full_probe_full_codebook_equals_brute(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bigram_logloss_matches_replay_and_orders_salad(spark):
+    import math
+    from collections import Counter
+
+    from pagerankproject_spark.text.pipeline import bigram_logloss
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "mat the on sat cat the"),  # shuffled: same unigrams
+        (4, "one"),                      # <2 tokens: omitted
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bcnt, ctx = Counter(), Counter()
+    for _, t in rows:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            bcnt[(a, b)] += 1
+            ctx[a] += 1
+    expect = {}
+    for doc_id, t in rows:
+        toks = t.split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        nll = sum(-math.log(bcnt[g] / ctx[g[0]]) for g in bgs) / len(bgs)
+        expect[doc_id] = (len(bgs), round(nll, 6))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logloss"])
+        for r in bigram_logloss(df).collect()
+    }
+    assert got == pytest.approx(expect)
+    assert 4 not in got and 5 not in got
+    # the shuffled doc keeps its unigram profile but its bigram loss
+    # is strictly worse than the fluent docs'
+    assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
