@@ -50,8 +50,9 @@ class MISResult:
 
 def luby_mis(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     max_rounds: int = 64,
+    g=None,
 ) -> MISResult:
     """Maximal independent set of the simple undirected graph of
     `edges(src, dst)` (self-loops dropped, directions merged).
@@ -62,14 +63,40 @@ def luby_mis(
     (maximality). Vertices with no simple-graph edge are not part of
     the input universe (same convention as kcore/densest_subgraph);
     they are trivially independent and callers can union them in.
+
+    Pass `g` (GraphTables) instead of `edges` to run the loop in
+    DENSE-ID key space — the hyperball/betweenness/walks lever
+    (BENCH.md: ~2x from 8-byte join keys): per-round joins key on
+    longs, while the exact (hash60(url), url) priority is computed
+    ONCE into a payload struct, so the member set and round numbers
+    are BIT-IDENTICAL to the url-space path (tested); urls translate
+    back once at emit.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if (edges is None) == (g is None):
+        raise ValueError("pass exactly one of edges= or g=")
+    if g is not None:
+        from ..ingest.edges import simple_edges
+
+        e = simple_edges(g)
+        und = e.select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        ).distinct()
+        pri_tbl = g.vertices.select(
+            F.col("id").alias("v"),
+            F.struct(
+                hash60_expr(F.col("url")).alias("h"), F.col("url").alias("u")
+            ).alias("p"),
         )
-        .distinct()
-    )
+    else:
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+        )
+        pri_tbl = None
     sym = (
         und.select(F.col("a").alias("w"), F.col("b").alias("x"))
         .union(und.select(F.col("b").alias("w"), F.col("a").alias("x")))
@@ -77,6 +104,9 @@ def luby_mis(
     )
     P = max(sym.rdd.getNumPartitions(), 1)
     alive = sym.select(F.col("w").alias("v")).distinct().localCheckpoint(eager=True)
+    if pri_tbl is not None:
+        # dense-id mode: freeze the (hash, url) priority payload once
+        pri_all = alive.join(pri_tbl, "v").localCheckpoint(eager=True)
 
     mis: DataFrame | None = None
     metrics: list[dict] = []
@@ -88,9 +118,15 @@ def luby_mis(
             if n == 0:
                 break
             rounds = r + 1
-            pri = alive.select(
-                "v", F.struct(hash60_expr(F.col("v")).alias("h"), F.col("v").alias("u")).alias("p")
-            )
+            if pri_tbl is not None:
+                pri = alive.join(pri_all, "v")
+            else:
+                pri = alive.select(
+                    "v",
+                    F.struct(
+                        hash60_expr(F.col("v")).alias("h"), F.col("v").alias("u")
+                    ).alias("p"),
+                )
             nbr_min = (
                 sym.join(pri.select(F.col("v").alias("x"), F.col("p").alias("px")), "x")
                 .groupBy("w")
@@ -130,9 +166,13 @@ def luby_mis(
 
     if mis is None:
         raise ValueError("simple graph has no edges; MIS of the edge universe is empty")
-    return MISResult(
-        members=mis.withColumnRenamed("v", "url"), rounds=rounds, metrics=metrics
-    )
+    if pri_tbl is not None:
+        members = mis.join(
+            g.vertices.select(F.col("id").alias("v"), "url"), "v"
+        ).select("url", "mis_round")
+    else:
+        members = mis.withColumnRenamed("v", "url")
+    return MISResult(members=members, rounds=rounds, metrics=metrics)
 
 
 def sql_luby_mis(rounds: int = 24) -> str:

@@ -1396,3 +1396,25 @@ def test_weighted_matching_replay_and_heaviest_first(spark):
         (r["a"], r["b"]) for r in weighted_matching(spark, path).pairs.collect()
     }
     assert got2 == {("a", "b")}
+
+
+def test_luby_mis_dense_id_mode_exact_match(spark):
+    """The dense-id loop (g=) returns BIT-identical members and round
+    numbers to the url-space loop — the priority payload is frozen
+    from urls, only the join keys change."""
+    from pagerankproject_spark.graph.mis import luby_mis
+
+    pairs = make_weblike(seed=13, n_nodes=80, m_edges=400)
+    url_mode = luby_mis(spark, edges_df(spark, _post_regex(pairs)))
+    g = _tables(spark, pairs)
+    dense_mode = luby_mis(spark, g=g)
+    a = {r["url"]: r["mis_round"] for r in url_mode.members.collect()}
+    b = {r["url"]: r["mis_round"] for r in dense_mode.members.collect()}
+    assert a == b
+    assert url_mode.rounds == dense_mode.rounds
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        luby_mis(spark)
+    g.unpersist()
