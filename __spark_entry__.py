@@ -1525,6 +1525,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the multiplicity-weighted simple
+    graph (graph/mst.py::boruvka_msf): per-component lightest-edge
+    picks + hook-and-jump contraction, O(log n) rounds."""
+    from pagerankproject_spark.graph.mst import boruvka_msf
+
+    e = _edges(spark, sf_dir)
+    wedges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return boruvka_msf(spark, wedges).forest
+
+
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
     multi-table hyperplane-LSH near-dup pairs (exact rescored cosine,
@@ -1838,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_matching": q_weighted_matching,     # NEW round 3 (local gate; r4 window head)
         "embedding_dedup_clusters": q_embedding_dedup_clusters,  # NEW round 3 (local gate; r4 window head)
         "bigram_logloss": q_bigram_logloss,           # NEW round 3 (local gate; r4 window head)
+        "boruvka_msf": q_boruvka_msf,                 # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1877,6 +1895,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.pointers import (
         sql_functional_rooting as _sql_rooting,
+    )
+    from pagerankproject_spark.graph.mst import (
+        sql_boruvka_msf as _sql_msf,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1971,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "palette_coloring": f"{g},{_sql_palette()}",
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
         "weighted_matching": f"{g},{_sql_wmatching('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
+        "boruvka_msf": f"{g},{_sql_msf('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

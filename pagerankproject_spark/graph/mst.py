@@ -1,0 +1,256 @@
+"""Minimum spanning forest — Borůvka 1926 (the original O(log n)-round
+algorithm and still THE distributed MST: every round each component
+picks its lightest outgoing edge, picked edges merge components,
+repeat until no outgoing edges remain). Public literature; no
+reference implementation (/root/reference/pagerank.py has no MST).
+Web-graph use: the MSF of a similarity- or traffic-weighted host graph
+is the backbone — single-linkage clustering's dendrogram edges,
+the skeleton for visualization/sparsification, and the first stage of
+affinity clustering (Bateni et al. 2017 use exactly distributed
+Borůvka).
+
+DERANDOMIZED the repo's way: edge priority is
+    (w, hash60(a || '|' || b), a, b)
+— integer weight first (the repo's exact-arithmetic convention), the
+portable md5 hash and the (a, b) pair as total-order tie-breaks,
+identical in Spark and DuckDB — so the forest is a PURE FUNCTION of
+the weighted edge set (with distinct priorities the MSF is unique:
+the cut property applies per component pick), exactly reproducible
+and oracle-replayable.
+
+Per outer round: one per-component min over outgoing edges (a
+map-side-combinable min(struct) aggregate after relabeling endpoints
+by component), then HOOK-AND-JUMP contraction: every active component
+hooks to the other endpoint of its pick; because priorities strictly
+decrease along hook chains (a neighbor's own min is <= the edge that
+reached it), the hook graph's only cycles are mutual-min 2-CYCLES, so
+after ceil(log2(C)) + 2 pointer-doubling steps every pointer sits on
+its terminal 2-cycle and label = min(p, hook(p)) is the cycle min —
+consistent across the whole selection component in O(log C) inner
+joins, never O(chain length) (the failure mode of min-label
+propagation on a sorted-weight path). The forest depends only on the
+component PARTITION, not the label values, so the DuckDB twin may
+contract with a recursive reachability closure instead and still
+replay the forest exactly. Components at least halve per round:
+O(log n) outer rounds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import no_aqe, reset_stats_checkpoint
+from ..text.analysis import hash60_expr, sql_hash60
+
+
+@dataclass
+class MSFResult:
+    forest: DataFrame  # a: string, b: string (a<b), w: long, msf_round: long
+    components: DataFrame  # url: string, component: string (min url)
+    rounds: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def boruvka_msf(
+    spark: SparkSession,
+    wedges: DataFrame,
+    max_rounds: int = 48,
+) -> MSFResult:
+    """Minimum spanning forest of the weighted simple undirected graph
+    `wedges(a, b, w)` (a < b expected, integer weights — fractional
+    weights would reintroduce cross-engine float ordering).
+
+    Output: the forest edges (a, b, w, msf_round — the 0-based round
+    the edge was picked) and the final per-vertex component labels
+    (identical to connected components of the input). Guarantees
+    (pytest-asserted): |forest| = n - #components, forest weight and
+    edge set equal the tie-broken-Kruskal replay exactly.
+    """
+    pe = F.struct(
+        F.col("w").cast("long").alias("tw"),
+        hash60_expr(F.concat_ws("|", "a", "b")).alias("h"),
+        F.col("a").alias("ta"),
+        F.col("b").alias("tb"),
+    )
+    edges = (
+        wedges.select("a", "b", F.col("w").cast("long").alias("w"), pe.alias("pe"))
+        .transform(reset_stats_checkpoint)
+    )
+    P = max(edges.rdd.getNumPartitions(), 1)
+    comp = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+        .transform(reset_stats_checkpoint)
+    )
+
+    forest: DataFrame | None = None
+    metrics: list[dict] = []
+    rounds = 0
+    # live = edges whose endpoints are in different components,
+    # relabeled to (component-a, component-b)
+    live = edges.select(
+        "a", "b", "w", "pe",
+        F.col("a").alias("ca"), F.col("b").alias("cb"),
+    ).transform(reset_stats_checkpoint)
+    with no_aqe(spark):
+        for r in range(max_rounds):
+            t0 = time.time()
+            m = live.count()
+            if m == 0:
+                break
+            rounds = r + 1
+            # lightest outgoing edge per ACTIVE component
+            payload = F.struct(
+                "pe", "a", "b", "w", F.col("ca").alias("xa"), F.col("cb").alias("xb")
+            ).alias("cand")
+            percomp = (
+                live.select(F.col("ca").alias("c"), payload)
+                .union(live.select(F.col("cb").alias("c"), payload))
+                .groupBy("c")
+                .agg(F.min("cand").alias("cand"))
+                .transform(reset_stats_checkpoint)
+            )
+            n_active = percomp.count()
+            cmin = percomp.select("cand.a", "cand.b", "cand.w").distinct()
+            tagged = cmin.select(
+                "a", "b", "w", F.lit(r).cast("long").alias("msf_round")
+            )
+            forest = tagged.transform(reset_stats_checkpoint) if forest is None else (
+                forest.unionByName(tagged).coalesce(P).transform(reset_stats_checkpoint)
+            )
+            n_pick = tagged.count()
+            # hook-and-jump contraction (see module docstring): hook =
+            # the other endpoint component of the pick; double the
+            # pointer ceil(log2(C)) + 2 times; label = min(p, hook(p)).
+            hook = percomp.select(
+                "c",
+                F.when(F.col("cand.xa") == F.col("c"), F.col("cand.xb"))
+                .otherwise(F.col("cand.xa"))
+                .alias("p"),
+            ).transform(reset_stats_checkpoint)
+            p = hook
+            inner = max(1, (max(n_active, 2) - 1).bit_length() + 2)
+            for _ in range(inner):
+                p = (
+                    p.join(
+                        p.select(F.col("c").alias("p"), F.col("p").alias("pp")),
+                        "p",
+                    )
+                    .select("c", F.col("pp").alias("p"))
+                    .transform(reset_stats_checkpoint)
+                )
+            lab = (
+                p.join(hook.select(F.col("c").alias("p"),
+                                   F.col("p").alias("hp")), "p")
+                .select("c", F.least("p", "hp").alias("l"))
+            )
+            # relabel the component map and the live edges
+            comp = (
+                comp.join(lab, "c", "left")
+                .select("v", F.coalesce("l", F.col("c")).alias("c"))
+                .transform(reset_stats_checkpoint)
+            )
+            live = (
+                live.drop("ca", "cb")
+                .join(comp.withColumnRenamed("v", "a")
+                          .withColumnRenamed("c", "ca"), "a")
+                .join(comp.withColumnRenamed("v", "b")
+                          .withColumnRenamed("c", "cb"), "b")
+                .filter(F.col("ca") != F.col("cb"))
+                .transform(reset_stats_checkpoint)
+            )
+            metrics.append(
+                {"r": r, "live_edges": m, "picked": n_pick,
+                 "wall_sec": time.time() - t0}
+            )
+        else:
+            raise ValueError(
+                f"MSF still merging after max_rounds={max_rounds}; "
+                "raise max_rounds"
+            )
+
+    if forest is None:
+        raise ValueError("weighted graph has no edges; MSF is empty")
+    # cycle-min labels are consistent partitions but not minima;
+    # one group-min relabel restores the CC output convention
+    relabel = comp.groupBy("c").agg(F.min("v").alias("component"))
+    components = comp.join(relabel, "c").select(
+        F.col("v").alias("url"), "component"
+    )
+    return MSFResult(
+        forest=forest, components=components, rounds=rounds, metrics=metrics
+    )
+
+
+def sql_boruvka_msf(wedges_sql: str, rounds: int = 24) -> str:
+    """DuckDB twin over `wedges_sql` (must select a, b, w with a < b):
+    the identical priority-ordered Borůvka rounds unrolled
+    (MATERIALIZED, see sql_densest_subgraph), each round's contraction
+    as a recursive min-label closure over the tiny selection graph.
+    rounds=24 covers components halving from ~16M; tail rounds are
+    empty and idempotent."""
+    h = sql_hash60("a || '|' || b")
+    # NOTE: the priority row is kept FLAT (w, h, a, b) — DuckDB 1.0's
+    # min() mis-compares rows that contain a nested row field (verified
+    # in-sandbox: min of ((11,big,..),'n10',..) beat a smaller nested
+    # hash); every other oracle in the repo already uses flat rows.
+    parts = [
+        f"""
+    bv_e as materialized (
+        select a, b, w::bigint as w, {h} as h
+        from ({wedges_sql})),
+    bv_comp0 as materialized (
+        select v, v as c from (
+            select a as v from bv_e union select b from bv_e)),
+    bv_live0 as materialized (
+        select a, b, w, h, a as ca, b as cb from bv_e)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+    bv_pick{r} as materialized (
+        select distinct cand[3] as a, cand[4] as b, cand[1] as w
+        from (
+            select c, min(cand) as cand from (
+                select ca as c, (w, h, a, b) as cand from bv_live{r}
+                union all
+                select cb, (w, h, a, b) from bv_live{r}
+            ) group by c)),
+    bv_lab{r} as materialized (
+        with recursive sel as (
+            select c1.c as sa, c2.c as sb
+            from bv_pick{r} p
+            join bv_comp{r} c1 on c1.v = p.a
+            join bv_comp{r} c2 on c2.v = p.b
+        ),
+        ssym as (
+            select sa, sb from sel union select sb, sa from sel
+        ),
+        rr(s, l) as (
+            select sa, sa from ssym
+            union
+            select ssym.sa, rr.l from ssym join rr on rr.s = ssym.sb
+        )
+        select s, min(l) as l from rr group by s),
+    bv_comp{r + 1} as materialized (
+        select cm.v, coalesce(lb.l, cm.c) as c
+        from bv_comp{r} cm left join bv_lab{r} lb on lb.s = cm.c),
+    bv_live{r + 1} as materialized (
+        select e.a, e.b, e.w, e.h, c1.c as ca, c2.c as cb
+        from bv_live{r} e
+        join bv_comp{r + 1} c1 on c1.v = e.a
+        join bv_comp{r + 1} c2 on c2.v = e.b
+        where c1.c <> c2.c)""")
+    members = "\n        union all ".join(
+        f"select a, b, w, {r}::bigint as msf_round from bv_pick{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+    bv_forest as ({members})
+    select a, b, w, msf_round from bv_forest""")
+    return ",".join(parts)

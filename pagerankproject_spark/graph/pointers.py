@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe
+from ..session import no_aqe, reset_stats_checkpoint
 
 
 @dataclass
@@ -71,7 +71,7 @@ def functional_rooting(
     state = (
         pointers.select("v", "nxt").unionByName(sinks)
         .select("v", F.col("nxt").alias("p"), F.least("v", "nxt").alias("m"))
-        .localCheckpoint(eager=True)
+        .transform(reset_stats_checkpoint)
     )
     metrics: list[dict] = []
     rounds = 0
@@ -90,7 +90,7 @@ def functional_rooting(
                     F.least("m", "mp").alias("m"),
                     (F.col("m") != F.least("m", "mp")).cast("long").alias("chg"),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(reset_stats_checkpoint)
             changed = nxt_state.agg(F.sum("chg")).collect()[0][0] or 0
             metrics.append(
                 {"r": r, "changed": int(changed), "wall_sec": time.time() - t0}

@@ -14,7 +14,43 @@ from __future__ import annotations
 import contextlib
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def reset_stats_checkpoint(df: DataFrame) -> DataFrame:
+    """`localCheckpoint(eager=True)` + rebuild the frame as a fresh scan
+    over the just-materialized physical RDD, DROPPING the origin plan's
+    Catalyst `sizeInBytes` statistic.
+
+    Why this exists (measured in-sandbox, Spark 4.1): the LogicalRDD a
+    checkpoint returns carries the source plan's size estimate, and a
+    join MULTIPLIES its children's estimates — so a pointer-doubling
+    loop (`p = p ∘ p`, a self-join of the state with itself) SQUARES
+    the estimate every step. The BigInteger's bit length doubles per
+    step; after ~25-30 accumulated doublings the driver spends seconds
+    per step on statistics arithmetic (observed 0.2 s → 24 s/step) and
+    then dies with `ArithmeticException: BigInteger would overflow
+    supported range`. Rebuilding via `internalCreateDataFrame` yields a
+    LogicalRDD with the default size estimate, so two reset frames
+    joined cost 63+63 bits and the next reset bounds it again: stats
+    stay O(1) forever. Loops whose state grows LINEARLY (state ⋈
+    constant edges, e.g. PageRank/CC) don't need this — only
+    self-composition loops do.
+
+    Uses a `private[sql]` JVM API (stable since Spark 2.0; package-
+    private is public in bytecode, reachable over py4j); falls back to
+    the plain checkpoint — correct, stats unbounded — if it changes.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf  # type: ignore[attr-defined]
+        jspark = df.sparkSession._jsparkSession  # type: ignore[attr-defined]
+        njdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(njdf, df.sparkSession)
+    except Exception:  # pragma: no cover - only on private-API change
+        return ck
 
 
 @contextlib.contextmanager

@@ -1418,3 +1418,94 @@ def test_luby_mis_dense_id_mode_exact_match(spark):
     with _pytest.raises(ValueError, match="exactly one"):
         luby_mis(spark)
     g.unpersist()
+
+
+def _boruvka_replay(wtriples):
+    """Literal python replay of the priority-ordered Boruvka rounds."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pe = {(a, b): (w, h60(a + "|" + b), a, b) for a, b, w in wtriples}
+    comp = {v: v for e in pe for v in e}
+    forest, r = {}, 0
+    while True:
+        live = {e: p for e, p in pe.items() if comp[e[0]] != comp[e[1]]}
+        if not live:
+            break
+        picks = {}
+        for (a, b), p in live.items():
+            for cv in (comp[a], comp[b]):
+                if cv not in picks or p < picks[cv][1]:
+                    picks[cv] = ((a, b), p)
+        chosen = {e for e, _ in picks.values()}
+        for e in chosen:
+            forest[e] = r
+        parent = {c: c for c in set(comp.values())}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for a, b in chosen:
+            ra, rb = find(comp[a]), find(comp[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {v: find(c) for v, c in comp.items()}
+        r += 1
+    return forest, comp, r
+
+
+def test_boruvka_msf_matches_replay_and_kruskal(spark):
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import boruvka_msf
+
+    pairs = make_weblike(seed=43, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    mult = Counter((min(s, t), max(s, t)) for s, t in post if s != t)
+    wtriples = [(a, b, w) for (a, b), w in mult.items()]
+    # adversarial sorted-weight chain: the hook-and-jump contraction
+    # must stay O(log), and the forest must still be exact
+    wtriples += [(f"q{i:02d}", f"q{i+1:02d}", 1000 + i) for i in range(30)]
+    want_forest, want_comp, want_rounds = _boruvka_replay(wtriples)
+
+    df = spark.createDataFrame(wtriples, "a string, b string, w long")
+    res = boruvka_msf(spark, df)
+    got = {(r["a"], r["b"]): r["msf_round"] for r in res.forest.collect()}
+    assert got == want_forest
+    assert res.rounds == want_rounds
+    gc = {r["url"]: r["component"] for r in res.components.collect()}
+    assert gc == want_comp
+    # forest size = n - #components; weight matches tie-broken Kruskal
+    n = len({v for e in wtriples for v in e[:2]})
+    assert len(got) == n - len(set(want_comp.values()))
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    kw = 0
+    for a, b, w in sorted(
+        wtriples, key=lambda t: (t[2], h60(t[0] + "|" + t[1]), t[0], t[1])
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            kw += w
+    assert sum(w for a, b, w in wtriples if (a, b) in got) == kw
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        boruvka_msf(spark, df.limit(0))

@@ -574,3 +574,54 @@ def test_weighted_matching_oracle_matches_python_replay(con, g, graph):
     )
     rows = con.execute(g + "," + sql).fetchall()
     assert {(a, b): rr for a, b, rr in rows} == matched
+
+
+def test_boruvka_msf_oracle_matches_python_replay(con, g, graph):
+    """sql_boruvka_msf (unrolled rounds + recursive contraction
+    closure) vs a literal python Boruvka replay on multiplicity
+    weights."""
+    import hashlib
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import sql_boruvka_msf
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    edges, _ = graph
+    mult = Counter((min(s, t), max(s, t)) for s, t in edges if s != t)
+    pe = {(a, b): (w, h60(a + "|" + b), a, b) for (a, b), w in mult.items()}
+    comp = {v: v for e in pe for v in e}
+    forest, r = {}, 0
+    while True:
+        live = {e: p for e, p in pe.items() if comp[e[0]] != comp[e[1]]}
+        if not live:
+            break
+        picks = {}
+        for (a, b), p in live.items():
+            for cv in (comp[a], comp[b]):
+                if cv not in picks or p < picks[cv][1]:
+                    picks[cv] = ((a, b), p)
+        chosen = {e for e, _ in picks.values()}
+        for e in chosen:
+            forest[e] = r
+        parent = {c: c for c in set(comp.values())}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for a, b in chosen:
+            ra, rb = find(comp[a]), find(comp[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {v: find(c) for v, c in comp.items()}
+        r += 1
+
+    sql = sql_boruvka_msf(
+        "select least(src, dst) as a, greatest(src, dst) as b, "
+        "count(*) as w from edges where src <> dst group by 1, 2"
+    )
+    rows = con.execute(g + "," + sql).fetchall()
+    assert {(a, b): rr for a, b, w, rr in rows} == forest
