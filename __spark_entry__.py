@@ -1542,6 +1542,24 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(spark, wedges).forest
 
 
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage dendrogram cut (graph/mst.py): clusters of pages
+    linked with multiplicity >= 2, computed as the MSF of distance
+    -multiplicity cut at -2 (Kruskal cut property; the oracle takes the
+    independent reachability route over the filtered original edges)."""
+    from pagerankproject_spark.graph.mst import single_linkage_clusters
+
+    e = _edges(spark, sf_dir)
+    wedges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg((-F.count("*")).cast("long").alias("w"))
+    )
+    return single_linkage_clusters(spark, wedges, threshold=-2)
+
+
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
     multi-table hyperplane-LSH near-dup pairs (exact rescored cosine,
@@ -1856,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": q_embedding_dedup_clusters,  # NEW round 3 (local gate; r4 window head)
         "bigram_logloss": q_bigram_logloss,           # NEW round 3 (local gate; r4 window head)
         "boruvka_msf": q_boruvka_msf,                 # NEW round 3 (local gate; r4 window head)
+        "single_linkage": q_single_linkage,           # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1898,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.mst import (
         sql_boruvka_msf as _sql_msf,
+        sql_single_linkage as _sql_slink,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -1993,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
         "weighted_matching": f"{g},{_sql_wmatching('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
         "boruvka_msf": f"{g},{_sql_msf('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
+        "single_linkage": f"{g},{_sql_slink('select least(src, dst) as a, greatest(src, dst) as b, -count(*) as w from edges where src <> dst group by 1, 2', threshold=-2)}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

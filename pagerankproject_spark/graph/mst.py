@@ -254,3 +254,68 @@ def sql_boruvka_msf(wedges_sql: str, rounds: int = 24) -> str:
     bv_forest as ({members})
     select a, b, w, msf_round from bv_forest""")
     return ",".join(parts)
+
+
+def single_linkage_clusters(
+    spark: SparkSession,
+    wedges: DataFrame,
+    threshold: int,
+    msf: MSFResult | None = None,
+) -> DataFrame:
+    """Single-linkage dendrogram cut at `threshold`: clusters = the
+    connected components of {e : w(e) <= threshold} (w is a DISTANCE;
+    for similarity weights pass their negation). Kruskal's cut
+    property makes the MSF a reusable index for this: the <=t edges of
+    the forest induce exactly the same vertex partition as the <=t
+    edges of the FULL graph — so one boruvka_msf (m edges) answers
+    every threshold afterwards with a contraction over <= n-1 forest
+    edges. Contraction reuses the MSF machinery itself (on a forest
+    every edge is its own MSF, so only the O(log n) hook-and-jump
+    rounds do work). The independent DuckDB twin deliberately takes
+    the OTHER route — a reachability closure over the filtered
+    original edges — so the two engines cross-verify the cut theorem,
+    not just each other's arithmetic.
+
+    Output: (url, cluster) for every vertex of `wedges`; vertices with
+    no <=t incident edge are singleton clusters of themselves; cluster
+    id is the min url of the cluster (the repo's components
+    convention). Pass `msf=` to amortize one forest across cuts.
+    """
+    res = msf if msf is not None else boruvka_msf(spark, wedges)
+    verts = (
+        wedges.select(F.col("a").alias("url"))
+        .union(wedges.select("b"))
+        .distinct()
+    )
+    cut = res.forest.filter(F.col("w") <= F.lit(int(threshold)))
+    if cut.isEmpty():
+        return verts.select("url", F.col("url").alias("cluster"))
+    sub = boruvka_msf(spark, cut.select("a", "b", "w"))
+    return (
+        verts.join(
+            sub.components.withColumnRenamed("component", "cluster"), "url", "left"
+        )
+        .select("url", F.coalesce("cluster", F.col("url")).alias("cluster"))
+    )
+
+
+def sql_single_linkage(wedges_sql: str, threshold: int) -> str:
+    """DuckDB twin: min-label reachability closure over the <=threshold
+    edges of the ORIGINAL weighted graph (columns a, b, w), seeded from
+    every vertex of the graph so singletons survive. Independent of the
+    MSF path by design (see single_linkage_clusters docstring)."""
+    return f"""
+    sl_w as materialized (select a, b, w from ({wedges_sql})),
+    sl_e as materialized (select a, b from sl_w where w <= {int(threshold)}),
+    sl_v as (select a as v from sl_w union select b from sl_w),
+    sl_pe as (select a as src, b as dst from sl_e
+              union all select b, a from sl_e),
+    sl_cl as (
+        with recursive rr(v, lbl) as (
+            select v, v from sl_v
+            union
+            select sl_pe.dst, rr.lbl from rr join sl_pe on sl_pe.src = rr.v
+        )
+        select v, min(lbl) as cluster from rr group by v
+    )
+    select v as url, cluster from sl_cl"""

@@ -1509,3 +1509,53 @@ def test_boruvka_msf_matches_replay_and_kruskal(spark):
 
     with _pytest.raises(ValueError, match="no edges"):
         boruvka_msf(spark, df.limit(0))
+
+
+def test_single_linkage_matches_union_find_cut(spark):
+    """Engine goes MSF-first (cut theorem); check vs direct union-find
+    over the <=t edges of the FULL graph, across every threshold."""
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import boruvka_msf, single_linkage_clusters
+
+    pairs = make_weblike(seed=44, n_nodes=60, m_edges=300)
+    post = _post_regex(pairs)
+    mult = Counter((min(s, t), max(s, t)) for s, t in post if s != t)
+    wtriples = [(a, b, w) for (a, b), w in mult.items()]
+    df = spark.createDataFrame(wtriples, "a string, b string, w long")
+    msf = boruvka_msf(spark, df)  # amortized across cuts
+
+    def want(t):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        verts = {v for e in wtriples for v in e[:2]}
+        for v in verts:
+            find(v)
+        for a, b, w in wtriples:
+            if w <= t:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        # min url per cluster
+        clusters = {}
+        for v in verts:
+            clusters.setdefault(find(v), []).append(v)
+        out = {}
+        for members in clusters.values():
+            m = min(members)
+            for v in members:
+                out[v] = m
+        return out
+
+    for t in sorted({w for _, _, w in wtriples}) + [0]:
+        got = {
+            r["url"]: r["cluster"]
+            for r in single_linkage_clusters(spark, df, t, msf=msf).collect()
+        }
+        assert got == want(t), f"threshold {t}"

@@ -625,3 +625,44 @@ def test_boruvka_msf_oracle_matches_python_replay(con, g, graph):
     )
     rows = con.execute(g + "," + sql).fetchall()
     assert {(a, b): rr for a, b, w, rr in rows} == forest
+
+
+def test_single_linkage_oracle_matches_union_find(con, g, graph):
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import sql_single_linkage
+
+    edges, _ = graph
+    mult = Counter((min(s, t), max(s, t)) for s, t in edges if s != t)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    verts = {v for e in mult for v in e}
+    for v in verts:
+        find(v)
+    for (a, b), w in mult.items():
+        if -w <= -2:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for v in verts:
+        clusters.setdefault(find(v), []).append(v)
+    want = {}
+    for members in clusters.values():
+        m = min(members)
+        for v in members:
+            want[v] = m
+
+    sql = sql_single_linkage(
+        "select least(src, dst) as a, greatest(src, dst) as b, "
+        "-count(*) as w from edges where src <> dst group by 1, 2",
+        threshold=-2,
+    )
+    rows = con.execute(g + "," + sql).fetchall()
+    assert {v: c for v, c in rows} == want
