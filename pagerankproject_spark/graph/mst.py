@@ -40,7 +40,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import no_aqe, reset_stats_checkpoint
@@ -126,8 +126,13 @@ def boruvka_msf(
             )
             n_pick = tagged.count()
             # hook-and-jump contraction (see module docstring): hook =
-            # the other endpoint component of the pick; double the
-            # pointer ceil(log2(C)) + 2 times; label = min(p, hook(p)).
+            # the other endpoint component of the pick; double until the
+            # pointer map reaches its fixpoint (every pointer sits on its
+            # terminal 2-cycle — one more doubling changes nothing), the
+            # change count riding the checkpoint job as an Observation.
+            # ceil(log2(C)) + 2 steps is the guaranteed cap; typical hook
+            # chains are far shorter, so fixpoint detection saves most
+            # of the per-round fixed job latency.
             hook = percomp.select(
                 "c",
                 F.when(F.col("cand.xa") == F.col("c"), F.col("cand.xb"))
@@ -135,39 +140,60 @@ def boruvka_msf(
                 .alias("p"),
             ).transform(reset_stats_checkpoint)
             p = hook
-            inner = max(1, (max(n_active, 2) - 1).bit_length() + 2)
-            for _ in range(inner):
-                p = (
+            inner_cap = max(1, (max(n_active, 2) - 1).bit_length() + 2)
+            inner_used = 0
+            for _ in range(inner_cap):
+                obs = Observation()
+                stepped = (
                     p.join(
                         p.select(F.col("c").alias("p"), F.col("p").alias("pp")),
                         "p",
                     )
-                    .select("c", F.col("pp").alias("p"))
-                    .transform(reset_stats_checkpoint)
+                    .select(
+                        "c",
+                        F.col("pp").alias("np"),
+                        (F.col("pp") != F.col("p")).cast("long").alias("chg"),
+                    )
+                    .observe(obs, F.sum("chg").alias("chg"))
                 )
+                p = stepped.select("c", F.col("np").alias("p")).transform(
+                    reset_stats_checkpoint
+                )
+                inner_used += 1
+                if not (obs.get["chg"] or 0):
+                    break
             lab = (
                 p.join(hook.select(F.col("c").alias("p"),
                                    F.col("p").alias("hp")), "p")
                 .select("c", F.least("p", "hp").alias("l"))
+                .transform(reset_stats_checkpoint)
             )
-            # relabel the component map and the live edges
+            # relabel with the per-round DELTA (lab covers exactly the
+            # active components — both endpoints of a live edge are
+            # active, so the left-join coalesce only fires for comp's
+            # settled vertices), never re-deriving from the n-sized map
+            delta = lab.filter(F.col("c") != F.col("l"))
             comp = (
-                comp.join(lab, "c", "left")
+                comp.join(delta, "c", "left")
                 .select("v", F.coalesce("l", F.col("c")).alias("c"))
                 .transform(reset_stats_checkpoint)
             )
             live = (
-                live.drop("ca", "cb")
-                .join(comp.withColumnRenamed("v", "a")
-                          .withColumnRenamed("c", "ca"), "a")
-                .join(comp.withColumnRenamed("v", "b")
-                          .withColumnRenamed("c", "cb"), "b")
+                live.join(delta.select(F.col("c").alias("ca"),
+                                       F.col("l").alias("na")), "ca", "left")
+                .join(delta.select(F.col("c").alias("cb"),
+                                   F.col("l").alias("nb")), "cb", "left")
+                .select(
+                    "a", "b", "w", "pe",
+                    F.coalesce("na", F.col("ca")).alias("ca"),
+                    F.coalesce("nb", F.col("cb")).alias("cb"),
+                )
                 .filter(F.col("ca") != F.col("cb"))
                 .transform(reset_stats_checkpoint)
             )
             metrics.append(
                 {"r": r, "live_edges": m, "picked": n_pick,
-                 "wall_sec": time.time() - t0}
+                 "inner_joins": inner_used, "wall_sec": time.time() - t0}
             )
         else:
             raise ValueError(
