@@ -1560,6 +1560,24 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
+def q_affinity_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affinity-clustering level cut (graph/mst.py::affinity_levels,
+    Bateni et al. 2017): clusters after 2 Boruvka rounds over the
+    multiplicity-weighted simple graph; the oracle independently reads
+    the label table after 2 unrolled rounds."""
+    from pagerankproject_spark.graph.mst import affinity_levels
+
+    e = _edges(spark, sf_dir)
+    wedges = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return affinity_levels(spark, wedges, level=2)
+
+
 def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023 shape):
     multi-table hyperplane-LSH near-dup pairs (exact rescored cosine,
@@ -1875,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logloss": q_bigram_logloss,           # NEW round 3 (local gate; r4 window head)
         "boruvka_msf": q_boruvka_msf,                 # NEW round 3 (local gate; r4 window head)
         "single_linkage": q_single_linkage,           # NEW round 3 (local gate; r4 window head)
+        "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1918,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.mst import (
         sql_boruvka_msf as _sql_msf,
         sql_single_linkage as _sql_slink,
+        sql_affinity_levels as _sql_aff,
     )
     from pagerankproject_spark.graph.kcore import (
         sql_khop_subgraph as _sql_khop,
@@ -2014,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": f"{g},{_sql_wmatching('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
         "boruvka_msf": f"{g},{_sql_msf('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
         "single_linkage": f"{g},{_sql_slink('select least(src, dst) as a, greatest(src, dst) as b, -count(*) as w from edges where src <> dst group by 1, 2', threshold=-2)}",
+        "affinity_level2": f"{g},{_sql_aff('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2', level=2)}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

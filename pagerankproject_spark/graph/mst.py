@@ -221,6 +221,32 @@ def sql_boruvka_msf(wedges_sql: str, rounds: int = 24) -> str:
     as a recursive min-label closure over the tiny selection graph.
     rounds=24 covers components halving from ~16M; tail rounds are
     empty and idempotent."""
+    parts = _sql_boruvka_parts(wedges_sql, rounds)
+    members = "\n        union all ".join(
+        f"select a, b, w, {r}::bigint as msf_round from bv_pick{r}"
+        for r in range(rounds)
+    )
+    parts.append(f"""
+    bv_forest as ({members})
+    select a, b, w, msf_round from bv_forest""")
+    return ",".join(parts)
+
+
+def sql_affinity_levels(wedges_sql: str, level: int) -> str:
+    """DuckDB twin of affinity_levels: the label table after exactly
+    `level` unrolled Borůvka rounds (bv_comp{level} is the min-url
+    cluster id by induction — round 0 seeds every vertex with itself
+    and each contraction takes the min over the merged selection
+    component). Independent of the engine's route (one contraction
+    over the round-<level forest edges)."""
+    parts = _sql_boruvka_parts(wedges_sql, int(level))
+    parts.append(f"""
+    bv_out as (select v as url, c as cluster from bv_comp{int(level)})
+    select url, cluster from bv_out""")
+    return ",".join(parts)
+
+
+def _sql_boruvka_parts(wedges_sql: str, rounds: int) -> list[str]:
     h = sql_hash60("a || '|' || b")
     # NOTE: the priority row is kept FLAT (w, h, a, b) — DuckDB 1.0's
     # min() mis-compares rows that contain a nested row field (verified
@@ -272,14 +298,7 @@ def sql_boruvka_msf(wedges_sql: str, rounds: int = 24) -> str:
         join bv_comp{r + 1} c1 on c1.v = e.a
         join bv_comp{r + 1} c2 on c2.v = e.b
         where c1.c <> c2.c)""")
-    members = "\n        union all ".join(
-        f"select a, b, w, {r}::bigint as msf_round from bv_pick{r}"
-        for r in range(rounds)
-    )
-    parts.append(f"""
-    bv_forest as ({members})
-    select a, b, w, msf_round from bv_forest""")
-    return ",".join(parts)
+    return parts
 
 
 def single_linkage_clusters(
@@ -308,12 +327,23 @@ def single_linkage_clusters(
     convention). Pass `msf=` to amortize one forest across cuts.
     """
     res = msf if msf is not None else boruvka_msf(spark, wedges)
+    cut = res.forest.filter(F.col("w") <= F.lit(int(threshold)))
+    return _cut_components(spark, wedges, cut)
+
+
+def _cut_components(
+    spark: SparkSession, wedges: DataFrame, cut: DataFrame
+) -> DataFrame:
+    """(url, cluster) for every vertex of `wedges` under the partition
+    induced by the `cut` subset of forest edges; vertices incident to
+    no cut edge are singletons. Contraction reuses boruvka_msf (on a
+    forest every edge is picked, so only the O(log n) hook-and-jump
+    rounds do work)."""
     verts = (
         wedges.select(F.col("a").alias("url"))
         .union(wedges.select("b"))
         .distinct()
     )
-    cut = res.forest.filter(F.col("w") <= F.lit(int(threshold)))
     if cut.isEmpty():
         return verts.select("url", F.col("url").alias("cluster"))
     sub = boruvka_msf(spark, cut.select("a", "b", "w"))
@@ -323,6 +353,34 @@ def single_linkage_clusters(
         )
         .select("url", F.coalesce("cluster", F.col("url")).alias("cluster"))
     )
+
+
+def affinity_levels(
+    spark: SparkSession,
+    wedges: DataFrame,
+    level: int,
+    msf: MSFResult | None = None,
+) -> DataFrame:
+    """Affinity-clustering level cut (Bateni, Behnezhad, Derakhshan,
+    Hajiaghayi, Kiveris, Lattanzi, Mirrokni, NeurIPS 2017: distributed
+    Boruvka rounds AS the clustering hierarchy): level-k clusters are
+    the connected components of the forest edges picked in rounds < k.
+    The MSF's `msf_round` column IS the dendrogram level, so any level
+    is a contraction over <= n-1 forest edges — same amortization as
+    single_linkage_clusters, cut on pick round instead of weight.
+    Level 0 = all singletons; level >= rounds = connected components
+    of the weighted graph. The DuckDB twin reads the label table after
+    exactly `level` unrolled oracle rounds — an independent derivation
+    of the same partition (engine: one contraction over the round-<k
+    forest edges; oracle: k sequential contractions).
+
+    Output: (url, cluster), cluster = min url (components convention).
+    """
+    if level < 0:
+        raise ValueError("level must be >= 0")
+    res = msf if msf is not None else boruvka_msf(spark, wedges)
+    cut = res.forest.filter(F.col("msf_round") < F.lit(int(level)))
+    return _cut_components(spark, wedges, cut)
 
 
 def sql_single_linkage(wedges_sql: str, threshold: int) -> str:

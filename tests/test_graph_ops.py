@@ -1559,3 +1559,56 @@ def test_single_linkage_matches_union_find_cut(spark):
             for r in single_linkage_clusters(spark, df, t, msf=msf).collect()
         }
         assert got == want(t), f"threshold {t}"
+
+
+def test_affinity_levels_match_replay_hierarchy(spark):
+    """Level-k clusters == components of the replay forest's round<k
+    edges, for every level 0..rounds (level 0 = singletons, level >=
+    rounds = connected components)."""
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import affinity_levels, boruvka_msf
+
+    pairs = make_weblike(seed=45, n_nodes=50, m_edges=250)
+    post = _post_regex(pairs)
+    mult = Counter((min(s, t), max(s, t)) for s, t in post if s != t)
+    wtriples = [(a, b, w) for (a, b), w in mult.items()]
+    want_forest, _, want_rounds = _boruvka_replay(wtriples)
+
+    df = spark.createDataFrame(wtriples, "a string, b string, w long")
+    msf = boruvka_msf(spark, df)
+
+    verts = {v for e in wtriples for v in e[:2]}
+    for level in range(want_rounds + 2):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for v in verts:
+            find(v)
+        for (a, b), r in want_forest.items():
+            if r < level:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        clusters = {}
+        for v in verts:
+            clusters.setdefault(find(v), []).append(v)
+        want = {}
+        for members in clusters.values():
+            m = min(members)
+            for v in members:
+                want[v] = m
+        got = {
+            r["url"]: r["cluster"]
+            for r in affinity_levels(spark, df, level, msf=msf).collect()
+        }
+        assert got == want, f"level {level}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        affinity_levels(spark, df, -1, msf=msf)

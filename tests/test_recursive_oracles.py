@@ -666,3 +666,49 @@ def test_single_linkage_oracle_matches_union_find(con, g, graph):
     )
     rows = con.execute(g + "," + sql).fetchall()
     assert {v: c for v, c in rows} == want
+
+
+def test_affinity_levels_oracle_matches_python_replay(con, g, graph):
+    """bv_comp{level} after `level` unrolled rounds == union-find over
+    the replay forest's round<level edges."""
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import sql_affinity_levels
+    from tests.test_graph_ops import _boruvka_replay
+
+    edges, _ = graph
+    mult = Counter((min(s, t), max(s, t)) for s, t in edges if s != t)
+    wtriples = [(a, b, w) for (a, b), w in mult.items()]
+    want_forest, _, _ = _boruvka_replay(wtriples)
+    verts = {v for e in wtriples for v in e[:2]}
+    for level in (0, 1, 2):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for v in verts:
+            find(v)
+        for (a, b), r in want_forest.items():
+            if r < level:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        clusters = {}
+        for v in verts:
+            clusters.setdefault(find(v), []).append(v)
+        want = {}
+        for members in clusters.values():
+            m = min(members)
+            for v in members:
+                want[v] = m
+        sql = sql_affinity_levels(
+            "select least(src, dst) as a, greatest(src, dst) as b, "
+            "count(*) as w from edges where src <> dst group by 1, 2",
+            level=level,
+        )
+        rows = con.execute(g + "," + sql).fetchall()
+        assert {v: c for v, c in rows} == want, f"level {level}"
