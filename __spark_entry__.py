@@ -1560,6 +1560,17 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walk corpus (graph/walks.py::
+    node2vec_walks, Grover & Leskovec 2016): integer search biases
+    (1, 2, 1) = p = q = 2, deterministic cumulative-weight inverse
+    sampling on the portable hash, replayed bit-identically by the
+    DuckDB twin."""
+    from pagerankproject_spark.graph.walks import node2vec_walks
+
+    return node2vec_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+
+
 def q_affinity_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Affinity-clustering level cut (graph/mst.py::affinity_levels,
     Bateni et al. 2017): clusters after 2 Boruvka rounds over the
@@ -1894,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boruvka_msf": q_boruvka_msf,                 # NEW round 3 (local gate; r4 window head)
         "single_linkage": q_single_linkage,           # NEW round 3 (local gate; r4 window head)
         "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
+        "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1948,7 +1960,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.walks import (
         sql_ppr_from_walks as _sql_ppr_from_walks,
-    )
+        sql_node2vec_walks as _sql_n2v,
+)
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
     )
@@ -2481,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": f"{g},{rsql.sql_scc()}",
         "bowtie": f"{g},{rsql.sql_bowtie()}",
         "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
+        "node2vec_walks": f"{g},{_sql_n2v(walk_length=4, walks_per_vertex=2)}",
         "ppr_walks": f"{g},\n{_sql_ppr_from_walks(4, 2, 0.5)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",
         "pagerank_personalized": g + "," + rsql.sql_pagerank_ranks(

@@ -339,3 +339,203 @@ def sql_ppr_from_walks(
         f"{body}\nselect seed, url, round(sum(wgt), 6) as ppr_est "
         f"from visits group by 1, 2"
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    return_w: int = 1,
+    common_w: int = 2,
+    far_w: int = 1,
+) -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec, KDD 2016 —
+    node2vec): standing at `cur` having arrived from `prev`, each
+    out-neighbor x of cur gets the paper's search bias as an INTEGER
+    weight (the repo's exact-arithmetic convention; the paper's
+    1/p, 1, 1/q correspond to return_w : common_w : far_w after
+    clearing denominators — the defaults (1, 2, 1) encode p = q = 2):
+
+        return_w  if x == prev          (the return step, alpha = 1/p)
+        common_w  if (prev, x) is an edge  (distance 1, alpha = 1)
+        far_w     otherwise             (exploration, alpha = 1/q)
+
+    Deterministic choice by cumulative-weight inverse sampling on the
+    portable hash: r = H(cur|prev|start|w|t) mod sum(weights), pick
+    the dst-ranked neighbor whose cumulative range contains r — the
+    discrete analogue of the paper's alias sampling, bit-identical in
+    the DuckDB twin. Step 1 has no prev and uses the first-order rule
+    (H mod outdeg), exactly random_walks' step. Walks stop early at
+    dangling vertices.
+
+    Per step: one equi-join expanding each walker to cur's neighbor
+    list, one left join flagging (prev, x) edges, one walker-keyed
+    window for the cumulative pick — work is O(sum outdeg(cur) over
+    walkers), the inherent node2vec cost (it reads every candidate's
+    bias); no Python, no RNG state. Lineage cut per step.
+
+    Returns (walk_id, step, url) long-format corpus like random_walks.
+    """
+    if min(return_w, common_w, far_w) < 1:
+        raise ValueError("bias weights must be positive integers")
+    adj = _adjacency(edges).localCheckpoint(eager=True)
+    deg = adj.select("src", "outdeg").distinct()
+    pairs = adj.select(F.col("src").alias("prev"), F.col("dst").alias("x"))
+
+    verts = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    state = verts.crossJoin(
+        F.broadcast(
+            verts.sparkSession.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    ).select(F.col("url").alias("start"), "w", F.col("url").alias("cur"))
+
+    out = state.select(
+        "start", "w", F.lit(0).alias("step"), F.col("cur").alias("url")
+    )
+    # step 1: first-order (no prev), random_walks' exact rule
+    choice1 = F.pmod(
+        hash60_expr(
+            F.concat_ws(
+                "|", F.col("cur"), F.col("start"),
+                F.col("w").cast("string"), F.lit("1"),
+            )
+        ),
+        F.col("outdeg"),
+    )
+    state = (
+        state.join(deg, state.cur == deg.src)
+        .select("start", "w", "cur", choice1.alias("idx"))
+        .join(
+            adj.select(F.col("src").alias("cur"), "idx", "dst"), ["cur", "idx"]
+        )
+        .select("start", "w", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+    out = out.union(
+        state.select("start", "w", F.lit(1).alias("step"), F.col("cur").alias("url"))
+    )
+
+    wk = Window.partitionBy("start", "w")
+    wcum = wk.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    for t in range(2, walk_length + 1):
+        cand = (
+            state.join(
+                adj.select(
+                    F.col("src").alias("cur"), F.col("dst").alias("x")
+                ),
+                "cur",
+            )
+            .join(pairs.select("prev", "x", F.lit(1).alias("pn")),
+                  ["prev", "x"], "left")
+            .select(
+                "start", "w", "prev", "cur", "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(return_w))
+                .when(F.col("pn").isNotNull(), F.lit(common_w))
+                .otherwise(F.lit(far_w))
+                .cast("long")
+                .alias("wgt"),
+            )
+        )
+        r = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|", F.col("cur"), F.col("prev"), F.col("start"),
+                    F.col("w").cast("string"), F.lit(str(t)),
+                )
+            ),
+            F.sum("wgt").over(wk),
+        )
+        cum = F.sum("wgt").over(wcum)
+        state = (
+            cand.select(
+                "start", "w", "cur", "x", "wgt",
+                cum.alias("cum"), r.alias("r"),
+            )
+            .filter(
+                (F.col("r") >= F.col("cum") - F.col("wgt"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select("start", "w", F.col("cur").alias("prev"), F.col("x").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(
+            state.select(
+                "start", "w", F.lit(t).alias("step"), F.col("cur").alias("url")
+            )
+        )
+    return out.select(
+        F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias("walk_id"),
+        "step",
+        "url",
+    )
+
+
+def sql_node2vec_walks(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    return_w: int = 1,
+    common_w: int = 2,
+    far_w: int = 1,
+) -> str:
+    """DuckDB twin over the `edges`/`vertices` CTEs: identical
+    first-order step 1, then per step the identical candidate
+    expansion + bias weights + cumulative-pick windows."""
+    walks = ", ".join(f"({w})" for w in range(walks_per_vertex))
+    h1 = sql_hash60("concat_ws('|', s.cur, s.start, s.w::varchar, '1')")
+    parts = [
+        f"""adj as (
+            select src, dst,
+                   row_number() over (partition by src order by dst) - 1 as idx,
+                   count(*) over (partition by src) as outdeg
+            from (select distinct src, dst from edges where src <> dst)
+        ),
+        deg as (select distinct src, outdeg from adj),
+        n0 as (
+            select url as start, w, url as cur
+            from vertices cross join (values {walks}) t(w)
+        ),
+        n1 as (
+            select s.start, s.w, s.cur as prev, a.dst as cur
+            from n0 s
+            join deg d on d.src = s.cur
+            join adj a on a.src = s.cur and a.idx = ({h1}) % d.outdeg
+        )"""
+    ]
+    for t in range(2, walk_length + 1):
+        h = sql_hash60(
+            f"concat_ws('|', cur, prev, start, w::varchar, '{t}')"
+        )
+        parts.append(
+            f"""n{t} as (
+            select start, w, cur as prev, x as cur from (
+                select c.*,
+                       sum(wgt) over (partition by start, w order by x
+                                      rows unbounded preceding) as cum,
+                       ({h}) % (sum(wgt) over (partition by start, w)) as r
+                from (
+                    select s.start, s.w, s.prev, s.cur, a.dst as x,
+                           case when a.dst = s.prev then {int(return_w)}
+                                when p.src is not null then {int(common_w)}
+                                else {int(far_w)} end::bigint as wgt
+                    from n{t - 1} s
+                    join adj a on a.src = s.cur
+                    left join (select distinct src, dst from adj) p
+                           on p.src = s.prev and p.dst = a.dst
+                ) c
+            ) where r >= cum - wgt and r < cum
+        )"""
+        )
+    union = "\nunion all\n".join(
+        ["select start || '#' || w::varchar as walk_id, 0 as step, cur as url from n0"]
+        + [
+            f"select start || '#' || w::varchar as walk_id, {t} as step, cur as url from n{t}"
+            for t in range(1, walk_length + 1)
+        ]
+    )
+    return ",\n".join(parts) + "\n" + union

@@ -1612,3 +1612,68 @@ def test_affinity_levels_match_replay_hierarchy(spark):
 
     with _pytest.raises(ValueError, match=">= 0"):
         affinity_levels(spark, df, -1, msf=msf)
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    """Full corpus vs a literal python replay of the second-order
+    biased steps (bias weights 1/3/1 so the common-neighbor pull is
+    visible), plus the bias-validation fail-fast."""
+    import hashlib
+
+    from pagerankproject_spark.graph.walks import node2vec_walks
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    pairs = make_weblike(seed=46, n_nodes=40, m_edges=220)
+    post = sorted({(s, t) for s, t in _post_regex(pairs) if s != t})
+    adj = {}
+    for s, t in post:
+        adj.setdefault(s, []).append(t)
+    for s in adj:
+        adj[s].sort()
+    eset = set(post)
+    verts = sorted({v for e in post for v in e})
+    L, W = 5, 2
+    RW, CW, FW = 1, 3, 1
+
+    want = {}
+    for start in verts:
+        for w in range(W):
+            wid = f"{start}#{w}"
+            want[(wid, 0)] = start
+            cur, prev = start, None
+            for t in range(1, L + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if t == 1:
+                    nxt = nbrs[h60(f"{cur}|{start}|{w}|1") % len(nbrs)]
+                else:
+                    wgts = [
+                        RW if x == prev else (CW if (prev, x) in eset else FW)
+                        for x in nbrs
+                    ]
+                    r = h60(f"{cur}|{prev}|{start}|{w}|{t}") % sum(wgts)
+                    cum = 0
+                    for x, g_ in zip(nbrs, wgts):
+                        cum += g_
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                want[(wid, t)] = cur
+
+    df = spark.createDataFrame(post, "src string, dst string")
+    got = {
+        (r["walk_id"], r["step"]): r["url"]
+        for r in node2vec_walks(
+            df, walk_length=L, walks_per_vertex=W,
+            return_w=RW, common_w=CW, far_w=FW,
+        ).collect()
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive integers"):
+        node2vec_walks(df, return_w=0)

@@ -712,3 +712,58 @@ def test_affinity_levels_oracle_matches_python_replay(con, g, graph):
         )
         rows = con.execute(g + "," + sql).fetchall()
         assert {v: c for v, c in rows} == want, f"level {level}"
+
+
+def test_node2vec_oracle_matches_engine_shape(con, g, graph):
+    """sql_node2vec_walks replays the identical biased choices: checked
+    against a python replay (same rule as the engine test) on the
+    oracle fixture graph."""
+    import hashlib
+
+    from pagerankproject_spark.graph.walks import sql_node2vec_walks
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    edges, _ = graph
+    post = sorted({(s, t) for s, t in edges if s != t})
+    adj = {}
+    for s, t in post:
+        adj.setdefault(s, []).append(t)
+    for s in adj:
+        adj[s].sort()
+    eset = set(post)
+    verts = sorted({v for e in post for v in e})
+    L, W = 4, 2
+    RW, CW, FW = 1, 2, 1
+
+    want = {}
+    for start in verts:
+        for w in range(W):
+            wid = f"{start}#{w}"
+            want[(wid, 0)] = start
+            cur, prev = start, None
+            for t in range(1, L + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if t == 1:
+                    nxt = nbrs[h60(f"{cur}|{start}|{w}|1") % len(nbrs)]
+                else:
+                    wgts = [
+                        RW if x == prev else (CW if (prev, x) in eset else FW)
+                        for x in nbrs
+                    ]
+                    r = h60(f"{cur}|{prev}|{start}|{w}|{t}") % sum(wgts)
+                    cum = 0
+                    for x, g_ in zip(nbrs, wgts):
+                        cum += g_
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                want[(wid, t)] = cur
+
+    sql = sql_node2vec_walks(walk_length=L, walks_per_vertex=W)
+    rows = con.execute(g + "," + sql).fetchall()
+    assert {(wid, s): u for wid, s, u in rows} == want
