@@ -1560,6 +1560,16 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
+def q_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PPMI over the deterministic walk corpus
+    (graph/walks.py::walk_ppmi, Levy-Goldberg 2014): exact integer
+    counts, one round-once ln at the end."""
+    from pagerankproject_spark.graph.walks import random_walks, walk_ppmi
+
+    corpus = random_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    return walk_ppmi(corpus, context=2, min_count=2)
+
+
 def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec second-order biased walk corpus (graph/walks.py::
     node2vec_walks, Grover & Leskovec 2016): integer search biases
@@ -1906,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage": q_single_linkage,           # NEW round 3 (local gate; r4 window head)
         "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
         "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
+        "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1961,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.walks import (
         sql_ppr_from_walks as _sql_ppr_from_walks,
         sql_node2vec_walks as _sql_n2v,
+    sql_walk_ppmi as _sql_wppmi,
 )
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
@@ -2495,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": f"{g},{rsql.sql_bowtie()}",
         "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
         "node2vec_walks": f"{g},{_sql_n2v(walk_length=4, walks_per_vertex=2)}",
+        "walk_ppmi": f"{g},{_sql_wppmi(walk_length=4, walks_per_vertex=2, context=2, min_count=2)}",
         "ppr_walks": f"{g},\n{_sql_ppr_from_walks(4, 2, 0.5)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",
         "pagerank_personalized": g + "," + rsql.sql_pagerank_ranks(

@@ -539,3 +539,99 @@ def sql_node2vec_walks(
         ]
     )
     return ",\n".join(parts) + "\n" + union
+
+
+def walk_ppmi(
+    corpus: DataFrame,
+    context: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence + PPMI over a walk corpus (walk_id,
+    step, url) — the word2vec-as-implicit-matrix-factorization stage
+    (Levy & Goldberg, NeurIPS 2014: skip-gram with negative sampling
+    factorizes the shifted PPMI matrix; DeepWalk/node2vec inherit this
+    through their corpora). For every center position i, every context
+    position j with 0 < |i - j| <= context in the same walk yields a
+    directed (x, y) pair; then
+
+        ppmi(x, y) = max(0, ln(n_xy * N / (n_x * n_y)))
+
+    over the pair counts. Counts and marginals are exact integers —
+    the only float is the final single ln, rounded once to 6 dp (the
+    repo's cross-engine float convention, as in bigram_logloss).
+
+    Shape: one walk_id-keyed self-join with the step-window predicate
+    (fan-out <= 2*context per row, linear in corpus size), one
+    map-combinable pair count, two marginal joins, one 1-row scalar
+    crossJoin for N. Returns (x, y, n_pairs, ppmi), pairs with
+    n_pairs >= min_count.
+    """
+    a = corpus.select("walk_id", F.col("step").alias("si"), F.col("url").alias("x"))
+    b = corpus.select("walk_id", F.col("step").alias("sj"), F.col("url").alias("y"))
+    d = F.col("sj") - F.col("si")
+    pairs = (
+        a.join(b, "walk_id")
+        .filter((d != 0) & (d <= context) & (d >= -context))
+        .select("x", "y")
+    )
+    nxy = pairs.groupBy("x", "y").agg(F.count("*").alias("n_pairs"))
+    nx = pairs.groupBy("x").agg(F.count("*").alias("n_x"))
+    ny = pairs.groupBy("y").agg(F.count("*").alias("n_y"))
+    ntot = pairs.agg(F.count("*").alias("n_tot"))
+    return (
+        nxy.filter(F.col("n_pairs") >= min_count)
+        .join(nx, "x")
+        .join(ny, "y")
+        .crossJoin(ntot)
+        .select(
+            "x", "y", "n_pairs",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("n_pairs").cast("double")
+                        * F.col("n_tot").cast("double")
+                        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )
+
+
+def sql_walk_ppmi(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    context: int = 2,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin: the replayed walk-corpus CTEs piped through the
+    identical integer pair counting and the identical round-once ln."""
+    parts = _sql_walk_ctes(walk_length, walks_per_vertex)
+    union = "\nunion all\n".join(
+        f"select start || '#' || w::varchar as walk_id, {t} as step, cur as url from s{t}"
+        for t in range(walk_length + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+    corpus as (\n{union}\n),
+    pp as (
+        select a.url as x, b.url as y
+        from corpus a join corpus b on a.walk_id = b.walk_id
+        where b.step - a.step <> 0
+          and b.step - a.step <= {int(context)}
+          and b.step - a.step >= -{int(context)}
+    ),
+    pxy as (select x, y, count(*) as n_pairs from pp group by 1, 2),
+    px as (select x, count(*) as n_x from pp group by 1),
+    py as (select y, count(*) as n_y from pp group by 1),
+    pn as (select count(*) as n_tot from pp)
+    select x, y, n_pairs,
+           round(greatest(0.0,
+               ln(n_pairs::double * n_tot::double
+                  / (n_x::double * n_y::double))), 6) as ppmi
+    from pxy join px using (x) join py using (y) cross join pn
+    where n_pairs >= {int(min_count)}"""
+    )

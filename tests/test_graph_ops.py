@@ -1677,3 +1677,44 @@ def test_node2vec_walks_match_python_replay(spark):
 
     with _pytest.raises(ValueError, match="positive integers"):
         node2vec_walks(df, return_w=0)
+
+
+def test_walk_ppmi_matches_math_replay(spark):
+    """Exact pair counts and math.log PPMI replay over a tiny corpus
+    built by hand (no walk generator in the loop — pins the counting
+    window semantics directly)."""
+    import math
+    from collections import Counter
+
+    from pagerankproject_spark.graph.walks import walk_ppmi
+
+    corpus = [
+        ("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "a"),
+        ("w2", 0, "b"), ("w2", 1, "a"), ("w2", 2, "b"),
+        ("w3", 0, "c"),
+    ]
+    C = 2
+    prs = []
+    bywalk = {}
+    for wid, s, u in corpus:
+        bywalk.setdefault(wid, []).append((s, u))
+    for wid, items in bywalk.items():
+        for si, x in items:
+            for sj, y in items:
+                if sj != si and abs(sj - si) <= C:
+                    prs.append((x, y))
+    nxy = Counter(prs)
+    nx = Counter(x for x, _ in prs)
+    ny = Counter(y for _, y in prs)
+    N = len(prs)
+    want = {
+        (x, y): (c, round(max(0.0, math.log(c * N / (nx[x] * ny[y]))), 6))
+        for (x, y), c in nxy.items() if c >= 2
+    }
+
+    df = spark.createDataFrame(corpus, "walk_id string, step int, url string")
+    got = {
+        (r["x"], r["y"]): (r["n_pairs"], r["ppmi"])
+        for r in walk_ppmi(df, context=C, min_count=2).collect()
+    }
+    assert got == want
