@@ -1560,6 +1560,16 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
+def q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound (graph/kcore.py::double_sweep,
+    Magnien-Latapy-Habib 2009): two frontier-restricted BFS runs, the
+    second seeded at the first's farthest vertex."""
+    from pagerankproject_spark.graph.kcore import double_sweep
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return double_sweep(spark, g, source="site.com/p1")
+
+
 def q_walk_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence PPMI over the deterministic walk corpus
     (graph/walks.py::walk_ppmi, Levy-Goldberg 2014): exact integer
@@ -1917,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
         "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
         "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
+        "double_sweep": q_double_sweep,               # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2526,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": f"with {_sql_dup_spans(k=8)}",
         "ktruss": f"{g},{rsql.sql_ktruss(4)}",
         "bfs_distances": f"{g},{rsql.sql_bfs_distances('site.com/p1')}",
+        "double_sweep": f"{g},{rsql.sql_double_sweep('site.com/p1')}",
         "label_propagation": f"{g},{rsql.sql_label_propagation(5)}",
         "search_top10": f"{g},{rsql.sql_search_top10(epsilon=1e-6, max_iterations=60)}",
         "dedup_clusters": rsql.sql_dedup_clusters(

@@ -544,3 +544,35 @@ def coreness(
     return CorenessResult(
         vertices=out, iterations=it + 1, converged=converged, metrics=metrics
     )
+
+def double_sweep(
+    spark: SparkSession,
+    g: GraphTables,
+    source: str,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib,
+    ACM JEA 2009: two BFS sweeps give a lower bound on the diameter
+    that is exact on trees and empirically tight on web graphs —
+    the standard cheap companion to HyperBall's full neighborhood
+    function): BFS from `source`, take the farthest reached vertex
+    (max distance, min-url tie-break — deterministic), BFS again from
+    it, report that sweep's eccentricity. Cost: exactly two
+    frontier-restricted BFS runs; the only driver-side value is the
+    1-row peak pick (same class as the top-k sink).
+
+    Returns one row (seed, sweep_peak, far_url, diameter_lb).
+    """
+    d1 = bfs_distances(spark, g, sources=[source]).distances
+    peak = d1.orderBy(F.desc("distance"), F.asc("url")).limit(1).collect()[0]
+    u = str(peak["url"])
+    d2 = bfs_distances(spark, g, sources=[u]).distances
+    return (
+        d2.orderBy(F.desc("distance"), F.asc("url"))
+        .limit(1)
+        .select(
+            F.lit(source).alias("seed"),
+            F.lit(u).alias("sweep_peak"),
+            F.col("url").alias("far_url"),
+            F.col("distance").alias("diameter_lb"),
+        )
+    )

@@ -937,3 +937,46 @@ select v.url,
        when v.url in (select url from to_out) then 'TENDRIL_OUT'
        else 'DISC' end as region
 from vertices v"""
+
+
+def sql_double_sweep(source: str) -> str:
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib 2009)
+    over the symmetrized graph: BFS from `source`, re-BFS from the
+    farthest reached vertex (max distance, min-url tie-break), report
+    that sweep's eccentricity. Two seeded copies of the
+    sql_bfs_distances recursion with disjoint CTE names; the second
+    seed is a scalar subquery over the first sweep."""
+    def sweep(tag: str, seed_pred: str) -> str:
+        return f"""
+{tag} as (
+  with recursive st(v, d, chg) as (
+    select url, 0::bigint, 1 from vertices where {seed_pred}
+    union all
+    select v, d,
+           max(case when old is null or d < old then 1 else 0 end) over () as chg
+    from (
+      select e.dst as v,
+             min(s.d + e.w) as d,
+             min(s.d) filter (where e.w = 0) as old
+      from st s join dsymw e on e.src = s.v
+      where s.chg = 1
+      group by e.dst
+    )
+  )
+  select v as url, min(d)::bigint as distance from st group by v
+)"""
+
+    return f"""
+dsymw as (
+  select src, dst, 1 as w from sym
+  union all
+  select url, url, 0 from vertices
+),{sweep("ds1", f"url = '{source}'")},
+dpk as (
+  select url from ds1 order by distance desc, url limit 1
+),{sweep("ds2", "url = (select url from dpk)")}
+select '{source}' as seed,
+       (select url from dpk) as sweep_peak,
+       url as far_url,
+       distance as diameter_lb
+from ds2 order by distance desc, url limit 1"""

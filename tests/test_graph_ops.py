@@ -1718,3 +1718,56 @@ def test_walk_ppmi_matches_math_replay(spark):
         for r in walk_ppmi(df, context=C, min_count=2).collect()
     }
     assert got == want
+
+
+def test_double_sweep_exact_on_tree_and_matches_bfs_replay(spark):
+    """On a tree the double-sweep bound is the exact diameter; also
+    pin the deterministic peak pick (max distance, min-url tie-break)
+    via a python BFS replay on the weblike fixture."""
+    from collections import deque
+
+    from pagerankproject_spark.graph.kcore import double_sweep
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    # path a00-...-a09 (diameter 9) with a shorter branch a04->b0->b1
+    # (b1's eccentricity is only 7): the sweep must find the true
+    # diameter endpoints, not the branch
+    tree = [(f"a{i:02d}", f"a{i+1:02d}") for i in range(9)]
+    tree += [("a04", "b0"), ("b0", "b1")]
+    gt = build_graph_tables(
+        spark, spark.createDataFrame(tree, "src string, dst string")
+    )
+    row = double_sweep(spark, gt, source="a04").collect()[0]
+    assert row["diameter_lb"] == 9
+    assert {row["sweep_peak"], row["far_url"]} == {"a00", "a09"}
+
+    pairs = make_weblike(seed=47, n_nodes=60, m_edges=200)
+    post = sorted({(s, t) for s, t in _post_regex(pairs) if s != t})
+    adj = {}
+    for s, t in post:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            for x in sorted(adj.get(v, ())):
+                if x not in dist:
+                    dist[x] = dist[v] + 1
+                    q.append(x)
+        return dist
+
+    source = post[0][0]
+    d1 = bfs(source)
+    peak = min((v for v in d1), key=lambda v: (-d1[v], v))
+    d2 = bfs(peak)
+    far = min((v for v in d2), key=lambda v: (-d2[v], v))
+    gt2 = build_graph_tables(
+        spark, spark.createDataFrame(post, "src string, dst string")
+    )
+    row = double_sweep(spark, gt2, source=source).collect()[0]
+    assert (row["seed"], row["sweep_peak"], row["far_url"], row["diameter_lb"]) == (
+        source, peak, far, d2[far]
+    )
