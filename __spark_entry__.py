@@ -81,6 +81,7 @@ from pagerankproject_spark.graph.metrics import (
     sql_degree_assortativity,
     sql_eigenvector_centrality,
     sql_katz_centrality,
+    sql_conductance as _sql_conduct,
 )
 from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.similarity.centroids import sql_embedding_centroids_long
@@ -1560,6 +1561,18 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
+def q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the one-iteration LPA partition
+    (graph/metrics.py::conductance): exact integer cut/volume counts,
+    one guarded round-once division."""
+    from pagerankproject_spark.graph.metrics import conductance
+
+    labels = q_lpa_one_iter(spark, sf_dir).select(
+        "url", F.col("new_label").alias("label")
+    )
+    return conductance(_edges(spark, sf_dir), labels)
+
+
 def q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep diameter lower bound (graph/kcore.py::double_sweep,
     Magnien-Latapy-Habib 2009): two frontier-restricted BFS runs, the
@@ -1928,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
         "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "double_sweep": q_double_sweep,               # NEW round 3 (local gate; r4 window head)
+        "lpa_conductance": q_lpa_conductance,         # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2090,6 +2104,14 @@ def oracle_sql() -> dict[str, str]:
                        from counts),
             labs as (select url, label from ranked where rn = 1),
             {_sql_modularity('labs')}""",
+        "lpa_conductance": f"""{g},
+            counts as (select dst as url, src as label, count(*) as cnt
+                       from sym group by 1, 2),
+            ranked as (select url, label,
+                              row_number() over (partition by url
+                                                 order by cnt desc, label asc) as rn
+                       from counts),
+            {_sql_conduct('select url, label from ranked where rn = 1')}""",
         "triangles_per_edge": f"""{g},
             und as (select distinct least(src, dst) as a, greatest(src, dst) as b
                     from edges where src <> dst),

@@ -383,3 +383,73 @@ def sql_modularity(labels_rel: str, edges_rel: str = "edges") -> str:
                / (4 * m_edges * m_edges)::double as modularity
     from mm, intra, dsq
     """
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the symmetrized multigraph
+    (Kannan, Vempala & Vetta, JACM 2004 — the standard cluster-quality
+    score; Leskovec et al. 2009 use exactly this for web-community
+    evaluation):
+
+        phi(S) = cut(S) / min(vol(S), vol(V) - vol(S))
+
+    with cut(S) = directed symmetrized edges leaving S and vol(S) =
+    symmetrized out-degree mass of S — both exact integers; the single
+    float division is rounded once to 6 dp (cross-engine convention).
+    Communities covering everything (or nothing) get NULL conductance
+    (guarded min = 0) instead of a non-portable division-by-zero.
+
+    `edges`: (src, dst) urls; `labels`: (url, label) covering every
+    endpoint. Shape: symmetrize, two label joins, one combinable
+    count aggregate, one scalar crossJoin for the total volume.
+    Returns (label, cut_edges, volume, conductance).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    e2 = (
+        sym.join(labels.select(F.col("url").alias("src"),
+                               F.col("label").alias("ls")), "src")
+        .join(labels.select(F.col("url").alias("dst"),
+                            F.col("label").alias("ld")), "dst")
+    )
+    vols = e2.groupBy(F.col("ls").alias("label")).agg(
+        F.count("*").alias("volume"),
+        F.sum((F.col("ls") != F.col("ld")).cast("long")).alias("cut_edges"),
+    )
+    tot = e2.agg(F.count("*").alias("t"))
+    denom = F.least(F.col("volume"), F.col("t") - F.col("volume"))
+    return vols.crossJoin(tot).select(
+        "label",
+        "cut_edges",
+        "volume",
+        F.round(
+            F.col("cut_edges").cast("double")
+            / F.when(denom > 0, denom).cast("double"),
+            6,
+        ).alias("conductance"),
+    )
+
+
+def sql_conductance(labels_sql: str) -> str:
+    """DuckDB twin over the `sym` CTE and a labels relation (url,
+    label): identical integer counts, identical guarded round-once
+    division."""
+    return f"""
+    cd_lab as ({labels_sql}),
+    cd_e as (
+        select l1.label as ls, l2.label as ld
+        from sym s
+        join cd_lab l1 on l1.url = s.src
+        join cd_lab l2 on l2.url = s.dst
+    ),
+    cd_vol as (
+        select ls as label, count(*) as volume,
+               sum(case when ls <> ld then 1 else 0 end)::bigint as cut_edges
+        from cd_e group by 1
+    ),
+    cd_tot as (select count(*) as t from cd_e)
+    select label, cut_edges, volume,
+           round(cut_edges::double
+                 / nullif(least(volume, t - volume), 0)::double, 6) as conductance
+    from cd_vol cross join cd_tot"""

@@ -1771,3 +1771,31 @@ def test_double_sweep_exact_on_tree_and_matches_bfs_replay(spark):
     assert (row["seed"], row["sweep_peak"], row["far_url"], row["diameter_lb"]) == (
         source, peak, far, d2[far]
     )
+
+
+def test_conductance_matches_hand_counts(spark):
+    """Exact-integer replay on a two-community hand graph, plus the
+    single-community NULL guard."""
+    import math
+
+    from pagerankproject_spark.graph.metrics import conductance
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),   # triangle A
+        ("b1", "b2"), ("b2", "b3"),                  # path B
+        ("a1", "b1"),                                # one cut edge
+    ]
+    labels = [(v, "A") for v in ("a1", "a2", "a3")] + [
+        (v, "B") for v in ("b1", "b2", "b3")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    lf = spark.createDataFrame(labels, "url string, label string")
+    got = {r["label"]: r for r in conductance(df, lf).collect()}
+    # sym multigraph: vol(A) = 2*3 + 1 = 7, vol(B) = 2*2 + 1 = 5,
+    # cut = 1 each direction, total = 12
+    assert (got["A"]["volume"], got["A"]["cut_edges"]) == (7, 1)
+    assert (got["B"]["volume"], got["B"]["cut_edges"]) == (5, 1)
+    assert got["A"]["conductance"] == round(1 / 5, 6)  # min(7, 12-7)=5
+    assert got["B"]["conductance"] == round(1 / 5, 6)
+    one = conductance(df, lf.select("url", F.lit("X").alias("label"))).collect()
+    assert len(one) == 1 and one[0]["conductance"] is None
