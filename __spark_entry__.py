@@ -1598,10 +1598,12 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     node2vec_walks, Grover & Leskovec 2016): integer search biases
     (1, 2, 1) = p = q = 2, deterministic cumulative-weight inverse
     sampling on the portable hash, replayed bit-identically by the
-    DuckDB twin."""
+    DuckDB twin. Dense-id loop (g=): expansion/edge-flag/emit joins
+    keyed by longs — corpus row-identical to the string loop (tested)."""
     from pagerankproject_spark.graph.walks import node2vec_walks
 
-    return node2vec_walks(_edges(spark, sf_dir), walk_length=4, walks_per_vertex=2)
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return node2vec_walks(g=g, walk_length=4, walks_per_vertex=2)
 
 
 def q_affinity_level2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -342,12 +342,14 @@ def sql_ppr_from_walks(
 
 
 def node2vec_walks(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     walk_length: int = 4,
     walks_per_vertex: int = 2,
     return_w: int = 1,
     common_w: int = 2,
     far_w: int = 1,
+    *,
+    g: GraphTables | None = None,
 ) -> DataFrame:
     """Second-order biased walks (Grover & Leskovec, KDD 2016 —
     node2vec): standing at `cur` having arrived from `prev`, each
@@ -375,9 +377,24 @@ def node2vec_walks(
     bias); no Python, no RNG state. Lineage cut per step.
 
     Returns (walk_id, step, url) long-format corpus like random_walks.
+
+    Two key spaces, one corpus (the random_walks convention): pass
+    `g=GraphTables` for the dense-id loop — 8-byte long join keys for
+    the neighbor expansion, the (prev, x) edge flag, and the emit
+    translation; url strings ride only as hash payload (`start`,
+    `prev_url`, `cur_url`) and the cumulative ordering reuses the
+    precomputed dst-url rank `idx`, so the corpus is row-identical to
+    the string path (tested). Pass raw `edges` for the string loop the
+    DuckDB oracle replays literally.
     """
     if min(return_w, common_w, far_w) < 1:
         raise ValueError("bias weights must be positive integers")
+    if (edges is None) == (g is None):
+        raise ValueError("pass exactly one of `edges` or `g`")
+    if g is not None:
+        return _node2vec_walks_dense(
+            g, walk_length, walks_per_vertex, return_w, common_w, far_w
+        )
     adj = _adjacency(edges).localCheckpoint(eager=True)
     deg = adj.select("src", "outdeg").distinct()
     pairs = adj.select(F.col("src").alias("prev"), F.col("dst").alias("x"))
@@ -470,6 +487,146 @@ def node2vec_walks(
             )
         )
     return out.select(
+        F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias("walk_id"),
+        "step",
+        "url",
+    )
+
+
+def _node2vec_walks_dense(
+    g: GraphTables,
+    walk_length: int,
+    walks_per_vertex: int,
+    return_w: int,
+    common_w: int,
+    far_w: int,
+) -> DataFrame:
+    """Dense-id twin of the string loop (see node2vec_walks docstring).
+    The walker key stays (start, w) for the pick window — one walker,
+    one position — while every graph-sized join (neighbor expansion on
+    cur_id, (prev_id, x_id) edge flag, emit translation) runs on
+    longs; `idx` (the dst-url rank baked into the adjacency once) is
+    the cumulative order, so no url leaves the adjacency build."""
+    v = g.vertices
+    e = simple_edges(g)  # (src_id, dst_id), deduped, no self-loops
+    wnd = Window.partitionBy("src_id").orderBy("dst_url")
+    adj = (
+        e.join(
+            v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst_url")),
+            "dst_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            (F.row_number().over(wnd) - 1).alias("idx"),
+            F.count("*").over(Window.partitionBy("src_id")).alias("outdeg"),
+        )
+        .drop("dst_url")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        adj.select("src_id", "outdeg")
+        .distinct()
+        .join(
+            v.select(F.col("id").alias("src_id"), F.col("url").alias("cur_url")),
+            "src_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = e.select(F.col("src_id").alias("prev_id"), F.col("dst_id").alias("x_id"))
+
+    state = v.crossJoin(
+        F.broadcast(
+            v.sparkSession.range(walks_per_vertex).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    ).select(F.col("url").alias("start"), "w", F.col("id").alias("cur_id"))
+
+    out = state.select("start", "w", F.lit(0).alias("step"), "cur_id")
+    if walk_length >= 1:
+        choice1 = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|", F.col("cur_url"), F.col("start"),
+                    F.col("w").cast("string"), F.lit("1"),
+                )
+            ),
+            F.col("outdeg"),
+        )
+        state = (
+            state.join(deg, state.cur_id == deg.src_id)
+            .select("start", "w", "cur_id", "cur_url", choice1.alias("idx"))
+            .join(
+                adj.select(F.col("src_id").alias("cur_id"), "idx", "dst_id"),
+                ["cur_id", "idx"],
+            )
+            .select(
+                "start", "w",
+                F.col("cur_id").alias("prev_id"),
+                F.col("cur_url").alias("prev_url"),
+                F.col("dst_id").alias("cur_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(state.select("start", "w", F.lit(1).alias("step"), "cur_id"))
+
+    wk = Window.partitionBy("start", "w")
+    wcum = wk.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    for t in range(2, walk_length + 1):
+        cand = (
+            state.join(deg.select("src_id", "cur_url"),
+                       state.cur_id == F.col("src_id"))
+            .drop("src_id")
+            .join(
+                adj.select(
+                    F.col("src_id").alias("cur_id"),
+                    F.col("dst_id").alias("x_id"),
+                    "idx",
+                ),
+                "cur_id",
+            )
+            .join(pairs.select("prev_id", "x_id", F.lit(1).alias("pn")),
+                  ["prev_id", "x_id"], "left")
+            .select(
+                "start", "w", "cur_id", "cur_url", "x_id", "idx",
+                F.when(F.col("x_id") == F.col("prev_id"), F.lit(return_w))
+                .when(F.col("pn").isNotNull(), F.lit(common_w))
+                .otherwise(F.lit(far_w))
+                .cast("long")
+                .alias("wgt"),
+                F.col("prev_url"),
+            )
+        )
+        r = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|", F.col("cur_url"), F.col("prev_url"), F.col("start"),
+                    F.col("w").cast("string"), F.lit(str(t)),
+                )
+            ),
+            F.sum("wgt").over(wk),
+        )
+        cum = F.sum("wgt").over(wcum)
+        state = (
+            cand.select(
+                "start", "w", "cur_id", "cur_url", "x_id", "wgt",
+                cum.alias("cum"), r.alias("r"),
+            )
+            .filter(
+                (F.col("r") >= F.col("cum") - F.col("wgt"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select(
+                "start", "w",
+                F.col("cur_id").alias("prev_id"),
+                F.col("cur_url").alias("prev_url"),
+                F.col("x_id").alias("cur_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(state.select("start", "w", F.lit(t).alias("step"), "cur_id"))
+    return out.join(v.select(F.col("id").alias("cur_id"), "url"), "cur_id").select(
         F.concat_ws("#", F.col("start"), F.col("w").cast("string")).alias("walk_id"),
         "step",
         "url",

@@ -1799,3 +1799,44 @@ def test_conductance_matches_hand_counts(spark):
     assert got["B"]["conductance"] == round(1 / 5, 6)
     one = conductance(df, lf.select("url", F.lit("X").alias("label"))).collect()
     assert len(one) == 1 and one[0]["conductance"] is None
+
+
+def test_node2vec_dense_id_corpus_identical(spark):
+    """The dense-id node2vec loop (long keys for expansion, edge flag,
+    and emit; idx rank as the cumulative order) produces the
+    row-identical corpus to the string loop — and to the weblike
+    fixture's string corpus at non-default biases."""
+    from pagerankproject_spark.graph.walks import node2vec_walks
+
+    pairs = [
+        ("a.x", "b.x"), ("a.x", "c.x"), ("b.x", "c.x"),
+        ("c.x", "a.x"), ("c.x", "d.x"), ("e.x", "a.x"),
+        ("b.x", "a.x"), ("d.x", "d.x"),
+    ]
+    e = edges_df(spark, pairs)
+    by_str = sorted(map(tuple, node2vec_walks(e, 5, 3, 1, 3, 2).collect()))
+    g = _tables(spark, pairs)
+    by_id = sorted(map(tuple, node2vec_walks(
+        g=g, walk_length=5, walks_per_vertex=3,
+        return_w=1, common_w=3, far_w=2,
+    ).collect()))
+    assert by_id == by_str
+    g.unpersist()
+
+    web = make_weblike(seed=48, n_nodes=35, m_edges=160)
+    post = sorted({(s, t) for s, t in _post_regex(web) if s != t})
+    e2 = spark.createDataFrame(post, "src string, dst string")
+    s2 = sorted(map(tuple, node2vec_walks(e2, 4, 2).collect()))
+    g2 = _tables(spark, post)
+    d2 = sorted(map(tuple, node2vec_walks(
+        g=g2, walk_length=4, walks_per_vertex=2
+    ).collect()))
+    assert d2 == s2
+    g2.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        node2vec_walks(e2, g=g2)
+    with _pytest.raises(ValueError, match="exactly one"):
+        node2vec_walks()
