@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "palette_coloring",
     "pq_codes",
     "pq_adc_topk",
+    "boruvka_msf",
+    "node2vec_walks",
+    "walk_ppmi",
+    "double_sweep",
+    "lpa_conductance",
 ]
 
 
