@@ -171,6 +171,27 @@ def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _wedges(spark: SparkSession, sf_dir: str, negate: bool = False) -> DataFrame:
+    """Multiplicity-weighted simple undirected graph (a < b) over the
+    standard edge fixture — shared by the MSF/matching family. negate=True
+    emits w = -multiplicity (distance semantics for single-linkage)."""
+    e = _edges(spark, sf_dir)
+    cnt = F.count("*").cast("long")
+    return (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .agg((-cnt if negate else cnt).alias("w"))
+    )
+
+
+_WEDGES_SQL = ("select least(src, dst) as a, greatest(src, dst) as b, "
+               "count(*) as w from edges where src <> dst group by 1, 2")
+_WEDGES_NEG_SQL = ("select least(src, dst) as a, greatest(src, dst) as b, "
+                   "-count(*) as w from edges where src <> dst group by 1, 2")
+
+
 def _vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     return (
@@ -1532,14 +1553,7 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks + hook-and-jump contraction, O(log n) rounds."""
     from pagerankproject_spark.graph.mst import boruvka_msf
 
-    e = _edges(spark, sf_dir)
-    wedges = (
-        e.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("w"))
-    )
+    wedges = _wedges(spark, sf_dir)
     return boruvka_msf(spark, wedges).forest
 
 
@@ -1550,14 +1564,7 @@ def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent reachability route over the filtered original edges)."""
     from pagerankproject_spark.graph.mst import single_linkage_clusters
 
-    e = _edges(spark, sf_dir)
-    wedges = (
-        e.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .groupBy("a", "b")
-        .agg((-F.count("*")).cast("long").alias("w"))
-    )
+    wedges = _wedges(spark, sf_dir, negate=True)
     return single_linkage_clusters(spark, wedges, threshold=-2)
 
 
@@ -1613,14 +1620,7 @@ def q_affinity_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label table after 2 unrolled rounds."""
     from pagerankproject_spark.graph.mst import affinity_levels
 
-    e = _edges(spark, sf_dir)
-    wedges = (
-        e.filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("w"))
-    )
+    wedges = _wedges(spark, sf_dir)
     return affinity_levels(spark, wedges, level=2)
 
 
@@ -1998,8 +1998,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.walks import (
         sql_ppr_from_walks as _sql_ppr_from_walks,
-        sql_node2vec_walks as _sql_n2v,
-    sql_walk_ppmi as _sql_wppmi,
+            sql_node2vec_walks as _sql_n2v,
+        sql_walk_ppmi as _sql_wppmi,
 )
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
@@ -2083,10 +2083,10 @@ def oracle_sql() -> dict[str, str]:
         "condensation_layers": f"{g},{_sql_condlayers()}",
         "palette_coloring": f"{g},{_sql_palette()}",
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
-        "weighted_matching": f"{g},{_sql_wmatching('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
-        "boruvka_msf": f"{g},{_sql_msf('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2')}",
-        "single_linkage": f"{g},{_sql_slink('select least(src, dst) as a, greatest(src, dst) as b, -count(*) as w from edges where src <> dst group by 1, 2', threshold=-2)}",
-        "affinity_level2": f"{g},{_sql_aff('select least(src, dst) as a, greatest(src, dst) as b, count(*) as w from edges where src <> dst group by 1, 2', level=2)}",
+        "weighted_matching": f"{g},{_sql_wmatching(_WEDGES_SQL)}",
+        "boruvka_msf": f"{g},{_sql_msf(_WEDGES_SQL)}",
+        "single_linkage": f"{g},{_sql_slink(_WEDGES_NEG_SQL, threshold=-2)}",
+        "affinity_level2": f"{g},{_sql_aff(_WEDGES_SQL, level=2)}",
         "host_sssp": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

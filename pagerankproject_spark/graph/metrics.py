@@ -416,8 +416,10 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
     vols = e2.groupBy(F.col("ls").alias("label")).agg(
         F.count("*").alias("volume"),
         F.sum((F.col("ls") != F.col("ld")).cast("long")).alias("cut_edges"),
-    )
-    tot = e2.agg(F.count("*").alias("t"))
+    ).localCheckpoint(eager=True)
+    # total volume = Σ per-label volumes — no second pass over the
+    # symmetrized edge set with both label joins
+    tot = vols.agg(F.sum("volume").alias("t"))
     denom = F.least(F.col("volume"), F.col("t") - F.col("volume"))
     return vols.crossJoin(tot).select(
         "label",
@@ -437,7 +439,7 @@ def sql_conductance(labels_sql: str) -> str:
     division."""
     return f"""
     cd_lab as ({labels_sql}),
-    cd_e as (
+    cd_e as materialized (
         select l1.label as ls, l2.label as ld
         from sym s
         join cd_lab l1 on l1.url = s.src
@@ -448,7 +450,7 @@ def sql_conductance(labels_sql: str) -> str:
                sum(case when ls <> ld then 1 else 0 end)::bigint as cut_edges
         from cd_e group by 1
     ),
-    cd_tot as (select count(*) as t from cd_e)
+    cd_tot as (select sum(volume) as t from cd_vol)
     select label, cut_edges, volume,
            round(cut_edges::double
                  / nullif(least(volume, t - volume), 0)::double, 6) as conductance

@@ -196,10 +196,14 @@ def boruvka_msf(
                  "inner_joins": inner_used, "wall_sec": time.time() - t0}
             )
         else:
-            raise ValueError(
-                f"MSF still merging after max_rounds={max_rounds}; "
-                "raise max_rounds"
-            )
+            # the range can exhaust on the round that finishes the
+            # forest (live-emptiness is only observed at the top of the
+            # NEXT iteration) — raise only if edges actually remain
+            if live.count() != 0:
+                raise ValueError(
+                    f"MSF still merging after max_rounds={max_rounds}; "
+                    "raise max_rounds"
+                )
 
     if forest is None:
         raise ValueError("weighted graph has no edges; MSF is empty")

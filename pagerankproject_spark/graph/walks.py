@@ -134,22 +134,16 @@ def random_walks(
     )
 
 
-def _random_walks_dense(
-    g: GraphTables,
-    walk_length: int,
-    walks_per_vertex: int,
-) -> DataFrame:
-    """The dense-id twin of the string loop: per-step join keys are
-    8-byte longs (cur_id, then (cur_id, idx)); urls ride along only
-    where the semantics need them — `start` as walker payload, the
-    current vertex's url surfaced by the degree join (the hash input
-    must be the url to replay the string path bit-for-bit), and the
-    dst-url neighbor ranking baked into the adjacency ONCE at build.
-    Walker positions stay ids until a single vertices join at emit."""
+def _dense_adjacency(g: GraphTables) -> tuple[DataFrame, DataFrame]:
+    """The dense-id walk tables shared by _random_walks_dense and
+    _node2vec_walks_dense: adj = (src_id, dst_id, idx, outdeg) with the
+    neighbor ranking by destination URL (string-path parity — the url
+    join happens here once, then drops out of the loops) and deg =
+    (src_id, outdeg, cur_url) surfacing the current vertex's url (the
+    hash input must be the url to replay the string path
+    bit-for-bit)."""
     v = g.vertices
     e = simple_edges(g)  # (src_id, dst_id), deduped, no self-loops
-    # neighbor ranking MUST be by destination url (string-path parity),
-    # so the url join happens here once, then drops out of the loop
     wnd = Window.partitionBy("src_id").orderBy("dst_url")
     adj = (
         e.join(
@@ -171,6 +165,20 @@ def _random_walks_dense(
         .join(v.select(F.col("id").alias("src_id"), F.col("url").alias("cur_url")), "src_id")
         .localCheckpoint(eager=True)
     )
+    return adj, deg
+
+
+def _random_walks_dense(
+    g: GraphTables,
+    walk_length: int,
+    walks_per_vertex: int,
+) -> DataFrame:
+    """The dense-id twin of the string loop: per-step join keys are
+    8-byte longs (cur_id, then (cur_id, idx)); urls ride along only
+    where the semantics need them (see _dense_adjacency). Walker
+    positions stay ids until a single vertices join at emit."""
+    v = g.vertices
+    adj, deg = _dense_adjacency(g)
 
     state = v.crossJoin(
         F.broadcast(
@@ -415,28 +423,29 @@ def node2vec_walks(
     out = state.select(
         "start", "w", F.lit(0).alias("step"), F.col("cur").alias("url")
     )
-    # step 1: first-order (no prev), random_walks' exact rule
-    choice1 = F.pmod(
-        hash60_expr(
-            F.concat_ws(
-                "|", F.col("cur"), F.col("start"),
-                F.col("w").cast("string"), F.lit("1"),
-            )
-        ),
-        F.col("outdeg"),
-    )
-    state = (
-        state.join(deg, state.cur == deg.src)
-        .select("start", "w", "cur", choice1.alias("idx"))
-        .join(
-            adj.select(F.col("src").alias("cur"), "idx", "dst"), ["cur", "idx"]
+    if walk_length >= 1:
+        # step 1: first-order (no prev), random_walks' exact rule
+        choice1 = F.pmod(
+            hash60_expr(
+                F.concat_ws(
+                    "|", F.col("cur"), F.col("start"),
+                    F.col("w").cast("string"), F.lit("1"),
+                )
+            ),
+            F.col("outdeg"),
         )
-        .select("start", "w", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
-        .localCheckpoint(eager=True)
-    )
-    out = out.union(
-        state.select("start", "w", F.lit(1).alias("step"), F.col("cur").alias("url"))
-    )
+        state = (
+            state.join(deg, state.cur == deg.src)
+            .select("start", "w", "cur", choice1.alias("idx"))
+            .join(
+                adj.select(F.col("src").alias("cur"), "idx", "dst"), ["cur", "idx"]
+            )
+            .select("start", "w", F.col("cur").alias("prev"), F.col("dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.union(
+            state.select("start", "w", F.lit(1).alias("step"), F.col("cur").alias("url"))
+        )
 
     wk = Window.partitionBy("start", "w")
     wcum = wk.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
@@ -508,32 +517,10 @@ def _node2vec_walks_dense(
     longs; `idx` (the dst-url rank baked into the adjacency once) is
     the cumulative order, so no url leaves the adjacency build."""
     v = g.vertices
-    e = simple_edges(g)  # (src_id, dst_id), deduped, no self-loops
-    wnd = Window.partitionBy("src_id").orderBy("dst_url")
-    adj = (
-        e.join(
-            v.select(F.col("id").alias("dst_id"), F.col("url").alias("dst_url")),
-            "dst_id",
-        )
-        .select(
-            "src_id",
-            "dst_id",
-            (F.row_number().over(wnd) - 1).alias("idx"),
-            F.count("*").over(Window.partitionBy("src_id")).alias("outdeg"),
-        )
-        .drop("dst_url")
-        .localCheckpoint(eager=True)
+    adj, deg = _dense_adjacency(g)
+    pairs = adj.select(
+        F.col("src_id").alias("prev_id"), F.col("dst_id").alias("x_id")
     )
-    deg = (
-        adj.select("src_id", "outdeg")
-        .distinct()
-        .join(
-            v.select(F.col("id").alias("src_id"), F.col("url").alias("cur_url")),
-            "src_id",
-        )
-        .localCheckpoint(eager=True)
-    )
-    pairs = e.select(F.col("src_id").alias("prev_id"), F.col("dst_id").alias("x_id"))
 
     state = v.crossJoin(
         F.broadcast(
@@ -731,10 +718,16 @@ def walk_ppmi(
         .filter((d != 0) & (d <= context) & (d >= -context))
         .select("x", "y")
     )
-    nxy = pairs.groupBy("x", "y").agg(F.count("*").alias("n_pairs"))
-    nx = pairs.groupBy("x").agg(F.count("*").alias("n_x"))
-    ny = pairs.groupBy("y").agg(F.count("*").alias("n_y"))
-    ntot = pairs.agg(F.count("*").alias("n_tot"))
+    # the heavy self-join runs ONCE: marginals and the total are exact
+    # sums over the materialized pair-count table (n_x = Σ_y n_xy etc.)
+    nxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("n_pairs"))
+        .localCheckpoint(eager=True)
+    )
+    nx = nxy.groupBy("x").agg(F.sum("n_pairs").alias("n_x"))
+    ny = nxy.groupBy("y").agg(F.sum("n_pairs").alias("n_y"))
+    ntot = nxy.agg(F.sum("n_pairs").alias("n_tot"))
     return (
         nxy.filter(F.col("n_pairs") >= min_count)
         .join(nx, "x")
@@ -781,10 +774,10 @@ def sql_walk_ppmi(
           and b.step - a.step <= {int(context)}
           and b.step - a.step >= -{int(context)}
     ),
-    pxy as (select x, y, count(*) as n_pairs from pp group by 1, 2),
-    px as (select x, count(*) as n_x from pp group by 1),
-    py as (select y, count(*) as n_y from pp group by 1),
-    pn as (select count(*) as n_tot from pp)
+    pxy as materialized (select x, y, count(*) as n_pairs from pp group by 1, 2),
+    px as (select x, sum(n_pairs) as n_x from pxy group by 1),
+    py as (select y, sum(n_pairs) as n_y from pxy group by 1),
+    pn as (select sum(n_pairs) as n_tot from pxy)
     select x, y, n_pairs,
            round(greatest(0.0,
                ln(n_pairs::double * n_tot::double
