@@ -1557,6 +1557,24 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(spark, wedges).forest
 
 
+def q_msf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MSF maintenance (graph/mst.py::msf_append): the
+    weighted edge set splits 80/20 by pair hash; the engine builds the
+    MSF of the 80% then appends the 20% over old-forest ∪ delta (work
+    O(n + delta)); the ORACLE is the cold full-graph MSF — equality is
+    the sparsification theorem, cross-verified per row. msf_round is
+    dropped (the append run's round numbering legitimately differs)."""
+    from pagerankproject_spark.graph.mst import boruvka_msf, msf_append
+    from pagerankproject_spark.text.analysis import hash60_expr
+
+    w = _wedges(spark, sf_dir)
+    bucket = F.pmod(hash60_expr(F.concat_ws("|", "a", "b")), F.lit(5))
+    old = w.filter(bucket != 0)
+    delta = w.filter(bucket == 0)
+    base = boruvka_msf(spark, old)
+    return msf_append(spark, base.forest, delta).forest.select("a", "b", "w")
+
+
 def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-linkage dendrogram cut (graph/mst.py): clusters of pages
     linked with multiplicity >= 2, computed as the MSF of distance
@@ -1939,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logloss": q_bigram_logloss,           # NEW round 3 (local gate; r4 window head)
         "boruvka_msf": q_boruvka_msf,                 # NEW round 3 (local gate; r4 window head)
         "single_linkage": q_single_linkage,           # NEW round 3 (local gate; r4 window head)
+        "msf_incremental": q_msf_incremental,         # NEW round 3 (local gate; r4 window head)
         "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
         "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
         "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
@@ -2085,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
         "weighted_matching": f"{g},{_sql_wmatching(_WEDGES_SQL)}",
         "boruvka_msf": f"{g},{_sql_msf(_WEDGES_SQL)}",
+        "msf_incremental": f"{g},{_sql_msf(_WEDGES_SQL)}".replace("select a, b, w, msf_round from bv_forest", "select a, b, w from bv_forest"),
         "single_linkage": f"{g},{_sql_slink(_WEDGES_NEG_SQL, threshold=-2)}",
         "affinity_level2": f"{g},{_sql_aff(_WEDGES_SQL, level=2)}",
         "host_sssp": f"""

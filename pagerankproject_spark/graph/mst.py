@@ -407,3 +407,33 @@ def sql_single_linkage(wedges_sql: str, threshold: int) -> str:
         select v, min(lbl) as cluster from rr group by v
     )
     select v as url, cluster from sl_cl"""
+
+
+def msf_append(
+    spark: SparkSession,
+    forest: DataFrame,
+    new_wedges: DataFrame,
+) -> MSFResult:
+    """Incremental MSF maintenance for a growing crawl: by the
+    sparsification property (Eppstein et al. 1997 framing; for distinct
+    edge priorities the MSF is unique and MSF(A ∪ B) =
+    MSF(MSF(A) ∪ B) — non-forest edges of A are heaviest on some cycle
+    and stay non-forest in any supergraph), appending Δ edges re-runs
+    Boruvka over old_forest (<= n-1 edges) ∪ Δ: work O(n + Δ),
+    independent of the original graph's m. The repo's derandomized
+    priority (w, hash60, a, b) is a total order, so the incremental
+    forest is EXACTLY the cold-rebuild forest (contract-checked:
+    engine = append path, oracle = cold full-graph MSF).
+
+    On a duplicate (a, b) between forest and delta the lighter w wins
+    (min — distance semantics; with multiplicity weights pre-aggregate
+    the union instead). msf_round in the result refers to the APPEND
+    run's rounds, not the original build's.
+    """
+    merged = (
+        forest.select("a", "b", "w")
+        .unionByName(new_wedges.select("a", "b", "w"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    return boruvka_msf(spark, merged)

@@ -1840,3 +1840,34 @@ def test_node2vec_dense_id_corpus_identical(spark):
         node2vec_walks(e2, g=g2)
     with _pytest.raises(ValueError, match="exactly one"):
         node2vec_walks()
+
+
+def test_msf_append_equals_cold_rebuild(spark):
+    """Sparsification property under the derandomized total order:
+    MSF(MSF(old) ∪ delta) == MSF(old ∪ delta), exactly (modulo
+    msf_round, which numbers the append run's own rounds); a duplicate
+    (a, b) across the split keeps the lighter w."""
+    from collections import Counter
+
+    from pagerankproject_spark.graph.mst import boruvka_msf, msf_append
+
+    pairs = make_weblike(seed=49, n_nodes=70, m_edges=350)
+    post = _post_regex(pairs)
+    mult = Counter((min(s, t), max(s, t)) for s, t in post if s != t)
+    wtriples = sorted((a, b, w) for (a, b), w in mult.items())
+    old = [t for i, t in enumerate(wtriples) if i % 5 != 0]
+    delta = [t for i, t in enumerate(wtriples) if i % 5 == 0]
+    # duplicate pair in the delta with a LIGHTER weight: min must win
+    a0, b0, w0 = old[0]
+    delta.append((a0, b0, max(w0 - 1, 1) if w0 > 1 else w0))
+    merged = dict(((a, b), w) for a, b, w in wtriples)
+    for a, b, w in delta:
+        merged[(a, b)] = min(merged.get((a, b), w), w)
+
+    sdf = lambda rows: spark.createDataFrame(rows, "a string, b string, w long")
+    base = boruvka_msf(spark, sdf(old))
+    inc = msf_append(spark, base.forest, sdf(delta))
+    cold = boruvka_msf(spark, sdf([(a, b, w) for (a, b), w in merged.items()]))
+    got = {(r["a"], r["b"]): r["w"] for r in inc.forest.collect()}
+    want = {(r["a"], r["b"]): r["w"] for r in cold.forest.collect()}
+    assert got == want
