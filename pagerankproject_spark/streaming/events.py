@@ -723,3 +723,52 @@ def stream_latest_snapshots(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_incremental_msf(
+    spark: SparkSession,
+    wedges_dir: str,
+    state: dict,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous minimum-spanning-forest maintenance — the MSF twin of
+    stream_incremental_components: each micro-batch of weighted simple
+    edges (a, b, w — a < b, integer distance weights; a re-observed
+    pair keeps the lighter w) folds into the forest via
+    graph/mst.py::msf_append, so per-batch work is O(n + batch), never
+    O(total edges seen) — the sparsification property makes the <= n-1
+    forest edges a sufficient summary of everything already streamed
+    (stream == cold rebuild, tested exactly).
+
+    `state` after each batch: {"forest": DataFrame (a, b, w,
+    msf_round), "components": DataFrame (url, component),
+    "batches": int}.
+    """
+    from ..graph.mst import boruvka_msf, msf_append
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.select(
+            "a", "b", F.col("w").cast("long").alias("w")
+        ).groupBy("a", "b").agg(F.min("w").alias("w"))
+        if "forest" not in state:
+            res = boruvka_msf(spark, w)
+        else:
+            res = msf_append(spark, state["forest"], w)
+        state.update(
+            {
+                "forest": res.forest,
+                "components": res.components,
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("a string, b string, w long")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(wedges_dir, header=True)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -658,3 +658,44 @@ def test_stream_latest_snapshots_matches_batch(spark, tmp_path):
     assert sum(1 for r in log if r["url"] == "u1") == 1
     # u2 improved across batches: multiple changelog rows
     assert sum(1 for r in log if r["url"] == "u2") >= 2
+
+
+def test_stream_incremental_msf_matches_batch(spark, tmp_path):
+    """Forest maintained over micro-batches equals the cold MSF of the
+    min-aggregated union of every batch (sparsification property, the
+    streaming twin of test_msf_append_equals_cold_rebuild)."""
+    from pagerankproject_spark.graph.mst import boruvka_msf
+    from pagerankproject_spark.streaming.events import stream_incremental_msf
+
+    wdir = tmp_path / "msf_edge_stream"
+    wdir.mkdir()
+    b0 = [("a.p", "b.p", 3), ("b.p", "c.p", 1), ("x.p", "y.p", 2)]
+    b1 = [("a.p", "c.p", 2), ("c.p", "x.p", 5), ("a.p", "b.p", 1)]  # dup, lighter
+    b2 = [("y.p", "z.p", 1), ("a.p", "z.p", 9)]
+    batches = (b0, b1, b2)
+    for i, batch in enumerate(batches):
+        (wdir / f"batch{i}.csv").write_text(
+            "a,b,w\n" + "\n".join(f"{a},{b},{w}" for a, b, w in batch)
+        )
+
+    state: dict = {}
+    q = stream_incremental_msf(spark, str(wdir), state)
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    merged: dict = {}
+    for batch in batches:
+        for a, b, w in batch:
+            merged[(a, b)] = min(merged.get((a, b), w), w)
+    cold = boruvka_msf(
+        spark,
+        spark.createDataFrame(
+            [(a, b, w) for (a, b), w in merged.items()], "a string, b string, w long"
+        ),
+    )
+    got = {(r["a"], r["b"]): r["w"] for r in state["forest"].collect()}
+    want = {(r["a"], r["b"]): r["w"] for r in cold.forest.collect()}
+    assert got == want
+    gc = {r["url"]: r["component"] for r in state["components"].collect()}
+    wc = {r["url"]: r["component"] for r in cold.components.collect()}
+    assert gc == wc
