@@ -29,12 +29,19 @@ reproducible, oracle-replayable, resumable.
 
 Per round: one neighbor-min aggregate over the RESIDUAL (uncolored)
 adjacency — which shrinks by the winners each round, so late rounds
-touch only the unresolved core — one winner-neighborhood join against
-the colored table for the mex, computed JVM-side as
+touch only the unresolved core — and one mex aggregate over the
+residual FORBIDDEN table (uncolored v, already-colored neighbor's
+color; rows added from the residual adjacency when the neighbor wins,
+dropped when v wins), computed JVM-side as
 aggregate(sort_array(collect_set(color))) with exact integers (no UDF,
-no float). The colored log accumulates with a coalesce(P) before each
-checkpoint (see [[spark-iterative-loop-pitfalls]]: union concatenates
-partition sets).
+no float). The forbidden table is the worklist form of the
+winner-neighborhood-vs-colored join: the full adjacency and the
+growing colored table are never rescanned inside the loop, so
+small-tail rounds cost only edges incident to the unresolved core
+(the same restriction as palette_coloring and LPA's frontier mode).
+The final coloring is the union of the per-round winner checkpoints,
+coalesced once (see [[spark-iterative-loop-pitfalls]]: union
+concatenates partition sets).
 """
 
 from __future__ import annotations
@@ -97,8 +104,11 @@ def greedy_coloring(
     P = max(sym.rdd.getNumPartitions(), 1)
     unc = sym.select(F.col("w").alias("v")).distinct().localCheckpoint(eager=True)
     sym_unc = sym  # residual adjacency: both endpoints still uncolored
+    # forbidden: (still-uncolored v, color of an already-colored
+    # neighbor) — the worklist form of the mex neighborhood lookup
+    forb = spark.createDataFrame([], "v string, c long")
 
-    colored: DataFrame | None = None
+    winner_frames: list[DataFrame] = []
     metrics: list[dict] = []
     rounds = 0
     with no_aqe(spark):
@@ -121,48 +131,46 @@ def greedy_coloring(
                 .groupBy("w")
                 .agg(F.min("px").alias("pmin"))
             )
+            # greedy mex over the winner's already-colored neighborhood
+            # = exactly its rows in the residual forbidden table
+            mex = (
+                forb.groupBy("v")
+                .agg(_mex_expr(F.collect_set("c")).alias("mex"))
+            )
             winners = (
                 pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
                 .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
-                .select("v")
+                .join(mex, "v", "left")
+                .select(
+                    "v",
+                    F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color"),
+                )
                 .localCheckpoint(eager=True)
             )
             n_win = winners.count()
-            # greedy mex over the winners' already-colored neighborhoods
-            # (full adjacency `sym`, colored side only)
-            if colored is None:
-                painted = winners.select(
-                    "v", F.lit(0).cast("long").alias("color")
-                )
-            else:
-                nbr_colors = (
-                    sym.join(winners.withColumnRenamed("v", "w"), "w", "left_semi")
-                    .join(
-                        colored.select(
-                            F.col("v").alias("x"), F.col("color").alias("c")
-                        ),
-                        "x",
-                    )
-                    .groupBy("w")
-                    .agg(_mex_expr(F.collect_set("c")).alias("mex"))
-                    .withColumnRenamed("w", "v")
-                )
-                painted = winners.join(nbr_colors, "v", "left").select(
-                    "v", F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color")
-                )
-            colored = painted.localCheckpoint(eager=True) if colored is None else (
-                colored.unionByName(painted)
-                .coalesce(P)
-                .localCheckpoint(eager=True)
-            )
             metrics.append(
                 {"r": r, "uncolored": n, "winners": n_win,
                  "wall_sec": time.time() - t0}
             )
-            unc = unc.join(winners, "v", "left_anti").localCheckpoint(eager=True)
+            winner_frames.append(winners)
+            wv = winners.select("v")
+            gained = (
+                sym_unc.join(
+                    winners.select(F.col("v").alias("x"), "color"), "x"
+                )
+                .select(F.col("w").alias("v"), F.col("color").alias("c"))
+                .distinct()
+            )
+            forb = (
+                forb.unionByName(gained)
+                .join(wv, "v", "left_anti")
+                .coalesce(P)
+                .localCheckpoint(eager=True)
+            )
+            unc = unc.join(wv, "v", "left_anti").localCheckpoint(eager=True)
             sym_unc = (
-                sym_unc.join(winners, sym_unc.w == winners.v, "left_anti")
-                .join(winners, sym_unc.x == winners.v, "left_anti")
+                sym_unc.join(wv, sym_unc.w == wv.v, "left_anti")
+                .join(wv, sym_unc.x == wv.v, "left_anti")
                 .localCheckpoint(eager=True)
             )
         else:
@@ -171,12 +179,16 @@ def greedy_coloring(
                 "raise max_rounds"
             )
 
-    if colored is None:
+    if not winner_frames:
         raise ValueError(
             "simple graph has no edges; coloring of the edge universe is empty"
         )
+    colored = winner_frames[0]
+    for wf in winner_frames[1:]:
+        colored = colored.unionByName(wf)
     return ColoringResult(
-        colors=colored.withColumnRenamed("v", "url"), rounds=rounds,
+        colors=colored.coalesce(P).withColumnRenamed("v", "url"),
+        rounds=rounds,
         metrics=metrics,
     )
 
@@ -282,6 +294,21 @@ def palette_coloring(
     projection, collision checks are two equi-joins on the residual
     adjacency, which shrinks as vertices finish. Same output schema
     and conventions as greedy_coloring.
+
+    Worklist restriction (the LPA-frontier idea, closing the BENCH.md
+    symmetry-family tail note): the loop never rescans the full
+    adjacency or the growing colored table. The colored-neighbor
+    collision check reads an incrementally-maintained FORBIDDEN table
+    (uncolored v, neighbor color) — rows are added from the residual
+    adjacency when the neighbor wins and dropped when v itself wins —
+    so every per-round operand (picks, residual adjacency, forbidden
+    set) shrinks with the uncolored core. Late rounds that touch <1%
+    of vertices now cost ~1% of a round, not a full-graph rescan; the
+    final coloring is the union of the per-round winner checkpoints,
+    assembled once after the loop. Output is bit-identical to the
+    naive formulation (same trials, same collision predicate — the
+    forbidden table IS "some already-colored neighbor has this
+    color"), which the unchanged DuckDB twin still replays.
     """
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -303,8 +330,11 @@ def palette_coloring(
     )
     unc = deg.select("v", "deg")
     sym_unc = sym
+    # forbidden: (still-uncolored v, color of an already-colored
+    # neighbor) — the worklist form of the colored-neighbor check
+    forb = spark.createDataFrame([], "v string, c long")
 
-    colored: DataFrame | None = None
+    winner_frames: list[DataFrame] = []
     metrics: list[dict] = []
     rounds = 0
     with no_aqe(spark):
@@ -322,22 +352,18 @@ def palette_coloring(
                     % (F.col("deg") + F.lit(1))
                 ).alias("pick"),
             )
-            # collision vs already-colored neighborhood
-            if colored is None:
-                bad1 = picks.limit(0).select("v")
-            else:
-                bad1 = (
-                    sym.join(picks.select(F.col("v").alias("w"), "pick"), "w")
-                    .join(
-                        colored.select(
-                            F.col("v").alias("x"), F.col("color").alias("c")
-                        ),
-                        "x",
-                    )
-                    .filter(F.col("pick") == F.col("c"))
-                    .select(F.col("w").alias("v"))
-                    .distinct()
+            # collision vs already-colored neighborhood (worklist form:
+            # one equi-join against the residual forbidden table)
+            bad1 = (
+                picks.alias("p")
+                .join(
+                    forb.alias("f"),
+                    (F.col("p.v") == F.col("f.v"))
+                    & (F.col("p.pick") == F.col("f.c")),
+                    "left_semi",
                 )
+                .select("v")
+            )
             # collision vs a same-round neighbor trial
             bad2 = (
                 sym_unc.join(picks.select(F.col("v").alias("w"), "pick"), "w")
@@ -360,12 +386,23 @@ def palette_coloring(
                 {"r": r, "uncolored": n, "winners": n_win,
                  "wall_sec": time.time() - t0}
             )
-            colored = winners if colored is None else (
-                colored.unionByName(winners)
+            winner_frames.append(winners)
+            wv = winners.select("v")
+            # new forbidden rows: residual edges whose x endpoint just
+            # won, kept only while the w endpoint stays uncolored
+            gained = (
+                sym_unc.join(
+                    winners.select(F.col("v").alias("x"), "color"), "x"
+                )
+                .select(F.col("w").alias("v"), F.col("color").alias("c"))
+                .distinct()
+            )
+            forb = (
+                forb.unionByName(gained)
+                .join(wv, "v", "left_anti")
                 .coalesce(P)
                 .localCheckpoint(eager=True)
             )
-            wv = winners.select("v")
             unc = unc.join(wv, "v", "left_anti").localCheckpoint(eager=True)
             sym_unc = (
                 sym_unc.join(wv, sym_unc.w == wv.v, "left_anti")
@@ -378,12 +415,16 @@ def palette_coloring(
                 f"{max_rounds}; raise max_rounds"
             )
 
-    if colored is None:
+    if not winner_frames:
         raise ValueError(
             "simple graph has no edges; coloring of the edge universe is empty"
         )
+    colored = winner_frames[0]
+    for wf in winner_frames[1:]:
+        colored = colored.unionByName(wf)
     return ColoringResult(
-        colors=colored.withColumnRenamed("v", "url"), rounds=rounds,
+        colors=colored.coalesce(P).withColumnRenamed("v", "url"),
+        rounds=rounds,
         metrics=metrics,
     )
 
