@@ -694,10 +694,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment near-dup pairs (Broder 1997's
     asymmetric companion of resemblance, dedup/jaccard.py::
     containment_pairs): |S(a) ∩ S(b)| / |S(a)| — the subset-duplication
-    signal symmetric Jaccard misses."""
+    signal symmetric Jaccard misses. df-capped like the production
+    Jaccard recipe (the hot-shingle skew bound — with n=2 word
+    shingles the uncapped inverted-index self-join is quadratic on
+    boilerplate shingles; measured 30.9s -> 2.2s warm at sf0.1);
+    capped semantics mirrored in the oracle in lockstep."""
     from pagerankproject_spark.dedup.jaccard import containment_pairs
 
-    return containment_pairs(_read(spark, sf_dir, "documents"), threshold=0.3, n=2)
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.3, n=2,
+        max_shingle_freq=30,
+    )
 
 
 def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,7 +2360,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", threshold=0.05, n=2, max_shingle_freq=30
         ),
         "containment_pairs": _sql_containment_pairs(
-            "documents", threshold=0.3, n=2
+            "documents", threshold=0.3, n=2, max_shingle_freq=30
         ),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs("documents", n=2),
         "minhash_verified_pairs": sql_minhash_verified_pairs(
