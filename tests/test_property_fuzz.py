@@ -120,6 +120,64 @@ def test_fuzz_pagerank(spark, pairs):
         assert abs(got[url] - w) < 1e-5, (url, got[url], w)
 
 
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _py_shingles(text: str, n: int) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+@FUZZ
+@given(texts=texts_strategy)
+def test_fuzz_jaccard_pairs(spark, texts):
+    from pagerankproject_spark.dedup.jaccard import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.01, n=2).collect()
+    }
+    sh = {i: _py_shingles(t, 2) for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter:
+                j = round(inter / union, 6)
+                if j >= 0.01:
+                    want[(a, b)] = j
+    assert got == want
+
+
+@FUZZ
+@given(texts=texts_strategy)
+def test_fuzz_dedup_exact(spark, texts):
+    from pagerankproject_spark.dedup.exact import dedup_exact
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["survivor_id"], r["n_dupes"]) for r in dedup_exact(docs).collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(t, []).append(i)
+    want = sorted((min(ids), len(ids)) for ids in groups.values())
+    assert got == want
+
+
 @FUZZ
 @given(pairs=edges_strategy)
 def test_fuzz_label_propagation(spark, pairs):
