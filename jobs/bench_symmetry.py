@@ -110,6 +110,29 @@ def main() -> None:
     out["luby_mis"] = {"wall_s": round(wall, 1), "rounds": mis.rounds,
                        "members": n_mis}
 
+    # --- Luby MIS again in dense-id mode (the BENCH known-lever note:
+    # 8-byte long join keys, url strings frozen once into the priority
+    # payload) — exact member-set equality vs the url-space run above
+    # quantifies the lever on this family
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    t0 = time.time()
+    gt = build_graph_tables(spark, edges)
+    build_wall = time.time() - t0
+    t0 = time.time()
+    mis_d = luby_mis(spark, g=gt)
+    members_d = mis_d.members.select(F.col("url").alias("v")).persist()
+    n_mis_d = members_d.count()
+    wall_d = time.time() - t0
+    assert n_mis_d == n_mis and members_d.join(members, "v", "left_anti").count() == 0, \
+        "dense-id MIS diverged from the url-space member set"
+    print(f"luby_mis dense-id: {wall_d:.1f}s (+{build_wall:.1f}s tables) "
+          f"rounds={mis_d.rounds} members={n_mis_d} "
+          f"(member set identical to url-space run)")
+    out["luby_mis_dense"] = {"wall_s": round(wall_d, 1),
+                             "tables_wall_s": round(build_wall, 1),
+                             "rounds": mis_d.rounds, "members": n_mis_d}
+
     # --- maximal matching + exact invariants -------------------------
     from pagerankproject_spark.graph.matching import maximal_matching
 
