@@ -120,6 +120,42 @@ def test_fuzz_pagerank(spark, pairs):
         assert abs(got[url] - w) < 1e-5, (url, got[url], w)
 
 
+@FUZZ
+@given(pairs=edges_strategy)
+def test_fuzz_scc(spark, pairs):
+    from pagerankproject_spark.graph.scc import strongly_connected_components
+
+    from .test_scc import python_scc
+
+    g = _tables(spark, pairs)
+    try:
+        res = strongly_connected_components(spark, g)
+        got = {r["url"]: r["component"] for r in res.components.collect()}
+    finally:
+        g.unpersist()
+    assert got == python_scc(pairs)
+
+
+@FUZZ
+@given(pairs=edges_strategy)
+def test_fuzz_clustering_coefficient(spark, pairs):
+    from pagerankproject_spark.graph.triangles import clustering_coefficients
+
+    from .test_scc import python_lcc
+
+    assume(_simple(pairs))
+    g = _tables(spark, pairs)
+    try:
+        res = clustering_coefficients(spark, g)
+        got = {
+            r["url"]: (r["degree"], r["triangles"], round(r["lcc"], 6))
+            for r in res.collect()
+        }
+    finally:
+        g.unpersist()
+    assert got == python_lcc(pairs)
+
+
 _WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
 texts_strategy = st.lists(
     st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join),
