@@ -121,6 +121,52 @@ def test_fuzz_pagerank(spark, pairs):
 
 
 @FUZZ
+@given(pairs=edges_strategy, k=st.integers(min_value=1, max_value=4))
+def test_fuzz_kcore(spark, pairs, k):
+    from pagerankproject_spark.graph.kcore import kcore
+
+    assume(_simple(pairs))
+    g = _tables(spark, pairs)
+    try:
+        res = kcore(spark, g, k=k)
+        got = {r["url"]: r["degree"] for r in res.vertices.collect()}
+    finally:
+        g.unpersist()
+    assert got == oracle.kcore_vertices(pairs, k=k)
+
+
+@FUZZ
+@given(pairs=edges_strategy, sel=st.integers(min_value=0, max_value=1023))
+def test_fuzz_pagerank_personalized(spark, pairs, sel):
+    """Random personalization sets (the `sel` bitmask picks which of
+    the 10 possible vertices match) through the personalized teleport +
+    dangling path vs the numpy oracle."""
+    from pyspark.sql import functions as F
+
+    from pagerankproject_spark.graph.pagerank import pagerank
+
+    matches = {VERTS[i] for i in range(10) if sel >> i & 1}
+    present = {v for e in pairs for v in e}
+    assume(matches & present)  # v must not sum to zero
+    g = _tables(spark, pairs)
+    try:
+        res = pagerank(
+            spark, g, v_expr=F.col("url").isin(*sorted(matches)),
+            epsilon=1e-7, max_iterations=60,
+        )
+        got = {r["url"]: r["x"] for r in res.ranks.collect()}
+    finally:
+        g.unpersist()
+    want, _ = oracle.pagerank_by_url(
+        pairs, personalization_matches=matches, epsilon=1e-7,
+        max_iterations=60,
+    )
+    assert set(got) == set(want)
+    for url, w in want.items():
+        assert abs(got[url] - w) < 1e-5, (url, got[url], w)
+
+
+@FUZZ
 @given(pairs=edges_strategy)
 def test_fuzz_scc(spark, pairs):
     from pagerankproject_spark.graph.scc import strongly_connected_components
