@@ -262,6 +262,24 @@ def test_fuzz_dedup_exact(spark, texts):
 
 @FUZZ
 @given(pairs=edges_strategy)
+def test_fuzz_hits(spark, pairs):
+    from pagerankproject_spark.graph.hits import hits
+
+    g = _tables(spark, pairs)
+    try:
+        res = hits(spark, g, epsilon=0.0, max_iterations=20)
+        got = {r["url"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    finally:
+        g.unpersist()
+    want = oracle.hits_by_url(pairs, epsilon=0.0, max_iterations=20)
+    assert set(got) == set(want)
+    for url, (wh, wa) in want.items():
+        assert abs(got[url][0] - wh) < 1e-6, (url, got[url][0], wh)
+        assert abs(got[url][1] - wa) < 1e-6, (url, got[url][1], wa)
+
+
+@FUZZ
+@given(pairs=edges_strategy)
 def test_fuzz_label_propagation(spark, pairs):
     from pagerankproject_spark.graph.labelprop import label_propagation
 
