@@ -57,6 +57,21 @@ KEYS = [
     "nation_volume",
     # embeddings family (brute-force cosine is the oracle-shaped one)
     "embedding_topk",
+    # second wave: text scalars, per-domain rollups, link analytics —
+    # all cardinality-robust (no fail-fast minimums, no iterative
+    # unroll counts that a thinner graph could shift)
+    "quality_score",
+    "doc_fingerprint",
+    "pii_counts",
+    "domain_stats",
+    "repetition_stats",
+    "ngram_topk",
+    "doc_length_quantiles",
+    "dangling_vertices",
+    "ratio_filter",
+    "weight_normalize",
+    "triangle_total",
+    "cocitation",
 ]
 
 
