@@ -2111,7 +2111,7 @@ def oracle_sql() -> dict[str, str]:
         "alias_canonical": f"{g},{_sql_rooting('select src as v, min(dst) as nxt from edges group by src')}",
         "weighted_matching": f"{g},{_sql_wmatching(_WEDGES_SQL)}",
         "boruvka_msf": f"{g},{_sql_msf(_WEDGES_SQL)}",
-        "msf_incremental": f"{g},{_sql_msf(_WEDGES_SQL)}".replace("select a, b, w, msf_round from bv_forest", "select a, b, w from bv_forest"),
+        "msf_incremental": f"{g},{_sql_msf(_WEDGES_SQL, with_round=False)}",
         "single_linkage": f"{g},{_sql_slink(_WEDGES_NEG_SQL, threshold=-2)}",
         "affinity_level2": f"{g},{_sql_aff(_WEDGES_SQL, level=2)}",
         "host_sssp": f"""

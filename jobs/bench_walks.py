@@ -111,7 +111,6 @@ def main() -> None:
     t0 = time.time()
     rw = random_walks(g=g, walk_length=args.walk_length,
                       walks_per_vertex=args.walks_per_vertex)
-    rw_wall = None
     rw = rw.localCheckpoint(eager=True)
     rw_wall = time.time() - t0
     verify(rw, "random_walks", rw_wall)

@@ -63,6 +63,52 @@ class ColoringResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _advance_worklist(winners, sym_unc, forb, unc, P):
+    """Shared per-round worklist maintenance for both coloring loops:
+    fold this round's winners into the forbidden table (rows gained
+    from the residual adjacency where the x endpoint won, kept only
+    while the w endpoint stays uncolored), shrink the uncolored set
+    and the residual adjacency. Returns (forb, unc, sym_unc), each
+    eagerly checkpointed; forb is coalesced to P first (union
+    concatenates partition sets — see [[spark-iterative-loop-pitfalls]])."""
+    wv = winners.select("v")
+    gained = (
+        sym_unc.join(winners.select(F.col("v").alias("x"), "color"), "x")
+        .select(F.col("w").alias("v"), F.col("color").alias("c"))
+        .distinct()
+    )
+    forb = (
+        forb.unionByName(gained)
+        .join(wv, "v", "left_anti")
+        .coalesce(P)
+        .localCheckpoint(eager=True)
+    )
+    unc = unc.join(wv, "v", "left_anti").localCheckpoint(eager=True)
+    sym_unc = (
+        sym_unc.join(wv, sym_unc.w == wv.v, "left_anti")
+        .join(wv, sym_unc.x == wv.v, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    return forb, unc, sym_unc
+
+
+def _assemble_colors(winner_frames, P, rounds, metrics):
+    """Union the per-round winner checkpoints into the final coloring
+    (shared result assembly for both loops)."""
+    if not winner_frames:
+        raise ValueError(
+            "simple graph has no edges; coloring of the edge universe is empty"
+        )
+    colored = winner_frames[0]
+    for wf in winner_frames[1:]:
+        colored = colored.unionByName(wf)
+    return ColoringResult(
+        colors=colored.coalesce(P).withColumnRenamed("v", "url"),
+        rounds=rounds,
+        metrics=metrics,
+    )
+
+
 def _mex_expr(arr):
     """Smallest nonnegative long absent from the sorted-distinct array:
     fold left counting the matched prefix (acc starts 0; each element
@@ -131,16 +177,25 @@ def greedy_coloring(
                 .groupBy("w")
                 .agg(F.min("px").alias("pmin"))
             )
+            cand = (
+                pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
+                .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
+                .select("v")
+            )
             # greedy mex over the winner's already-colored neighborhood
-            # = exactly its rows in the residual forbidden table
+            # = exactly its rows in the residual forbidden table,
+            # restricted to this round's winners BEFORE the collect_set
+            # aggregate (late rounds have few winners but a large
+            # colored fringe; the semi-join keeps the aggregate input
+            # at winner-neighborhood size, and the v-keyed join and
+            # groupBy share one shuffle)
             mex = (
-                forb.groupBy("v")
+                forb.join(cand, "v", "left_semi")
+                .groupBy("v")
                 .agg(_mex_expr(F.collect_set("c")).alias("mex"))
             )
             winners = (
-                pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
-                .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
-                .join(mex, "v", "left")
+                cand.join(mex, "v", "left")
                 .select(
                     "v",
                     F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color"),
@@ -153,44 +208,14 @@ def greedy_coloring(
                  "wall_sec": time.time() - t0}
             )
             winner_frames.append(winners)
-            wv = winners.select("v")
-            gained = (
-                sym_unc.join(
-                    winners.select(F.col("v").alias("x"), "color"), "x"
-                )
-                .select(F.col("w").alias("v"), F.col("color").alias("c"))
-                .distinct()
-            )
-            forb = (
-                forb.unionByName(gained)
-                .join(wv, "v", "left_anti")
-                .coalesce(P)
-                .localCheckpoint(eager=True)
-            )
-            unc = unc.join(wv, "v", "left_anti").localCheckpoint(eager=True)
-            sym_unc = (
-                sym_unc.join(wv, sym_unc.w == wv.v, "left_anti")
-                .join(wv, sym_unc.x == wv.v, "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
         else:
             raise ValueError(
                 f"coloring still running after max_rounds={max_rounds}; "
                 "raise max_rounds"
             )
 
-    if not winner_frames:
-        raise ValueError(
-            "simple graph has no edges; coloring of the edge universe is empty"
-        )
-    colored = winner_frames[0]
-    for wf in winner_frames[1:]:
-        colored = colored.unionByName(wf)
-    return ColoringResult(
-        colors=colored.coalesce(P).withColumnRenamed("v", "url"),
-        rounds=rounds,
-        metrics=metrics,
-    )
+    return _assemble_colors(winner_frames, P, rounds, metrics)
 
 
 def sql_greedy_coloring(rounds: int = 96) -> str:
@@ -387,46 +412,14 @@ def palette_coloring(
                  "wall_sec": time.time() - t0}
             )
             winner_frames.append(winners)
-            wv = winners.select("v")
-            # new forbidden rows: residual edges whose x endpoint just
-            # won, kept only while the w endpoint stays uncolored
-            gained = (
-                sym_unc.join(
-                    winners.select(F.col("v").alias("x"), "color"), "x"
-                )
-                .select(F.col("w").alias("v"), F.col("color").alias("c"))
-                .distinct()
-            )
-            forb = (
-                forb.unionByName(gained)
-                .join(wv, "v", "left_anti")
-                .coalesce(P)
-                .localCheckpoint(eager=True)
-            )
-            unc = unc.join(wv, "v", "left_anti").localCheckpoint(eager=True)
-            sym_unc = (
-                sym_unc.join(wv, sym_unc.w == wv.v, "left_anti")
-                .join(wv, sym_unc.x == wv.v, "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
         else:
             raise ValueError(
                 f"palette coloring still trialing after max_rounds="
                 f"{max_rounds}; raise max_rounds"
             )
 
-    if not winner_frames:
-        raise ValueError(
-            "simple graph has no edges; coloring of the edge universe is empty"
-        )
-    colored = winner_frames[0]
-    for wf in winner_frames[1:]:
-        colored = colored.unionByName(wf)
-    return ColoringResult(
-        colors=colored.coalesce(P).withColumnRenamed("v", "url"),
-        rounds=rounds,
-        metrics=metrics,
-    )
+    return _assemble_colors(winner_frames, P, rounds, metrics)
 
 
 def sql_palette_coloring(rounds: int = 64) -> str:

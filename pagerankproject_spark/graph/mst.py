@@ -218,21 +218,27 @@ def boruvka_msf(
     )
 
 
-def sql_boruvka_msf(wedges_sql: str, rounds: int = 24) -> str:
+def sql_boruvka_msf(
+    wedges_sql: str, rounds: int = 24, with_round: bool = True
+) -> str:
     """DuckDB twin over `wedges_sql` (must select a, b, w with a < b):
     the identical priority-ordered Borůvka rounds unrolled
     (MATERIALIZED, see sql_densest_subgraph), each round's contraction
     as a recursive min-label closure over the tiny selection graph.
     rounds=24 covers components halving from ~16M; tail rounds are
-    empty and idempotent."""
+    empty and idempotent. with_round=False drops the msf_round column
+    from the final projection (the msf_incremental contract key
+    compares round-free forests, since append rounds are numbered
+    relative to the append, not the cold build)."""
     parts = _sql_boruvka_parts(wedges_sql, rounds)
     members = "\n        union all ".join(
         f"select a, b, w, {r}::bigint as msf_round from bv_pick{r}"
         for r in range(rounds)
     )
+    proj = "a, b, w, msf_round" if with_round else "a, b, w"
     parts.append(f"""
     bv_forest as ({members})
-    select a, b, w, msf_round from bv_forest""")
+    select {proj} from bv_forest""")
     return ",".join(parts)
 
 

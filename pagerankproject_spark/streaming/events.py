@@ -733,7 +733,8 @@ def stream_incremental_msf(
 ):
     """Continuous minimum-spanning-forest maintenance — the MSF twin of
     stream_incremental_components: each micro-batch of weighted simple
-    edges (a, b, w — a < b, integer distance weights; a re-observed
+    edges (a, b, w — any orientation, canonicalized to a < b here;
+    integer distance weights; a re-observed
     pair keeps the lighter w) folds into the forest via
     graph/mst.py::msf_append, so per-batch work is O(n + batch), never
     O(total edges seen) — the sparsification property makes the <= n-1
@@ -747,9 +748,16 @@ def stream_incremental_msf(
     from ..graph.mst import boruvka_msf, msf_append
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = batch_df.select(
-            "a", "b", F.col("w").cast("long").alias("w")
-        ).groupBy("a", "b").agg(F.min("w").alias("w"))
+        w = (
+            batch_df.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                F.col("w").cast("long").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.min("w").alias("w"))
+        )
         if "forest" not in state:
             res = boruvka_msf(spark, w)
         else:
