@@ -1449,6 +1449,19 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KHOP_SEEDS = ["site.com/p1", "site.com/p42"]
 _BC_SOURCES = ["site.com/p1", "site.com/p42", "site.com/p7"]
+_LM_LANDMARKS = ["site.com/p1", "site.com/p42", "site.com/p100", "site.com/p250"]
+_LM_PAIRS = [
+    ("site.com/p2", "site.com/p3"),
+    ("site.com/p11", "site.com/p123"),
+    ("site.com/p200", "site.com/p222"),
+    ("site.com/p305", "site.com/p404"),
+    ("site.com/p450", "site.com/p499"),
+    ("site.com/p650", "site.com/p7"),
+    ("site.com/p499", "site.com/p1"),
+    ("site.com/p3", "site.com/p2"),
+    ("site.com/p123", "site.com/p11"),
+    ("site.com/p9999", "site.com/p1"),  # nonexistent u -> NULL estimate
+]
 
 
 def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,6 +1720,19 @@ def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph_tables(spark, _edges(spark, sf_dir))
     return closeness_sampled(spark, g, _BC_SOURCES)
+
+
+def q_landmark_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance sketch estimates (Potamias et al. 2009) for 10
+    fixed query pairs over a 4-landmark sketch: two batched
+    multi-source BFS passes (forward + transposed) then two hash joins
+    + a min-aggregate per pair — exact integers end to end
+    (graph/landmarks.py::distance_upper_bounds)."""
+    from pagerankproject_spark.graph.landmarks import distance_upper_bounds
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    pairs = spark.createDataFrame(_LM_PAIRS, "u string, v string")
+    return distance_upper_bounds(spark, g, _LM_LANDMARKS, pairs)
 
 
 def q_khop_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1970,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "double_sweep": q_double_sweep,               # NEW round 3 (local gate; r4 window head)
         "lpa_conductance": q_lpa_conductance,         # NEW round 3 (local gate; r4 window head)
+        "landmark_estimate": q_landmark_estimate,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -1984,6 +2011,9 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph.betweenness import (
         sql_betweenness_sampled as _sql_bc,
         sql_closeness_sampled as _sql_close,
+    )
+    from pagerankproject_spark.graph.landmarks import (
+        sql_distance_upper_bounds as _sql_lm,
     )
     from pagerankproject_spark.graph.densest import (
         sql_densest_subgraph as _sql_densest,
@@ -2099,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_subgraph": f"{g},{_sql_khop(_KHOP_SEEDS, 2)}",
         "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
         "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
+        "landmark_estimate": f"{g},{_sql_lm(_LM_LANDMARKS, _LM_PAIRS)}",
         "densest_subgraph": f"{g},{_sql_densest()}",
         "luby_mis": f"{g},{_sql_mis()}",
         "greedy_coloring": f"{g},{_sql_coloring()}",

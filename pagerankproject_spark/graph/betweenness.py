@@ -185,33 +185,13 @@ def betweenness_sampled(
     return out
 
 
-def closeness_sampled(
-    spark: SparkSession,
-    g: GraphTables,
-    sources: list[str],
-    max_depth: int = 64,
+def resolve_seed_ids(
+    spark: SparkSession, g: GraphTables, e: DataFrame, sources: list[str]
 ) -> DataFrame:
-    """Sampled-source closeness centrality (Eppstein & Wang 2004
-    estimator, deterministic source set like betweenness_sampled):
-    for every vertex v reached by any sampled source,
-        closeness_est(v) = |S_v| / sum over s in S_v of d(s, v)
-    where S_v = the sampled sources reaching v — the inverse of v's
-    mean observed distance FROM the sample (in-closeness; run on the
-    reversed graph for out-closeness). Scaling to Eppstein-Wang's
-    normalized form is a global constant (n, k) left to the caller.
-
-    Output: url, n_sources (long), dist_total (long), closeness_est
-    (double — NULL when dist_total = 0, i.e. v is only reached as a
-    seed at distance 0). The two aggregates are EXACT INTEGERS and the
-    score is one final division, so the cross-engine contract needs no
-    rounding (the degree_assortativity/modularity discipline).
-
-    Same batched one-job-per-level forward pass as betweenness_sampled
-    (state keyed (s, v), frontier anti-joined against the lazy union of
-    checkpointed levels), minus the sigma bookkeeping and the whole
-    backward phase — per level: one join + one distinct + one anti-join.
-    """
-    e = simple_edges(g)
+    """Map source urls to dense ids restricted to the simple graph's
+    vertex universe, failing loudly when any url is missing (shared by
+    closeness_sampled and the landmark-distance family). Output: one
+    column `s` (long), eagerly checkpointed."""
     graph_vids = (
         e.select(F.col("src_id").alias("id"))
         .union(e.select(F.col("dst_id").alias("id")))
@@ -230,7 +210,20 @@ def closeness_sampled(
             f"only {n_seeds} of {len(set(sources))} source urls are "
             "vertices of the simple graph"
         )
+    return seeds
 
+
+def multi_source_distances(
+    spark: SparkSession, e: DataFrame, seeds: DataFrame, max_depth: int = 64
+) -> DataFrame:
+    """Batched one-job-per-level BFS from every seed at once over the
+    directed dense-id edge table `e(src_id, dst_id)`: state keyed
+    (s, v), each frontier anti-joined against the lazy union of
+    checkpointed levels — per level one join + one distinct + one
+    anti-join, with the empty-frontier check riding the Observation on
+    the level checkpoint (the betweenness forward-pass shape minus the
+    sigma bookkeeping). Output: s (long), v (long), d (long) for every
+    (seed, reached vertex)."""
     level = seeds.select(
         "s", F.col("s").alias("v"), F.lit(0).cast("long").alias("d")
     ).localCheckpoint(eager=True)
@@ -264,6 +257,38 @@ def closeness_sampled(
     dist = levels[0]
     for lv in levels[1:]:
         dist = dist.unionByName(lv)
+    return dist
+
+
+def closeness_sampled(
+    spark: SparkSession,
+    g: GraphTables,
+    sources: list[str],
+    max_depth: int = 64,
+) -> DataFrame:
+    """Sampled-source closeness centrality (Eppstein & Wang 2004
+    estimator, deterministic source set like betweenness_sampled):
+    for every vertex v reached by any sampled source,
+        closeness_est(v) = |S_v| / sum over s in S_v of d(s, v)
+    where S_v = the sampled sources reaching v — the inverse of v's
+    mean observed distance FROM the sample (in-closeness; run on the
+    reversed graph for out-closeness). Scaling to Eppstein-Wang's
+    normalized form is a global constant (n, k) left to the caller.
+
+    Output: url, n_sources (long), dist_total (long), closeness_est
+    (double — NULL when dist_total = 0, i.e. v is only reached as a
+    seed at distance 0). The two aggregates are EXACT INTEGERS and the
+    score is one final division, so the cross-engine contract needs no
+    rounding (the degree_assortativity/modularity discipline).
+
+    Same batched one-job-per-level forward pass as betweenness_sampled
+    (state keyed (s, v), frontier anti-joined against the lazy union of
+    checkpointed levels), minus the sigma bookkeeping and the whole
+    backward phase — per level: one join + one distinct + one anti-join.
+    """
+    e = simple_edges(g)
+    seeds = resolve_seed_ids(spark, g, e, sources)
+    dist = multi_source_distances(spark, e, seeds, max_depth)
     agg = dist.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
         F.sum("d").cast("long").alias("dist_total"),
