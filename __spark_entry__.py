@@ -480,6 +480,19 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(spark, g, k=4).edges
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition — every edge's truss number in one
+    converging triangle h-index refinement (Sariyuce et al. PVLDB 2018,
+    graph/triangles.py::trussness), where ktruss answers membership for
+    a single k. The oracle replays the identical update for the same
+    max_iterations over the same frozen triangle-incidence table
+    (rounds at or past the fixpoint are no-ops) — exact integers."""
+    from pagerankproject_spark.graph.triangles import trussness
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return trussness(spark, g, max_iterations=30).edges
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerankproject_spark.graph.kcore import bfs_distances
 
@@ -1997,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep": q_double_sweep,               # NEW round 3 (local gate; r4 window head)
         "lpa_conductance": q_lpa_conductance,         # NEW round 3 (local gate; r4 window head)
         "landmark_estimate": q_landmark_estimate,     # NEW round 3 (local gate; r4 window head)
+        "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2130,6 +2144,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_sampled": f"{g},{_sql_bc(_BC_SOURCES)}",
         "closeness_sampled": f"{g},{_sql_close(_BC_SOURCES)}",
         "landmark_estimate": f"{g},{_sql_lm(_LM_LANDMARKS, _LM_PAIRS)}",
+        "trussness": f"{g},{rsql.sql_trussness(rounds=30)}",
         "densest_subgraph": f"{g},{_sql_densest()}",
         "luby_mis": f"{g},{_sql_mis()}",
         "greedy_coloring": f"{g},{_sql_coloring()}",

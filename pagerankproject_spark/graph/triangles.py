@@ -27,12 +27,14 @@ hub's edges are almost all oriented INTO it, so it never fans out wedges.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
+from ..session import no_aqe, reset_stats_checkpoint
 
 
 @dataclass
@@ -217,9 +219,11 @@ def ktruss(
     return KTrussResult(edges=out, rounds=rounds, converged=converged)
 
 
-def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
+def _wedge_triangles(und: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Degree-ordered wedge enumeration over a canonical undirected
-    edge list (a < b, deduped). Key type agnostic (long ids or urls)."""
+    edge list (a < b, deduped). Key type agnostic (long ids or urls).
+    Returns (oriented, triangles), both persisted — each triangle is
+    one (u, v1, v2) row; the caller unpersists both when done."""
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -251,6 +255,13 @@ def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     )
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     triangles = wedges.join(closing, ["v1", "v2"]).persist()
+    return oriented, triangles
+
+
+def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
+    """Per-edge triangle counts over a canonical undirected edge list
+    (a < b, deduped) via _wedge_triangles."""
+    oriented, triangles = _wedge_triangles(und)
 
     total = triangles.count()
 
@@ -282,3 +293,166 @@ def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
         oriented.unpersist()
         triangles.unpersist()
     return per_edge, int(total)
+
+
+@dataclass
+class TrussnessResult:
+    edges: DataFrame  # a: string, b: string (a<b by url), trussness: long
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def trussness(
+    spark: SparkSession,
+    g: GraphTables,
+    max_iterations: int = 30,
+) -> TrussnessResult:
+    """Full truss decomposition: every edge's truss number in ONE
+    converging refinement, where ktruss(k) answers only membership for
+    a single k — the edge-level analog of coreness (kcore.py::coreness).
+
+    Algorithm: the triangle h-index fixpoint of Sariyuce, Seshadhri &
+    Pinar, "Local Algorithms for Hierarchical Dense Subgraph Discovery"
+    (PVLDB 12(1), 2018 — public; truss = their (2,3)-nucleus):
+        rho_0(e)    = support(e)   (triangles containing e)
+        rho_{t+1}(e) = H({ min(rho_t(f), rho_t(g)) :
+                           (e, f, g) a triangle })
+    with H the classic h-index. The iterates are non-increasing and
+    converge exactly to trussness(e) - 2; edges in no triangle stay at
+    0 (trussness 2 — every edge is a 2-truss by convention).
+
+    Scale shape: triangles are enumerated ONCE (the degree-ordered
+    wedge join — orientation keeps web-graph hubs from fanning out
+    wedges), then frozen into an incidence table of 3 rows per triangle
+    keyed by canonical edge; per round the state is one long per edge
+    and the cost is two hash joins on the incidence table + one
+    per-edge rank window + an integer aggregate. The changed-edge count
+    rides the localCheckpoint Observation (one Spark job per round).
+    A fixed `max_iterations` replays exactly in the DuckDB oracle
+    (oracle/recursive_sql.py::sql_trussness) since post-fixpoint rounds
+    are no-ops. H-index ties need no tie-break: max(least(rn, m)) is
+    invariant to the order among equal message values.
+
+    Output canonicalizes in URL space: a = least(url), b = greatest —
+    id-space and url-space orientations of an undirected edge coincide.
+    """
+    from pyspark.sql import Window
+
+    P = g.num_partitions
+    und = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # incidence: one row per (triangle, member edge) with the OTHER two
+    # edges' canonical keys — built once from ONE wedge pass, reused
+    # every round. Support (= rho_0) is the per-edge incidence count.
+    oriented, triangles = _wedge_triangles(und)
+
+    def _rows(e: tuple[str, str], f: tuple[str, str], h: tuple[str, str]):
+        return triangles.select(
+            F.least(*e).alias("ea"), F.greatest(*e).alias("eb"),
+            F.least(*f).alias("fa"), F.greatest(*f).alias("fb"),
+            F.least(*h).alias("ha"), F.greatest(*h).alias("hb"),
+        )
+
+    uv1, uv2, v12 = ("u", "v1"), ("u", "v2"), ("v1", "v2")
+    inc = (
+        _rows(uv1, uv2, v12)
+        .unionByName(_rows(uv2, uv1, v12))
+        .unionByName(_rows(v12, uv1, uv2))
+        .repartition(P, "ea", "eb")
+        .transform(reset_stats_checkpoint)
+    )
+    oriented.unpersist()
+    triangles.unpersist()
+
+    support = inc.groupBy(
+        F.col("ea").alias("a"), F.col("eb").alias("b")
+    ).agg(F.count("*").cast("long").alias("c"))
+    rho = (
+        und.join(support, ["a", "b"], "left")
+        .select("a", "b", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+        .repartition(P, "a", "b")
+        .transform(reset_stats_checkpoint)
+    )
+
+    rankw = Window.partitionBy("ea", "eb").orderBy(F.desc("m"))
+    metrics: list[dict] = []
+    converged = False
+    it = -1
+    with no_aqe(spark):
+        for it in range(max_iterations):
+            t0 = time.time()
+            h = (
+                inc.join(
+                    rho.select(
+                        F.col("a").alias("fa"), F.col("b").alias("fb"),
+                        F.col("c").alias("cf"),
+                    ),
+                    ["fa", "fb"],
+                )
+                .join(
+                    rho.select(
+                        F.col("a").alias("ha"), F.col("b").alias("hb"),
+                        F.col("c").alias("ch"),
+                    ),
+                    ["ha", "hb"],
+                )
+                .select("ea", "eb", F.least("cf", "ch").alias("m"))
+                .withColumn("rn", F.row_number().over(rankw).cast("long"))
+                .groupBy("ea", "eb")
+                .agg(F.max(F.least(F.col("rn"), F.col("m"))).alias("h"))
+            )
+            obs = Observation()
+            staged = (
+                rho.join(
+                    h.select(
+                        F.col("ea").alias("a"), F.col("eb").alias("b"), "h"
+                    ),
+                    ["a", "b"],
+                    "left",
+                )
+                .select(
+                    "a", "b",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("c"),
+                    (F.coalesce(F.col("h"), F.lit(0)) != F.col("c"))
+                    .cast("long").alias("chg"),
+                )
+                .observe(obs, F.sum("chg").alias("n"))
+                .select("a", "b", "c")
+                .repartition(P, "a", "b")
+            )
+            # rho feeds THREE joins per round (two message sides + the
+            # carry-forward), so a plain localCheckpoint's carried
+            # sizeInBytes estimate TRIPLES in bit length every round —
+            # the BigInteger stats blow-up session.py documents for
+            # self-composition loops. Reset to the default estimate.
+            rho = reset_stats_checkpoint(staged)
+            changed = int(obs.get["n"] or 0)
+            metrics.append(
+                {"i": it, "changed": changed, "wall_sec": time.time() - t0}
+            )
+            if changed == 0:
+                converged = True
+                break
+
+    v = g.vertices
+    out = (
+        rho.join(v.select(F.col("id").alias("a"), F.col("url").alias("url_a")), "a")
+        .join(v.select(F.col("id").alias("b"), F.col("url").alias("url_b")), "b")
+        .select(
+            F.least("url_a", "url_b").alias("a"),
+            F.greatest("url_a", "url_b").alias("b"),
+            (F.col("c") + F.lit(2)).cast("long").alias("trussness"),
+        )
+    )
+    return TrussnessResult(
+        edges=out, iterations=it + 1, converged=converged, metrics=metrics
+    )

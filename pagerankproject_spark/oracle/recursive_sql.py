@@ -980,3 +980,70 @@ select '{source}' as seed,
        url as far_url,
        distance as diameter_lb
 from ds2 order by distance desc, url limit 1"""
+
+
+# ---------------------------------------------------------------------------
+# Trussness (full truss decomposition) — graph/triangles.py::trussness
+# ---------------------------------------------------------------------------
+
+
+def sql_trussness(rounds: int = 30) -> str:
+    """Exact replay of the engine's triangle h-index fixpoint
+    (Sariyuce, Seshadhri & Pinar, PVLDB 2018): rho_0 = per-edge
+    triangle support, rho_{t+1}(e) = h-index of {min of the other two
+    edges' values} over e's triangles, `rounds` generated CTE blocks.
+    Rounds at or past the fixpoint are no-ops, so any `rounds` >= the
+    engine's iteration count (same argument both sides) reproduces the
+    engine bit-exactly. Triangles are enumerated once (x < y < z via
+    three self-joins on the canonical undirected edge list) and frozen
+    into a 3-rows-per-triangle incidence table, exactly like the
+    engine. Each trho_{r} is referenced three times (two message joins
+    and the carry-forward), so the blocks are AS MATERIALIZED against
+    DuckDB's default inlining (see sql_coreness). Output trussness =
+    rho + 2 (every edge is a 2-truss)."""
+    parts = [
+        """
+tund as (select distinct least(src, dst) as a, greatest(src, dst) as b
+         from edges where src <> dst),
+ttri as materialized (
+  select e1.a as x, e1.b as y, e2.b as z
+  from tund e1
+  join tund e2 on e2.a = e1.a and e2.b > e1.b
+  join tund e3 on e3.a = e1.b and e3.b = e2.b
+),
+tinc as materialized (
+  select x as ea, y as eb, x as fa, z as fb, y as ha, z as hb from ttri
+  union all
+  select x, z, x, y, y, z from ttri
+  union all
+  select y, z, x, y, x, z from ttri
+),
+trho_0 as materialized (
+  select u.a, u.b, coalesce(s.c, 0)::bigint as c
+  from tund u left join (
+    select ea, eb, count(*)::bigint as c from tinc group by ea, eb
+  ) s on s.ea = u.a and s.eb = u.b
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+th_{r} as (
+  select ea, eb, max(least(rn, m)) as h from (
+    select i.ea, i.eb, least(f.c, g.c) as m,
+           row_number() over (
+             partition by i.ea, i.eb order by least(f.c, g.c) desc
+           ) as rn
+    from tinc i
+    join trho_{r} f on f.a = i.fa and f.b = i.fb
+    join trho_{r} g on g.a = i.ha and g.b = i.hb
+  ) group by ea, eb
+),
+trho_{r + 1} as materialized (
+  select s.a, s.b, coalesce(h.h, 0)::bigint as c
+  from trho_{r} s left join th_{r} h on h.ea = s.a and h.eb = s.b
+)"""
+        )
+    final = f"""
+select a, b, (c + 2)::bigint as trussness from trho_{rounds}"""
+    return ",".join(parts) + final

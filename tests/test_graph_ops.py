@@ -634,6 +634,59 @@ def test_ktruss_hand_and_random(spark):
     g.unpersist(); g2.unpersist()
 
 
+def _python_trussness(pairs):
+    """Peel oracle: trussness(e) = max k with e in the k-truss."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    truss = {e: 2 for e in edges}
+    cur, k = set(edges), 3
+    while cur:
+        while True:
+            adj: dict[str, set[str]] = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {e for e in cur if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        for e in cur:
+            truss[e] = k
+        k += 1
+    return truss
+
+
+def test_trussness_hand_and_random(spark):
+    from pagerankproject_spark.graph.triangles import trussness
+
+    # K4 + pendant triangle + tail: K4 edges are 4-truss, the d-e-f
+    # triangle (and K4-adjacent triangle edges) 3, the tail edge 2.
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    pairs = [(f"{x}.x", f"{y}.x") for x, y in k4] + [
+        ("d.x", "e.x"), ("e.x", "f.x"), ("d.x", "f.x"),
+        ("f.x", "tail.x"),
+    ]
+    g = _tables(spark, pairs)
+    res = trussness(spark, g)
+    got = {(r["a"], r["b"]): r["trussness"] for r in res.edges.collect()}
+    assert res.converged
+    assert got == _python_trussness(pairs)
+    assert got[("f.x", "tail.x")] == 2
+
+    # random clustered graph: h-index fixpoint == peel decomposition,
+    # and the membership view agrees with ktruss at every k
+    pairs2, _ = make_clustered_random(seed=31, k_clusters=3, n=90, p_in=0.25)
+    g2 = _tables(spark, pairs2)
+    res_r = trussness(spark, g2)
+    assert res_r.converged
+    got_r = {(r["a"], r["b"]): r["trussness"] for r in res_r.edges.collect()}
+    want_r = _python_trussness(pairs2)
+    assert got_r == want_r
+    for k in (3, 4, 5):
+        member = {e for e, t in got_r.items() if t >= k}
+        assert member == set(_python_ktruss(pairs2, k)), f"k={k}"
+    g.unpersist(); g2.unpersist()
+
+
 def test_katz_centrality_matches_numpy(spark):
     import numpy as np
 
