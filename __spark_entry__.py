@@ -56,6 +56,7 @@ from pagerankproject_spark.graph.triangles import triangle_counts
 from pagerankproject_spark.ingest.edges import URL_DROP_RLIKE, build_graph_tables, regex_filter
 from pagerankproject_spark.ingest.extract import extract_outlinks
 from pagerankproject_spark.oracle import recursive_sql as rsql
+from pagerankproject_spark.text import bm25 as _bm25_mod
 from pagerankproject_spark.similarity.cosine import (
     cosine_similar_pairs,
     cosine_topk,
@@ -1315,6 +1316,20 @@ def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.unigram_logloss(_read(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over document bodies (Robertson-Zaragoza
+    2009; corpus-statistics relevance the reference's neighbors-only
+    s^p URL scorer lacks — text/bm25.py::bm25_scores). Fixed literal
+    query; exact-integer moments into one fixed-order score
+    expression, pivoted per-term so the float sum order is fixed."""
+    from pagerankproject_spark.text.bm25 import bm25_scores
+
+    return bm25_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram cross-entropy under the corpus bigram MLE — the
     order-sensitive step past unigram_logloss toward CCNet's KenLM
@@ -2011,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_conductance": q_lpa_conductance,         # NEW round 3 (local gate; r4 window head)
         "landmark_estimate": q_landmark_estimate,     # NEW round 3 (local gate; r4 window head)
         "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
+        "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2314,6 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
+        "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "bigram_logloss": pipeline.sql_bigram_logloss("documents"),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL

@@ -1301,3 +1301,95 @@ def test_bigram_logloss_matches_replay_and_orders_salad(spark):
     # the shuffled doc keeps its unigram profile but its bigram loss
     # is strictly worse than the fluent docs'
     assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (text/bm25.py)
+# ---------------------------------------------------------------------------
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Literal python replay of the Robertson-Zaragoza 2009 formula."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in rows}
+    toks = {d: t for d, t in toks.items()}
+    dl = {d: len(t) for d, t in toks.items() if t}
+    n, sumdl = len(dl), sum(dl.values())
+    out = {}
+    for d, t in toks.items():
+        if not t:
+            continue
+        score, matched = 0.0, 0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dl[d] * n / sumdl))
+            )
+        if matched:
+            out[d] = (matched, round(score, 6))
+    return out
+
+
+def test_bm25_matches_python_replay(spark):
+    from pagerankproject_spark.text.bm25 import bm25_scores
+
+    rows = [
+        (1, "spark shuffle spark JOIN"),      # tf(spark)=2, case-folded join
+        (2, "join join join filter"),          # high tf, longer doc
+        (3, "window sort merge"),              # no query term
+        (4, "spark"),                          # shortest doc
+        (5, "   "),                            # blank: no tokens at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "join"]
+    got = {
+        r["doc_id"]: (r["matched"], r["score"])
+        for r in bm25_scores(df, terms).collect()
+    }
+    expect = _py_bm25(rows, terms)
+    assert set(got) == set(expect) == {1, 2, 4}
+    for d in got:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
+    # rarer term (spark: df=2) outscores the commoner at equal tf; the
+    # short doc with one hit of the rare term beats the long tf-3 doc
+    # of the common term only if idf dominates -- just assert ordering
+    # agrees with the replay end-to-end
+    assert sorted(got, key=lambda d: got[d][1]) == sorted(
+        expect, key=lambda d: expect[d][1]
+    )
+
+    # top_k is a (score desc, doc_id asc) total order
+    top = bm25_scores(df, terms, top_k=2).collect()
+    want_order = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:2]
+    assert [r["doc_id"] for r in top] == [d for d, _ in want_order]
+
+    # validation fail-fast
+    for bad in ([], ["dup", "dup"], ["Upper"], ["two words"]):
+        with pytest.raises(ValueError):
+            bm25_scores(df, bad)
+
+
+def test_bm25_sql_twin_matches_engine(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.bm25 import bm25_scores, sql_bm25
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    terms = ["spark", "window", "merge"]
+    got = {
+        (r["doc_id"], r["matched"], r["score"])
+        for r in bm25_scores(docs, terms).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(sql_bm25("documents", terms)).fetchall()}
+    assert got == want and len(got) > 0
