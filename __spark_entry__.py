@@ -57,6 +57,7 @@ from pagerankproject_spark.ingest.edges import URL_DROP_RLIKE, build_graph_table
 from pagerankproject_spark.ingest.extract import extract_outlinks
 from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
+from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.similarity.cosine import (
     cosine_similar_pairs,
     cosine_topk,
@@ -590,6 +591,16 @@ def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_edge.agg(
         (F.sum("triangles") / F.lit(3)).cast("long").alias("n_triangles")
     )
+
+
+def q_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (Tsourakakis 2009), q=4,
+    determinized by the portable md5 edge hash so the oracle replays
+    it bit-exactly — graph/triangles.py::triangle_count_sampled. All
+    integers: sampled exact count x q^3."""
+    from pagerankproject_spark.graph.triangles import triangle_count_sampled
+
+    return triangle_count_sampled(spark, _edges(spark, sf_dir), q=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2027,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_estimate": q_landmark_estimate,     # NEW round 3 (local gate; r4 window head)
         "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
         "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
+        "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2225,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
             from und e1
             join und e2 on e2.a = e1.a and e2.b > e1.b
             join und e3 on e3.a = e1.b and e3.b = e2.b""",
+        "triangles_doulion": f"{g},{_tri_mod.sql_triangle_count_sampled(q=4)}",
         "url_search_score": f"""{g}
             select url,
                    round(((length(url) - length(replace(url, 'p1', '')))::double / 2) * 0.8

@@ -456,3 +456,80 @@ def trussness(
     return TrussnessResult(
         edges=out, iterations=it + 1, converged=converged, metrics=metrics
     )
+
+
+def triangle_count_sampled(
+    spark: SparkSession, edges: DataFrame, q: int = 4
+) -> DataFrame:
+    """DOULION sampled triangle counting (Tsourakakis, Kang, Miller &
+    Faloutsos, KDD 2009 — public): keep each edge of the simple
+    undirected graph with probability p = 1/q, count triangles EXACTLY
+    on the sparsified graph, scale by 1/p^3 = q^3. Unbiased, and the
+    estimate concentrates once the graph carries enough triangles —
+    the 100-TB-regime path beside the exact wedge join: the sparsified
+    graph is q x smaller in edges and ~q^3 x cheaper in wedge fan-out,
+    and the sampling predicate is a map-side filter pushed to the scan.
+
+    Sampling is DETERMINIZED by the portable 60-bit md5 hash of the
+    canonical edge key (hash-based edge sampling, same determinization
+    as text/pipeline.py::sample_hash) so the run replays bit-exactly in
+    the DuckDB oracle and across retries/partitionings — the "random"
+    bits come from md5, fixed by the edge identity. All outputs are
+    exact integers (the estimate is an integer multiply, no floats).
+
+    Output: one row — n_edges (long, simple undirected edges),
+    n_sampled (long), n_triangles_sampled (long), estimate (long,
+    = n_triangles_sampled * q^3).
+    """
+    from ..text.analysis import hash60_expr
+
+    if q < 1:
+        raise ValueError("triangle_count_sampled: q must be >= 1")
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = und.count()
+    sampled = und.filter(
+        F.pmod(hash60_expr(F.concat_ws("|", F.col("a"), F.col("b"))), F.lit(q))
+        == 0
+    ).persist()
+    n_sampled = sampled.count()
+    oriented, triangles = _wedge_triangles(sampled)
+    n_tri = triangles.count()
+    oriented.unpersist()
+    triangles.unpersist()
+    sampled.unpersist()
+    und.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, n_sampled, n_tri, n_tri * q**3)],
+        "n_edges long, n_sampled long, n_triangles_sampled long, estimate long",
+    )
+
+
+def sql_triangle_count_sampled(q: int = 4) -> str:
+    """DuckDB twin of triangle_count_sampled over the shared `edges`
+    CTE: same canonical edge set, same portable-hash predicate, same
+    x<y<z triangle join, same integer scale-up."""
+    return f"""
+    dund as (select distinct least(src, dst) as a, greatest(src, dst) as b
+             from edges where src <> dst),
+    dsmp as (select a, b from dund
+             where ('0x' || substr(md5(a || '|' || b), 1, 15))::bigint
+                   % {q} = 0),
+    dtri as (
+      select count(*)::bigint as t
+      from dsmp e1
+      join dsmp e2 on e2.a = e1.a and e2.b > e1.b
+      join dsmp e3 on e3.a = e1.b and e3.b = e2.b
+    )
+    select (select count(*) from dund)::bigint as n_edges,
+           (select count(*) from dsmp)::bigint as n_sampled,
+           t as n_triangles_sampled,
+           (t * {q ** 3})::bigint as estimate
+    from dtri"""

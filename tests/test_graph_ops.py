@@ -1924,3 +1924,45 @@ def test_msf_append_equals_cold_rebuild(spark):
     got = {(r["a"], r["b"]): r["w"] for r in inc.forest.collect()}
     want = {(r["a"], r["b"]): r["w"] for r in cold.forest.collect()}
     assert got == want
+
+
+def test_triangle_count_sampled_matches_python_replay(spark):
+    import hashlib
+
+    import pytest
+
+    from pagerankproject_spark.graph.triangles import triangle_count_sampled
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pairs, _ = make_clustered_random(seed=47, k_clusters=3, n=80, p_in=0.3)
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    q = 4
+    row = triangle_count_sampled(spark, edges, q=q).collect()[0]
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    smp = {e for e in und if h60(f"{e[0]}|{e[1]}") % q == 0}
+    adj: dict[str, set[str]] = {}
+    for a, b in smp:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in smp) // 3
+    assert row["n_edges"] == len(und)
+    assert row["n_sampled"] == len(smp)
+    assert row["n_triangles_sampled"] == tri
+    assert row["estimate"] == tri * q**3
+
+    # q=1 degenerates to the exact count
+    exact = triangle_count_sampled(spark, edges, q=1).collect()[0]
+    full_adj: dict[str, set[str]] = {}
+    for a, b in und:
+        full_adj.setdefault(a, set()).add(b)
+        full_adj.setdefault(b, set()).add(a)
+    t_exact = sum(len(full_adj[a] & full_adj[b]) for a, b in und) // 3
+    assert exact["n_triangles_sampled"] == t_exact
+    assert exact["estimate"] == t_exact
+    assert exact["n_sampled"] == len(und)
+
+    with pytest.raises(ValueError):
+        triangle_count_sampled(spark, edges, q=0)
