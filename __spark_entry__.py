@@ -1828,12 +1828,10 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_snapshots(pages, tiebreak="event_id")
 
 
-def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anchor-text extraction: (src, dst, anchor) per closed <a> tag
-    (ingest/extract.py::extract_anchors, sql impl; the unclosed third
-    tag in the derived html must NOT extract)."""
-    from pagerankproject_spark.ingest.extract import extract_anchors
-
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table with anchor tags derived from the
+    documents table (shared by q_anchor_extract / q_anchor_term_index;
+    the third tag is deliberately unclosed and must NOT extract)."""
     d = _read(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<html><a href="site.com/p'),
@@ -1846,11 +1844,33 @@ def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.lit('</a><a href="site.com/r1">unclosed'),
     )
-    pages = d.select(
+    return d.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.encode(html, "UTF-8").alias("html"),
     )
-    return extract_anchors(pages, impl="sql")
+
+
+def q_anchor_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction: (src, dst, anchor) per closed <a> tag
+    (ingest/extract.py::extract_anchors, sql impl)."""
+    from pagerankproject_spark.ingest.extract import extract_anchors
+
+    return extract_anchors(_anchor_pages(spark, sf_dir), impl="sql")
+
+
+def q_anchor_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-term index (Brin-Page 1998 anchor propagation
+    / Craswell 2001 site finding): distinct-source + occurrence counts
+    per (dst, term) over the incoming anchors — exact integers
+    (ingest/extract.py::anchor_term_index)."""
+    from pagerankproject_spark.ingest.extract import (
+        anchor_term_index,
+        extract_anchors,
+    )
+
+    return anchor_term_index(
+        extract_anchors(_anchor_pages(spark, sf_dir), impl="sql")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2039,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
         "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
+        "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2048,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         sql_hyperball_balls as _sql_hyperball_balls,
     )
     from pagerankproject_spark.ingest.extract import (
+        sql_anchor_term_index as _sql_anchor_terms,
         sql_extract_anchors as _sql_extract_anchors,
     )
     from pagerankproject_spark.graph.betweenness import (
@@ -2300,6 +2322,18 @@ def oracle_sql() -> dict[str, str]:
                 from documents
             )
             {_sql_extract_anchors('pages')}""",
+        "anchor_term_index": f"""
+            with pages as (
+                select 'doc://' || doc_id as url,
+                       '<html><a href="site.com/p' || (doc_id % 50)
+                       || '" class="x">go ' || (doc_id % 7)
+                       || '</a><p><a href="site.com/q' || (doc_id % 70)
+                       || '">' || lang
+                       || '</a><a href="site.com/r1">unclosed' as html_str
+                from documents
+            ),
+            anchors as ({_sql_extract_anchors('pages')})
+            {_sql_anchor_terms('anchors')}""",
         "host_pagerank": f"""
             with hedges_raw as (
                 select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,

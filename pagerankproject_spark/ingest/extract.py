@@ -140,3 +140,59 @@ def extracted_text(pages: DataFrame) -> DataFrame:
     """The text side of extraction: identity pass-through of the `text`
     column (byte-identical per url — the binding per-row invariant)."""
     return pages.select("url", "text")
+
+
+def anchor_term_index(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-term index: the classic off-page relevance
+    signal (Brin & Page 1998 §2.2 anchor propagation; Craswell,
+    Hawking & Robertson SIGIR 2001 showed anchor text beats content
+    for site finding — both public). For every (target, term) over the
+    INCOMING anchors:
+
+        n_src  — distinct linking pages using the term (the diversity
+                 signal link-spam analysis thresholds on: one page
+                 repeating a term is cheap, many independent pages
+                 agreeing is not)
+        n_occ  — total occurrences
+
+    Input: the (src, dst, anchor) table from extract_anchors. Output:
+    dst, term, n_src (long), n_occ (long) — exact integers end-to-end,
+    bit-identical cross-engine by construction.
+
+    Scale: explode is map-side; the single shuffle groups on
+    (dst, term) with a partial count for n_occ; n_src is the one
+    count-distinct (Spark expands it to a two-level agg over the same
+    key space — no second shuffle wave over a wider key). Self-anchors
+    (src == dst) are excluded: a page's own text is not an off-page
+    signal.
+    """
+    from ..text.analysis import tokens_expr
+
+    toks = (
+        anchors.filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.explode(tokens_expr(F.lower(F.col("anchor")))).alias("term"),
+        )
+    )
+    return toks.groupBy("dst", "term").agg(
+        F.countDistinct("src").cast("long").alias("n_src"),
+        F.count("*").cast("long").alias("n_occ"),
+    )
+
+
+def sql_anchor_term_index(anchors_rel: str) -> str:
+    """DuckDB twin of anchor_term_index over a (src, dst, anchor)
+    relation."""
+    from ..text.analysis import sql_tokens
+
+    toks = sql_tokens("lower(anchor)")
+    return f"""
+    select dst, term,
+           count(distinct src)::bigint as n_src,
+           count(*)::bigint as n_occ
+    from (select src, dst, unnest({toks}) as term
+          from {anchors_rel} where src <> dst)
+    group by dst, term
+    """

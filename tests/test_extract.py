@@ -260,3 +260,25 @@ def test_anchor_unicode_whitespace_sql_arrow_agree(spark):
         arrow = sorted(map(tuple, fn(pages, "arrow").collect()))
         assert sql == arrow
         assert all("a.com/x" not in r for row in sql for r in row)
+
+
+def test_anchor_term_index_matches_python_replay(spark):
+    from pagerankproject_spark.ingest.extract import anchor_term_index
+
+    rows = [
+        ("a.com", "t.com", "Best Widgets"),
+        ("b.com", "t.com", "best widgets best"),   # repeat within one src
+        ("c.com", "u.com", "   "),                  # blank anchor: no terms
+        ("t.com", "t.com", "self best"),            # self-anchor: excluded
+        ("a.com", "u.com", "widgets"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {
+        (r["dst"], r["term"]): (r["n_src"], r["n_occ"])
+        for r in anchor_term_index(df).collect()
+    }
+    assert got == {
+        ("t.com", "best"): (2, 3),      # a.com once + b.com twice
+        ("t.com", "widgets"): (2, 2),
+        ("u.com", "widgets"): (1, 1),
+    }
