@@ -58,6 +58,7 @@ from pagerankproject_spark.ingest.extract import extract_outlinks
 from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
+from pagerankproject_spark.dedup import mirrors as _mirrors_mod
 from pagerankproject_spark.similarity.cosine import (
     cosine_similar_pairs,
     cosine_topk,
@@ -1341,6 +1342,21 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (Bharat-Broder WWW 1999): host pairs with
+    shingle-set-union resemblance >= 0.03 over synthesized 23-host
+    assignment, df-cap 20 — dedup/mirrors.py::mirror_host_pairs."""
+    from pagerankproject_spark.dedup.mirrors import mirror_host_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".com")
+    )
+    return mirror_host_pairs(
+        d, host, threshold=0.03, n=3, max_host_freq=20
+    )
+
+
 def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram cross-entropy under the corpus bigram MLE — the
     order-sensitive step past unigram_logloss toward CCNet's KenLM
@@ -2060,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
+        "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2378,6 +2395,13 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
+        "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
+            "documents",
+            "'h' || (doc_id % 23) || '.com'",
+            threshold=0.03,
+            n=3,
+            max_host_freq=20,
+        ),
         "bigram_logloss": pipeline.sql_bigram_logloss("documents"),
         "paragraph_dedup_stats": _sql_para_stats(
             "documents", "doc_id", _LINED_TEXT_SQL

@@ -1393,3 +1393,59 @@ def test_bm25_sql_twin_matches_engine(spark):
     )
     want = {tuple(r) for r in con.execute(sql_bm25("documents", terms)).fetchall()}
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection (dedup/mirrors.py)
+# ---------------------------------------------------------------------------
+
+def test_mirror_host_pairs_matches_python_replay(spark):
+    from pagerankproject_spark.dedup.mirrors import mirror_host_pairs
+
+    rows = [
+        # host A and B share most content (mirrors); C is unrelated.
+        ("a.com", 1, "the quick brown fox jumps over the lazy dog"),
+        ("a.com", 2, "pack my box with five dozen liquor jugs"),
+        ("b.com", 3, "the quick brown fox jumps over the lazy dog"),
+        ("b.com", 4, "pack my box with five dozen jugs"),
+        ("c.com", 5, "completely different text about spark shuffles"),
+        ("c.com", 6, ""),  # blank doc contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+
+    def sh3(t):
+        w = t.lower().split()
+        if not w:
+            return set()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets: dict[str, set] = {}
+    for h, _, t in rows:
+        sets.setdefault(h, set()).update(sh3(t))
+    import itertools
+    expect = {}
+    for ha, hb in itertools.combinations(sorted(sets), 2):
+        c = len(sets[ha] & sets[hb])
+        if not c:
+            continue
+        r = round(c / (len(sets[ha]) + len(sets[hb]) - c), 6)
+        if r >= 0.1:
+            expect[(ha, hb)] = r
+
+    got = {
+        (r["host_a"], r["host_b"]): r["resemblance"]
+        for r in mirror_host_pairs(
+            df, F.col("host"), threshold=0.1, n=3
+        ).collect()
+    }
+    assert got == pytest.approx(expect)
+    assert ("a.com", "b.com") in got          # the mirror pair survives
+    assert all("c.com" not in k for k in got)  # unrelated host does not
+
+    # df-cap: capping at 1 host removes every shared shingle -> empty
+    capped = mirror_host_pairs(
+        df, F.col("host"), threshold=0.0, n=3, max_host_freq=1
+    )
+    assert capped.count() == 0
