@@ -97,6 +97,14 @@ BENCH_QUERIES = [
     "walk_ppmi",
     "double_sweep",
     "lpa_conductance",
+    # end-of-round-3 additions: relevance + sampled/host-level scale
+    # paths. trussness is deliberately NOT benched: its h-index
+    # fixpoint runs ~20 rounds over the triangle incidence (~224 s at
+    # sf0.1) and is gated by its contract key instead.
+    "bm25_scores",
+    "triangles_doulion",
+    "anchor_term_index",
+    "mirror_hosts",
 ]
 
 

@@ -329,6 +329,14 @@ def trussness(
     and the cost is two hash joins on the incidence table + one
     per-edge rank window + an integer aggregate. The changed-edge count
     rides the localCheckpoint Observation (one Spark job per round).
+    Once the changed set falls below a quarter of the edges, rounds are
+    WORKLIST-RESTRICTED (the repo's BFS/SSSP/coloring frontier idea at
+    edge granularity): h is recomputed only for edges sharing a
+    triangle with a changed edge, which reproduces the synchronous
+    states bit-for-bit (rho is non-increasing, and h(e) depends only on
+    the other two edges' rho over e's triangles — unchanged
+    neighborhoods keep their h), so per-round work decays with the
+    cascade instead of staying O(incidence).
     A fixed `max_iterations` replays exactly in the DuckDB oracle
     (oracle/recursive_sql.py::sql_trussness) since post-fixpoint rounds
     are no-ops. H-index ties need no tie-break: max(least(rn, m)) is
@@ -387,11 +395,52 @@ def trussness(
     metrics: list[dict] = []
     converged = False
     it = -1
+    n_edges = und.count()
+    chgdf = None  # edges whose rho changed last round (None = round 0)
+    last_changed = n_edges
     with no_aqe(spark):
         for it in range(max_iterations):
             t0 = time.time()
+            # engage the worklist only once the changed set is small
+            # enough that candidate restriction saves more than the two
+            # extra inc scans it costs (early rounds change nearly
+            # everything, so restriction is pure overhead there)
+            if chgdf is not None and last_changed * 4 > n_edges:
+                chgdf = None
+            # Worklist restriction (the repo's BFS/SSSP/coloring
+            # frontier idea at edge granularity): h(e) depends only on
+            # the OTHER two edges' rho values over e's triangles, and
+            # rho is non-increasing, so h(e) can change only when some
+            # incident edge changed last round. Recomputing h for
+            # exactly those candidates reproduces the synchronous
+            # fixpoint states bit-for-bit (unchanged neighborhoods =>
+            # unchanged message multiset => unchanged h), so the
+            # fixed-round oracle replay is unaffected; per-round work
+            # decays with the worklist instead of staying O(inc).
+            if chgdf is None:
+                inc_active = inc
+            else:
+                cand = (
+                    inc.join(
+                        chgdf.select(
+                            F.col("a").alias("fa"), F.col("b").alias("fb")
+                        ),
+                        ["fa", "fb"],
+                    )
+                    .select("ea", "eb")
+                    .unionByName(
+                        inc.join(
+                            chgdf.select(
+                                F.col("a").alias("ha"), F.col("b").alias("hb")
+                            ),
+                            ["ha", "hb"],
+                        ).select("ea", "eb")
+                    )
+                    .distinct()
+                )
+                inc_active = inc.join(cand, ["ea", "eb"])
             h = (
-                inc.join(
+                inc_active.join(
                     rho.select(
                         F.col("a").alias("fa"), F.col("b").alias("fb"),
                         F.col("c").alias("cf"),
@@ -411,6 +460,9 @@ def trussness(
                 .agg(F.max(F.least(F.col("rn"), F.col("m"))).alias("h"))
             )
             obs = Observation()
+            # non-candidate edges are absent from h and must CARRY c
+            # (coalesce(h, c)); no-triangle edges stay at their 0
+            # support the same way.
             staged = (
                 rho.join(
                     h.select(
@@ -421,12 +473,11 @@ def trussness(
                 )
                 .select(
                     "a", "b",
-                    F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("c"),
-                    (F.coalesce(F.col("h"), F.lit(0)) != F.col("c"))
+                    F.coalesce(F.col("h"), F.col("c")).cast("long").alias("c"),
+                    (F.coalesce(F.col("h"), F.col("c")) != F.col("c"))
                     .cast("long").alias("chg"),
                 )
                 .observe(obs, F.sum("chg").alias("n"))
-                .select("a", "b", "c")
                 .repartition(P, "a", "b")
             )
             # rho feeds THREE joins per round (two message sides + the
@@ -434,8 +485,11 @@ def trussness(
             # sizeInBytes estimate TRIPLES in bit length every round —
             # the BigInteger stats blow-up session.py documents for
             # self-composition loops. Reset to the default estimate.
-            rho = reset_stats_checkpoint(staged)
+            ck = reset_stats_checkpoint(staged)
+            rho = ck.select("a", "b", "c")
+            chgdf = ck.filter(F.col("chg") == 1).select("a", "b")
             changed = int(obs.get["n"] or 0)
+            last_changed = changed
             metrics.append(
                 {"i": it, "changed": changed, "wall_sec": time.time() - t0}
             )

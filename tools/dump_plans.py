@@ -43,6 +43,11 @@ PLAN_QUERIES = [
     "duplicate_spans",         # zero-shuffle window explode + digest aggs
     "domain_cap_sample",       # hash-order per-domain top-k window
     "crawl_frontier",          # semi/anti joins + per-host top-k window
+    "bm25_scores",             # inverted-index postings + fixed-order pivot
+    "mirror_hosts",            # host shingle-set self-join + df-cap
+    # triangles_doulion is excluded: its counts are actions, so the
+    # returned one-row frame is a LocalTableScan, not the sampled
+    # wedge join (which shares triangles_per_edge's plan shape).
 ]
 
 
