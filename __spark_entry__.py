@@ -59,6 +59,7 @@ from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.dedup import mirrors as _mirrors_mod
+from pagerankproject_spark.text import heavyhitters as _hh_mod
 from pagerankproject_spark.similarity.cosine import (
     cosine_similar_pairs,
     cosine_topk,
@@ -1342,6 +1343,16 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters: per-partition Misra-Gries candidate
+    sketches (Arrow mapInPandas, k counters) + exact broadcast-semi
+    rescore — provably complete above freq 1/40, so the output is
+    EXACT integers (text/heavyhitters.py::heavy_hitters)."""
+    from pagerankproject_spark.text.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_read(spark, sf_dir, "documents"), denom=40)
+
+
 def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (Bharat-Broder WWW 1999): host pairs with
     shingle-set-union resemblance >= 0.03 over synthesized 23-host
@@ -2077,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
+        "heavy_hitters": q_heavy_hitters,             # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2395,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
+        "heavy_hitters": _hh_mod.sql_heavy_hitters("documents", denom=40),
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",
             "'h' || (doc_id % 23) || '.com'",

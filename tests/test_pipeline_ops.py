@@ -1449,3 +1449,43 @@ def test_mirror_host_pairs_matches_python_replay(spark):
         df, F.col("host"), threshold=0.0, n=3, max_host_freq=1
     )
     assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (text/heavyhitters.py)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_under_adversarial_partitioning(spark):
+    from collections import Counter
+
+    from pagerankproject_spark.text.heavyhitters import heavy_hitters
+
+    # one dominant token, a mid token, and a long tail of rare tokens
+    # that must NOT survive (they flood the MG counters but get pruned)
+    rows = (
+        [(i, "spark spark shuffle") for i in range(30)]
+        + [(100 + i, f"rare{i} other{i} misc{i}") for i in range(60)]
+        + [(500, ""), (501, "   ")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    denom = 10
+
+    c = Counter()
+    for _, t in rows:
+        c.update(t.lower().split())
+    n = sum(c.values())
+    expect = {
+        (tok, cnt, n) for tok, cnt in c.items() if cnt * denom > n
+    }
+    assert expect  # sanity: the fixture does have heavy hitters
+
+    for parts in (1, 7):  # adversarial repartition must not change output
+        got = {
+            (r["token"], r["cnt"], r["n_total"])
+            for r in heavy_hitters(df.repartition(parts), denom=denom).collect()
+        }
+        assert got == expect, f"parts={parts}"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, denom=1)
