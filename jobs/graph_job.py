@@ -33,7 +33,7 @@ def main() -> None:
             "hyperball", "harmonic", "hostrank", "khop", "hostsssp",
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
-            "coloring", "palette", "matching",
+            "coloring", "palette", "matching", "trussness", "doulion",
         ],
     )
     p.add_argument(
@@ -73,7 +73,7 @@ def main() -> None:
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
         "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares", "mis",
-        "coloring", "palette", "matching",
+        "coloring", "palette", "matching", "doulion",
     }
     g = None
     if needs_g:
@@ -362,6 +362,21 @@ def main() -> None:
         res = bowtie(spark, g, max_iterations=args.max_iterations)
         out = res.regions.orderBy("region", "url")
         print(f"core_label= {res.core_label} sweeps= {res.sweeps}")
+    elif args.algo == "trussness":
+        from pagerankproject_spark.graph.triangles import trussness
+
+        res = trussness(spark, g, max_iterations=args.max_iterations)
+        out = res.edges.orderBy(F.desc("trussness"), "a", "b")
+        print(f"iterations= {res.iterations} converged= {res.converged}")
+    elif args.algo == "doulion":
+        from pagerankproject_spark.graph.triangles import (
+            triangle_count_sampled,
+        )
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = triangle_count_sampled(
+            spark, regex_filter(read_edge_csv(spark, args.data)), q=args.k
+        )
     else:
         res = triangle_counts(spark, g)
         out = res.per_edge.orderBy("a", "b")
