@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "triangles_doulion",
     "anchor_term_index",
     "mirror_hosts",
+    "heavy_hitters",
 ]
 
 

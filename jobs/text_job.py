@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Text relevance / corpus-statistics job — the retrieval-side entry
+point next to dedup_job.py's cleaning ops.
+
+    spark-submit --py-files engine.zip jobs/text_job.py \
+        --documents /path/docs.parquet --output /path/out \
+        --op bm25|heavyhitters|mirrors \
+        [--query 'spark window merge'] [--denom 200] \
+        [--threshold 0.03] [--host_mod 23] [--master local[32]]
+
+Writes:
+  bm25         -> (doc_id, matched, score) for docs matching >= 1
+                  query term (Okapi BM25, text/bm25.py); --top_k
+                  limits to the k best by (score desc, doc_id)
+  heavyhitters -> tokens with frequency > 1/denom, EXACT
+                  (Misra-Gries candidates + exact rescore,
+                  text/heavyhitters.py)
+  mirrors      -> host pairs with shingle-set resemblance >= threshold
+                  (Bharat-Broder 1999, dedup/mirrors.py); hosts come
+                  from a deterministic doc_id % host_mod assignment
+                  unless the table has a url column to derive domains
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--documents", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--op", required=True, choices=["bm25", "heavyhitters", "mirrors"]
+    )
+    p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
+    p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
+    p.add_argument("--denom", type=int, default=200, help="heavyhitters 1/phi")
+    p.add_argument("--threshold", type=float, default=0.03, help="mirrors")
+    p.add_argument(
+        "--host_mod", type=int, default=23,
+        help="mirrors host assignment when no url column exists",
+    )
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    from pyspark.sql import functions as F
+
+    from pagerankproject_spark.session import get_spark
+
+    spark = get_spark(app_name=f"text-{args.op}", master=args.master)
+    docs = spark.read.parquet(args.documents)
+    if args.op == "bm25":
+        from pagerankproject_spark.text.bm25 import bm25_scores
+
+        if not args.query:
+            p.error("--query required for bm25")
+        terms = args.query.lower().split()
+        out = bm25_scores(docs, terms, top_k=args.top_k)
+    elif args.op == "heavyhitters":
+        from pagerankproject_spark.text.heavyhitters import heavy_hitters
+
+        out = heavy_hitters(docs, denom=args.denom)
+    else:
+        from pagerankproject_spark.dedup.mirrors import mirror_host_pairs
+        from pagerankproject_spark.text.pipeline import domain_expr
+
+        if "url" in docs.columns:
+            host = domain_expr(F.col("url"))
+        else:
+            host = F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % args.host_mod).cast("string"),
+                F.lit(".com"),
+            )
+        out = mirror_host_pairs(docs, host, threshold=args.threshold)
+    out.write.mode("overwrite").parquet(args.output)
+    logging.info("%s -> %d rows -> %s", args.op, out.count(), args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
