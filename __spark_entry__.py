@@ -1343,6 +1343,17 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai-Lafferty
+    SIGIR 2001) — the language-model counterpart to BM25 over the same
+    postings scaffolding (text/bm25.py::ql_dirichlet_scores). Same
+    fixed literal query as bm25_scores; exact-integer moments
+    (tf/cf/dl/|C|) into one fixed-order per-term expression."""
+    from pagerankproject_spark.text.bm25 import ql_dirichlet_scores
+
+    return ql_dirichlet_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed heavy hitters: per-partition Misra-Gries candidate
     sketches (Arrow mapInPandas, k counters) + exact broadcast-semi
@@ -2085,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_estimate": q_landmark_estimate,     # NEW round 3 (local gate; r4 window head)
         "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
         "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
+        "ql_dirichlet": q_ql_dirichlet,               # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2407,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
+        "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),
         "heavy_hitters": _hh_mod.sql_heavy_hitters("documents", denom=40),
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",

@@ -195,3 +195,148 @@ def sql_bm25(
     from bm_p
     {limit}
     """
+
+
+def ql_dirichlet_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    "A Study of Smoothing Methods for Language Models Applied to Ad Hoc
+    Information Retrieval", SIGIR 2001 — public): the language-model
+    counterpart to BM25:
+
+        score(q, d) = sum over t in q of
+            ln( (tf(t,d) + mu * cf(t)/|C|) / (dl(d) + mu) )
+
+    with cf(t) the collection frequency and |C| total tokens. Unlike
+    BM25, UNMATCHED query terms still contribute smoothing mass
+    (tf = 0), so the per-term pivot falls back to the dl-only term —
+    every moment (tf, cf, dl, |C|) stays an exact integer and each
+    term's contribution is one fixed expression, so the fixed-order
+    pivot sum replays bit-exactly in the oracle (sql_ql_dirichlet).
+
+    Output: docs matching >= 1 query term (same support as bm25_scores;
+    scores are comparable within the result set because the
+    smoothing-only mass depends only on dl): doc_id, matched (long),
+    score (double 6dp, higher = more relevant; scores are negative log
+    likelihoods summed — closer to 0 is better).
+
+    Scale shape: identical to bm25_scores (map-side postings filter,
+    combinable tf/dl/cf, scalar |C|, broadcast per-term stats, no
+    window); cf adds one k-row aggregate over the postings.
+    """
+    _validate(query_terms, 1.0, 0.5)
+    if mu <= 0:
+        raise ValueError("ql_dirichlet: mu must be > 0")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    c_total = int(
+        toks.agg(F.count("*").cast("long").alias("n")).first()["n"] or 0
+    )
+    if c_total == 0:
+        raise ValueError("ql_dirichlet: corpus has no tokens")
+
+    postings = toks.filter(F.col("token").isin(query_terms))
+    tf = postings.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cf = postings.groupBy("token").agg(
+        F.count("*").cast("long").alias("cf")
+    )
+    cf_map = {r["token"]: int(r["cf"]) for r in cf.collect()}
+
+    matched = (
+        tf.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("matched"),
+            *[
+                F.max(F.when(F.col("token") == t, F.col("tf"))).alias(
+                    f"tf_{i}"
+                )
+                for i, t in enumerate(query_terms)
+            ],
+        )
+    )
+    scored = matched.join(dl, "doc_id")
+    ct = float(c_total)
+    total = None
+    for i, t in enumerate(query_terms):
+        cf_t = float(cf_map.get(t, 0))
+        # ln((tf + mu * cf/|C|) / (dl + mu)); tf -> 0 when unmatched.
+        # cf(t)=0 (term absent from corpus) contributes ln(0) = -inf;
+        # fail fast instead of emitting non-finite scores.
+        if cf_t == 0.0:
+            raise ValueError(
+                f"ql_dirichlet: query term {t!r} absent from the corpus "
+                "(zero-probability under the collection model)"
+            )
+        term = F.log(
+            (
+                F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+                + F.lit(float(mu)) * (F.lit(cf_t) / F.lit(ct))
+            )
+            / (F.col("dl").cast("double") + F.lit(float(mu)))
+        )
+        total = term if total is None else total + term
+    out = scored.select(
+        "doc_id", "matched", F.round(total, ROUND_DP).alias("score")
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    return out
+
+
+def sql_ql_dirichlet(
+    rel: str,
+    query_terms: list[str],
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> str:
+    """DuckDB twin of ql_dirichlet_scores: the same fixed-order
+    expression over the same exact-integer moments (cf/|C| computed by
+    subquery instead of literal inlining — identical integer inputs
+    give identical doubles)."""
+    _validate(query_terms, 1.0, 0.5)
+    if mu <= 0:
+        raise ValueError("ql_dirichlet: mu must be > 0")
+    toks = sql_tokens(f"lower({text_col})")
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    tf_cols = ",\n           ".join(
+        f"max(case when token = '{t}' then tf end) as tf_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    total = " + ".join(
+        f"ln((coalesce(tf_{i}, 0)::double + {float(mu)!r} * "
+        f"((select cf from ql_cf where token = '{t}')::double / "
+        f"(select n from ql_tot))) / (l.dl::double + {float(mu)!r}))"
+        for i, t in enumerate(query_terms)
+    )
+    limit = (
+        f"order by score desc, doc_id asc limit {top_k}" if top_k else ""
+    )
+    return f"""
+    with ql_tok as (select {id_col} as doc_id, unnest({toks}) as token
+                    from {rel}),
+    ql_dl as (select doc_id, count(*)::bigint as dl from ql_tok group by 1),
+    ql_tot as (select count(*)::double as n from ql_tok),
+    ql_tf as (select doc_id, token, count(*)::bigint as tf from ql_tok
+              where token in ({terms}) group by 1, 2),
+    ql_cf as (select token, sum(tf)::bigint as cf from ql_tf group by 1),
+    ql_p as (
+      select doc_id, count(*)::bigint as matched,
+           {tf_cols}
+      from ql_tf group by doc_id
+    )
+    select p.doc_id, p.matched, round({total}, {ROUND_DP}) as score
+    from ql_p p join ql_dl l on l.doc_id = p.doc_id
+    {limit}
+    """

@@ -1396,6 +1396,86 @@ def test_bm25_sql_twin_matches_engine(spark):
 
 
 # ---------------------------------------------------------------------------
+# Dirichlet query likelihood (text/bm25.py)
+# ---------------------------------------------------------------------------
+
+def test_ql_dirichlet_matches_python_replay(spark):
+    import math
+
+    from pagerankproject_spark.text.bm25 import ql_dirichlet_scores
+
+    rows = [
+        (1, "spark shuffle spark JOIN"),
+        (2, "join join join filter"),
+        (3, "window sort merge"),        # no query term -> excluded
+        (4, "spark"),
+        (5, "   "),                      # blank: no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms, mu = ["spark", "join"], 10.0
+    toks = {d: t.lower().split() for d, t in rows}
+    ctot = sum(len(t) for t in toks.values())
+    cf = {q: sum(t.count(q) for t in toks.values()) for q in terms}
+    expect = {}
+    for d, t in toks.items():
+        if not any(q in t for q in terms):
+            continue
+        score = sum(
+            math.log((t.count(q) + mu * cf[q] / ctot) / (len(t) + mu))
+            for q in terms
+        )
+        expect[d] = (sum(1 for q in terms if q in t), round(score, 6))
+    got = {
+        r["doc_id"]: (r["matched"], r["score"])
+        for r in ql_dirichlet_scores(df, terms, mu=mu).collect()
+    }
+    assert set(got) == set(expect) == {1, 2, 4}
+    for d in got:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=2e-6)
+
+    # top_k is a (score desc, doc_id asc) total order
+    top = ql_dirichlet_scores(df, terms, mu=mu, top_k=2).collect()
+    want_order = sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))[:2]
+    assert [r["doc_id"] for r in top] == [d for d, _ in want_order]
+
+    # fail-fast: bad terms, bad mu, zero-cf term
+    for bad in ([], ["dup", "dup"], ["Upper"]):
+        with pytest.raises(ValueError):
+            ql_dirichlet_scores(df, bad)
+    with pytest.raises(ValueError):
+        ql_dirichlet_scores(df, terms, mu=0.0)
+    with pytest.raises(ValueError, match="absent from the corpus"):
+        ql_dirichlet_scores(df, ["spark", "absentterm"]).collect()
+
+
+def test_ql_dirichlet_sql_twin_matches_engine(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.bm25 import (
+        ql_dirichlet_scores,
+        sql_ql_dirichlet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    terms = ["spark", "window", "merge"]
+    got = {
+        (r["doc_id"], r["matched"], r["score"])
+        for r in ql_dirichlet_scores(docs, terms).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(sql_ql_dirichlet("documents", terms)).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
 # Mirror-host detection (dedup/mirrors.py)
 # ---------------------------------------------------------------------------
 
