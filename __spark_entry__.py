@@ -86,6 +86,8 @@ from pagerankproject_spark.graph.metrics import (
     sql_eigenvector_centrality,
     sql_katz_centrality,
     sql_conductance as _sql_conduct,
+    sql_powerlaw_alpha,
+    sql_rich_club,
 )
 from pagerankproject_spark.graph.walks import sql_random_walks
 from pagerankproject_spark.similarity.centroids import sql_embedding_centroids_long
@@ -1228,6 +1230,24 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(_edges(spark, sf_dir))
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve over distinct degree thresholds
+    (Zhou-Mondragon 2004 — graph/metrics.py::rich_club). Exact integer
+    histograms + cumulative window; one round-once division."""
+    from pagerankproject_spark.graph.metrics import rich_club
+
+    return rich_club(_edges(spark, sf_dir))
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MLE power-law exponent of the in-degree tail
+    (Clauset-Shalizi-Newman 2009 — graph/metrics.py::powerlaw_alpha,
+    dmin=3). Histogram-grouped log-sum, round once."""
+    from pagerankproject_spark.graph.metrics import powerlaw_alpha
+
+    return powerlaw_alpha(_edges(spark, sf_dir), dmin=3, degree="in")
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, long format (similarity/centroids.py)."""
     from pagerankproject_spark.similarity.centroids import embedding_centroids_long
@@ -2097,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": q_trussness,                     # NEW round 3 (local gate; r4 window head)
         "bm25_scores": q_bm25_scores,                 # NEW round 3 (local gate; r4 window head)
         "ql_dirichlet": q_ql_dirichlet,               # NEW round 3 (local gate; r4 window head)
+        "rich_club": q_rich_club,                     # NEW round 3 (local gate; r4 window head)
+        "powerlaw_alpha": q_powerlaw_alpha,           # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2331,6 +2353,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             select doc_id, {sql_fingerprint('text')} as fingerprint from documents""",
         "degree_assortativity": f"{g},{sql_degree_assortativity()}",
+        "rich_club": f"{g},{sql_rich_club()}",
+        "powerlaw_alpha": f"{g},{sql_powerlaw_alpha(dmin=3, degree='in')}",
         "katz_centrality": f"{g},{sql_katz_centrality(alpha=0.05, iterations=10)}",
         "eigenvector_centrality": f"{g},{sql_eigenvector_centrality(iterations=6)}",
         "host_graph": f"""

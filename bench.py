@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     # fixpoint runs ~20 rounds over the triangle incidence (~224 s at
     # sf0.1) and is gated by its contract key instead.
     "bm25_scores",
+    "ql_dirichlet",
     "triangles_doulion",
     "anchor_term_index",
     "mirror_hosts",

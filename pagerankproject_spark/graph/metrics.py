@@ -455,3 +455,201 @@ def sql_conductance(labels_sql: str) -> str:
            round(cut_edges::double
                  / nullif(least(volume, t - volume), 0)::double, 6) as conductance
     from cd_vol cross join cd_tot"""
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragon 2004): for each
+    degree threshold k, the edge density among the "rich" vertices of
+    undirected degree > k,
+
+        phi(k) = 2 E_k / (N_k (N_k - 1))
+
+    with N_k the number of vertices of degree > k and E_k the number of
+    undirected edges whose BOTH endpoints have degree > k. (The Colizza
+    2006 random-rewiring normalization needs a null model and is left
+    to callers.) Web graphs show a pronounced rich club among hub
+    hosts — this is the classic curve for quantifying it.
+
+    `edges`: directed (src, dst) strings; treated as the SIMPLE
+    UNDIRECTED support (self-loops dropped, direction and multiplicity
+    collapsed), matching the definition's domain.
+
+    Output: one row per DISTINCT degree value k present in the graph
+    with N_k >= 2: k, n_rich, e_rich (exact longs) and phi (double,
+    6dp). Everything up to the final division is exact integer
+    arithmetic, so the value is bit-identical across engines
+    (degree_assortativity pattern).
+
+    Scale shape: degree aggregation, the SpMV-shaped edges->degree
+    join per endpoint, then TWO TINY histograms (one row per distinct
+    degree — thousands of rows at any scale, the web's degree support
+    is small) merged under a single-partition cumulative window. The
+    window never sees row-level data, only the histogram.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    und = sym.filter(F.col("src") < F.col("dst"))
+    emin = (
+        und.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("dx")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dy")), "dst")
+        .select(F.least("dx", "dy").alias("d"))
+    )
+    vh = deg.groupBy(F.col("deg").alias("d")).agg(
+        F.count("*").cast("long").alias("nv")
+    )
+    eh = emin.groupBy("d").agg(F.count("*").cast("long").alias("ne"))
+    h = vh.join(eh, "d", "left").select(
+        "d", "nv", F.coalesce("ne", F.lit(0)).cast("long").alias("ne")
+    )
+    w = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = h.select(
+        F.col("d").alias("k"),
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).cast("long").alias("n_rich"),
+        F.coalesce(F.sum("ne").over(w), F.lit(0)).cast("long").alias("e_rich"),
+    )
+    return cum.filter(F.col("n_rich") >= 2).select(
+        "k",
+        "n_rich",
+        "e_rich",
+        F.round(
+            (F.lit(2) * F.col("e_rich")).cast("double")
+            / (F.col("n_rich") * (F.col("n_rich") - F.lit(1))).cast("double"),
+            6,
+        ).alias("phi"),
+    )
+
+
+def sql_rich_club() -> str:
+    """DuckDB twin over the `edges` CTE: identical integer histograms
+    and cumulative window, identical round-once division."""
+    return """
+    rc_e as (select src, dst from edges where src <> dst),
+    rc_sym as (select src, dst from rc_e union select dst, src from rc_e),
+    rc_deg as (select src as v, count(*)::bigint as deg from rc_sym group by 1),
+    rc_und as (select src, dst from rc_sym where src < dst),
+    rc_emin as (
+        select least(dx.deg, dy.deg) as d
+        from rc_und u
+        join rc_deg dx on dx.v = u.src
+        join rc_deg dy on dy.v = u.dst
+    ),
+    rc_vh as (select deg as d, count(*)::bigint as nv from rc_deg group by 1),
+    rc_eh as (select d, count(*)::bigint as ne from rc_emin group by 1),
+    rc_h as (
+        select v.d, v.nv, coalesce(e.ne, 0)::bigint as ne
+        from rc_vh v left join rc_eh e on e.d = v.d
+    ),
+    rc_cum as (
+        select d as k,
+               coalesce(sum(nv) over (order by d desc
+                   rows between unbounded preceding and 1 preceding),
+                   0)::bigint as n_rich,
+               coalesce(sum(ne) over (order by d desc
+                   rows between unbounded preceding and 1 preceding),
+                   0)::bigint as e_rich
+        from rc_h
+    )
+    select k, n_rich, e_rich,
+           round((2 * e_rich)::double
+                 / (n_rich * (n_rich - 1))::double, 6) as phi
+    from rc_cum where n_rich >= 2
+    """
+
+
+def powerlaw_alpha(
+    edges: DataFrame, dmin: int = 3, degree: str = "in"
+) -> DataFrame:
+    """Continuous maximum-likelihood power-law exponent of the degree
+    distribution (Clauset, Shalizi & Newman, "Power-law distributions
+    in empirical data", SIAM Review 2009, eq. 3.1):
+
+        alpha = 1 + n_tail / sum over degrees d >= dmin of ln(d / dmin)
+
+    The classic webgraph statistic — Broder et al. 2000 report the
+    crawl in-degree exponent ~2.1. `degree` picks "in" or "out" degree
+    of the simple directed graph (self-loops and duplicate edges
+    dropped); zero-degree vertices are naturally absent.
+
+    Output: ONE row (dmin, n_tail, alpha) with alpha rounded once to
+    6dp; alpha is NULL when every tail degree equals dmin (the MLE
+    diverges). Raises if the tail is empty.
+
+    Float note: the log-sum is grouped by DISTINCT degree value first
+    (cnt_d are exact longs; one ln per distinct degree), so the
+    unordered float reduction spans only the degree support — the
+    adamic_adar precedent; round-once applies. Scale shape: one degree
+    aggregation, one tiny histogram, one scalar aggregate.
+    """
+    if dmin < 1:
+        raise ValueError("powerlaw_alpha: dmin must be >= 1")
+    if degree not in ("in", "out"):
+        raise ValueError("powerlaw_alpha: degree must be 'in' or 'out'")
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    key = "dst" if degree == "in" else "src"
+    deg = e.groupBy(F.col(key).alias("v")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    dh = (
+        deg.filter(F.col("deg") >= dmin)
+        .groupBy("deg")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    m = dh.agg(
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.sum(
+            F.col("cnt").cast("double")
+            * F.log(F.col("deg").cast("double") / F.lit(float(dmin)))
+        ).alias("s"),
+    )
+    row_probe = m.select("n_tail").first()
+    if row_probe["n_tail"] is None or row_probe["n_tail"] == 0:
+        raise ValueError(
+            f"powerlaw_alpha: no vertices with {degree}-degree >= {dmin}"
+        )
+    return m.select(
+        F.lit(dmin).cast("long").alias("dmin"),
+        "n_tail",
+        F.round(
+            F.lit(1.0)
+            + F.try_divide(F.col("n_tail").cast("double"), F.col("s")),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def sql_powerlaw_alpha(dmin: int = 3, degree: str = "in") -> str:
+    """DuckDB twin over the `edges` CTE: identical histogram moments,
+    identical single ln-per-distinct-degree expression, round once."""
+    if dmin < 1:
+        raise ValueError("powerlaw_alpha: dmin must be >= 1")
+    if degree not in ("in", "out"):
+        raise ValueError("powerlaw_alpha: degree must be 'in' or 'out'")
+    key = "dst" if degree == "in" else "src"
+    return f"""
+    pl_e as (select distinct src, dst from edges where src <> dst),
+    pl_deg as (select {key} as v, count(*)::bigint as deg from pl_e group by 1),
+    pl_dh as (
+        select deg, count(*)::bigint as cnt
+        from pl_deg where deg >= {dmin} group by 1
+    ),
+    pl_m as (
+        select sum(cnt)::bigint as n_tail,
+               sum(cnt::double * ln(deg::double / {float(dmin)!r})) as s
+        from pl_dh
+    )
+    select {dmin}::bigint as dmin, n_tail,
+           round(1.0 + case when s = 0 then null
+                            else n_tail::double / s end, 6) as alpha
+    from pl_m
+    """

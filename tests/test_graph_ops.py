@@ -1966,3 +1966,88 @@ def test_triangle_count_sampled_matches_python_replay(spark):
 
     with pytest.raises(ValueError):
         triangle_count_sampled(spark, edges, q=0)
+
+
+def test_rich_club_matches_python_replay(spark):
+    """phi(k) over the simple undirected support vs a literal python
+    replay; plus a star-graph sanity shape (the hub-only club has no
+    edges once all leaves fall out)."""
+    from pagerankproject_spark.graph.metrics import rich_club
+
+    pairs, _ = make_clustered_random(seed=11, k_clusters=3, n=60, p_in=0.2)
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["phi"])
+        for r in rich_club(edges_df(spark, pairs)).collect()
+    }
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    expect = {}
+    for k in sorted(set(deg.values())):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        expect[k] = (
+            len(rich),
+            ek,
+            round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6),
+        )
+    assert got == expect and len(got) > 0
+
+    # star: distinct degrees {1, 6}; only k=1 has n_rich >= 2? no —
+    # deg>1 is just the hub (n_rich=1, dropped); deg>6 empty. k=1 has
+    # n_rich=1 too. So a pure star emits NOTHING.
+    star = [("hub.x", f"leaf{i}.x") for i in range(6)]
+    assert rich_club(edges_df(spark, star)).count() == 0
+
+    # triangle + pendant: deg = {a:3(2+pendant?),...} — craft: K3 with
+    # one pendant on vertex a. degrees: a=3, b=2, c=2, p=1. distinct
+    # k in {1,2,3}: k=1 -> rich={a,b,c} (3 nodes, 3 edges) phi=1.0;
+    # k=2 -> rich={a} dropped; k=3 -> empty dropped.
+    k3p = [("a.x", "b.x"), ("b.x", "c.x"), ("c.x", "a.x"), ("a.x", "p.x")]
+    rows = rich_club(edges_df(spark, k3p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["n_rich"], r["e_rich"], r["phi"]) == (1, 3, 3, 1.0)
+
+
+def test_powerlaw_alpha_matches_python_replay(spark):
+    """CSN continuous MLE vs a literal replay; fail-fast on an empty
+    tail and on bad params; NULL alpha when every tail degree == dmin."""
+    import math
+
+    import pytest
+
+    from pagerankproject_spark.graph.metrics import powerlaw_alpha
+
+    pairs, _ = make_clustered_random(seed=7, k_clusters=4, n=80, p_in=0.15)
+    dmin = 2
+    row = powerlaw_alpha(edges_df(spark, pairs), dmin=dmin).collect()[0]
+
+    e = {(a, b) for a, b in pairs if a != b}
+    indeg: dict[str, int] = {}
+    for _, b in e:
+        indeg[b] = indeg.get(b, 0) + 1
+    tail = [d for d in indeg.values() if d >= dmin]
+    want = 1.0 + len(tail) / sum(math.log(d / dmin) for d in tail)
+    assert row["dmin"] == dmin and row["n_tail"] == len(tail)
+    assert row["alpha"] == pytest.approx(want, abs=2e-6)
+
+    # all tail degrees equal dmin -> log-sum 0 -> alpha NULL
+    star = [(f"leaf{i}.x", "hub.x") for i in range(4)] + [
+        (f"leaf{i}.x", "hub2.x") for i in range(4)
+    ]
+    r = powerlaw_alpha(edges_df(spark, star), dmin=4).collect()[0]
+    assert r["n_tail"] == 2 and r["alpha"] is None
+
+    # empty tail fails fast
+    with pytest.raises(ValueError, match="no vertices"):
+        powerlaw_alpha(edges_df(spark, star), dmin=50)
+    with pytest.raises(ValueError):
+        powerlaw_alpha(edges_df(spark, star), dmin=0)
+    with pytest.raises(ValueError):
+        powerlaw_alpha(edges_df(spark, star), degree="total")
