@@ -57,6 +57,7 @@ from pagerankproject_spark.ingest.edges import URL_DROP_RLIKE, build_graph_table
 from pagerankproject_spark.ingest.extract import extract_outlinks
 from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
+from pagerankproject_spark.text import sampling as _sampling_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.dedup import mirrors as _mirrors_mod
 from pagerankproject_spark.text import heavyhitters as _hh_mod
@@ -1374,6 +1375,30 @@ def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Efraimidis-Spirakis weighted sample, weight =
+    n_chars (text/sampling.py::weighted_sample — A-ES top-k keys from
+    the portable salted 60-bit md5 hash; no float in the output)."""
+    from pagerankproject_spark.text.sampling import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, k=15, weight_col="n_chars", key_col="doc_id", group_col="lang"
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language-mixture sample (n_g^0.5 quotas,
+    largest-remainder integer apportionment, hash-ordered picks —
+    text/sampling.py::temperature_sample)."""
+    from pagerankproject_spark.text.sampling import temperature_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return temperature_sample(
+        docs, total=100, tau=0.5, group_col="lang", key_col="doc_id"
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed heavy hitters: per-partition Misra-Gries candidate
     sketches (Arrow mapInPandas, k counters) + exact broadcast-semi
@@ -2119,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ql_dirichlet": q_ql_dirichlet,               # NEW round 3 (local gate; r4 window head)
         "rich_club": q_rich_club,                     # NEW round 3 (local gate; r4 window head)
         "powerlaw_alpha": q_powerlaw_alpha,           # NEW round 3 (local gate; r4 window head)
+        "weighted_sample": q_weighted_sample,         # NEW round 3 (local gate; r4 window head)
+        "temperature_sample": q_temperature_sample,   # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2444,6 +2471,22 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),
+        "weighted_sample": _sampling_mod.sql_weighted_sample(
+            "(select doc_id, lang, n_chars from documents)",
+            k=15,
+            weight_col="n_chars",
+            key_col="doc_id",
+            cols=["doc_id", "lang", "n_chars"],
+            group_col="lang",
+        ),
+        "temperature_sample": _sampling_mod.sql_temperature_sample(
+            "(select doc_id, lang, n_chars from documents)",
+            total=100,
+            tau=0.5,
+            group_col="lang",
+            key_col="doc_id",
+            cols=["doc_id", "lang", "n_chars"],
+        ),
         "heavy_hitters": _hh_mod.sql_heavy_hitters("documents", denom=40),
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",
