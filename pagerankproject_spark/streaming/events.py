@@ -780,3 +780,80 @@ def stream_incremental_msf(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_heavy_hitters(
+    spark: SparkSession,
+    docs_dir: str,
+    state: dict,
+    denom: int = 40,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous EXACT heavy-hitter maintenance over a document
+    stream: after every micro-batch, state holds the tokens whose
+    global count so far exceeds 1/denom of all tokens so far —
+    identical to running the batch `text/heavyhitters.py::
+    heavy_hitters` on the stream prefix (verified stream == batch in
+    tests).
+
+    Per batch the work is DELTA-sized: the batch's tokens are counted
+    locally (map-side combinable) and merged into the maintained
+    (token, cnt) table by one count-table-keyed aggregation; the total
+    rides an integer add. Exactness requires the full count table as
+    state (a token dropped today could cross the threshold tomorrow),
+    so state is O(distinct tokens) — at 100 TB that is a bucketed
+    token-keyed table, and the merge is an equi-join that never
+    rescans the corpus. The O(k)-state alternative is keeping a
+    Misra-Gries summary as the state (error <= N/(k+1), same sketch as
+    the batch candidate pass); this operator is the exact family
+    member, mirroring the other incremental twins (triangles/CC/rank).
+
+    state after each batch: {"counts": DataFrame (token, cnt),
+    "n_total": int, "hh": DataFrame (token, cnt, n_total), "batches":
+    int}.
+    """
+    if denom < 2:
+        raise ValueError("stream_incremental_heavy_hitters: denom must be >= 2")
+    from pagerankproject_spark.text.analysis import tokens_expr
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.explode(tokens_expr(F.lower(F.col("text")))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        batch_total = delta.agg(F.sum("cnt")).first()[0] or 0
+        old = state.get("counts")
+        if old is None:
+            old = spark.createDataFrame([], "token string, cnt long")
+        merged = (
+            old.unionByName(delta)
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        n_total = state.get("n_total", 0) + int(batch_total)
+        hh = merged.filter(F.col("cnt") * F.lit(denom) > F.lit(n_total)).select(
+            "token", "cnt", F.lit(n_total).cast("long").alias("n_total")
+        )
+        state.update(
+            {
+                "counts": merged,
+                "n_total": n_total,
+                "hh": hh,
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -699,3 +699,67 @@ def test_stream_incremental_msf_matches_batch(spark, tmp_path):
     gc = {r["url"]: r["component"] for r in state["components"].collect()}
     wc = {r["url"]: r["component"] for r in cold.components.collect()}
     assert gc == wc
+
+
+def test_stream_incremental_heavy_hitters_matches_batch(spark, tmp_path):
+    """After every batch the maintained HH set equals the batch
+    operator on the stream prefix; verified on the final prefix here
+    (the maintenance is prefix-exact by construction: counts and the
+    total are exact integers)."""
+    from pagerankproject_spark.streaming.events import (
+        stream_incremental_heavy_hitters,
+    )
+    from pagerankproject_spark.text.heavyhitters import heavy_hitters
+
+    docs_dir = tmp_path / "hh_docs"
+    docs_dir.mkdir()
+
+    def doc(i, text):
+        return (i, text, "en", "s", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = [doc(0, "spark spark join window"), doc(1, "merge join spark")]
+    b1 = [doc(2, "window window window shuffle"), doc(3, "spark merge")]
+    b2 = [doc(4, "shuffle shuffle shuffle shuffle scan")]
+    for i, batch in enumerate((b0, b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}")
+        )
+
+    state: dict = {}
+    q = stream_incremental_heavy_hitters(
+        spark, str(docs_dir) + "/*", state, denom=6
+    )
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    got = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in state["hh"].collect()
+    }
+    want = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(
+            spark.createDataFrame(b0 + b1 + b2, schema), denom=6
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the maintained count table is the exact corpus count table
+    import collections
+
+    cnt = collections.Counter(
+        t for _, text, *_ in b0 + b1 + b2 for t in text.split()
+    )
+    got_counts = {
+        (r["token"], r["cnt"]) for r in state["counts"].collect()
+    }
+    assert got_counts == set(cnt.items())
+    assert state["n_total"] == sum(cnt.values())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_incremental_heavy_hitters(
+            spark, str(docs_dir) + "/*", {}, denom=1
+        )
