@@ -34,6 +34,7 @@ def main() -> None:
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
             "coloring", "palette", "matching", "trussness", "doulion",
+            "richclub", "powerlaw",
         ],
     )
     p.add_argument(
@@ -46,7 +47,7 @@ def main() -> None:
         help="hub df-cap for cocitation/coupling/adamicadar",
     )
     p.add_argument("--t_max", type=int, default=16, help="hyperball/harmonic depth")
-    p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss/khop depth")
+    p.add_argument("--k", type=int, default=3, help="k for kcore/ktruss/khop depth; doulion q; powerlaw dmin")
     p.add_argument("--source", default=None, help="source url (bfs/khop/hostsssp)")
     p.add_argument("--walk_length", type=int, default=10)
     p.add_argument("--walks_per_vertex", type=int, default=2)
@@ -368,6 +369,18 @@ def main() -> None:
         res = trussness(spark, g, max_iterations=args.max_iterations)
         out = res.edges.orderBy(F.desc("trussness"), "a", "b")
         print(f"iterations= {res.iterations} converged= {res.converged}")
+    elif args.algo == "richclub":
+        from pagerankproject_spark.graph.metrics import rich_club
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = rich_club(regex_filter(read_edge_csv(spark, args.data))).orderBy("k")
+    elif args.algo == "powerlaw":
+        from pagerankproject_spark.graph.metrics import powerlaw_alpha
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = powerlaw_alpha(
+            regex_filter(read_edge_csv(spark, args.data)), dmin=args.k
+        )
     elif args.algo == "doulion":
         from pagerankproject_spark.graph.triangles import (
             triangle_count_sampled,

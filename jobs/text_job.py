@@ -4,9 +4,10 @@ point next to dedup_job.py's cleaning ops.
 
     spark-submit --py-files engine.zip jobs/text_job.py \
         --documents /path/docs.parquet --output /path/out \
-        --op bm25|heavyhitters|mirrors \
-        [--query 'spark window merge'] [--denom 200] \
-        [--threshold 0.03] [--host_mod 23] [--master local[32]]
+        --op bm25|ql|heavyhitters|mirrors|weightedsample|tempsample \
+        [--query 'spark window merge'] [--denom 200] [--mu 2000] \
+        [--threshold 0.03] [--host_mod 23] [--k 100] [--tau 0.5] \
+        [--group_col lang] [--weight_col n_chars] [--master local[32]]
 
 Writes:
   bm25         -> (doc_id, matched, score) for docs matching >= 1
@@ -19,6 +20,13 @@ Writes:
                   (Bharat-Broder 1999, dedup/mirrors.py); hosts come
                   from a deterministic doc_id % host_mod assignment
                   unless the table has a url column to derive domains
+  ql           -> (doc_id, matched, score) Dirichlet query-likelihood
+                  (Zhai-Lafferty 2001, text/bm25.py; --mu smoothing)
+  weightedsample -> k-row Efraimidis-Spirakis weighted sample per
+                  --group_col (or global with --group_col ''),
+                  weight = --weight_col (text/sampling.py)
+  tempsample   -> temperature-flattened mixture sample: --k total rows
+                  across --group_col groups at temperature --tau
 """
 
 from __future__ import annotations
@@ -36,7 +44,9 @@ def main() -> None:
     p.add_argument("--documents", required=True)
     p.add_argument("--output", required=True)
     p.add_argument(
-        "--op", required=True, choices=["bm25", "heavyhitters", "mirrors"]
+        "--op", required=True,
+        choices=["bm25", "ql", "heavyhitters", "mirrors",
+                 "weightedsample", "tempsample"],
     )
     p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
     p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
@@ -46,6 +56,13 @@ def main() -> None:
         "--host_mod", type=int, default=23,
         help="mirrors host assignment when no url column exists",
     )
+    p.add_argument("--mu", type=float, default=2000.0, help="ql smoothing")
+    p.add_argument("--k", type=int, default=100,
+                   help="weightedsample per-group k / tempsample total")
+    p.add_argument("--tau", type=float, default=0.5, help="tempsample temperature")
+    p.add_argument("--group_col", default="lang")
+    p.add_argument("--weight_col", default="n_chars")
+    p.add_argument("--key_col", default="doc_id")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -64,6 +81,27 @@ def main() -> None:
             p.error("--query required for bm25")
         terms = args.query.lower().split()
         out = bm25_scores(docs, terms, top_k=args.top_k)
+    elif args.op == "ql":
+        from pagerankproject_spark.text.bm25 import ql_dirichlet_scores
+
+        if not args.query:
+            p.error("--query required for ql")
+        terms = args.query.lower().split()
+        out = ql_dirichlet_scores(docs, terms, mu=args.mu, top_k=args.top_k)
+    elif args.op == "weightedsample":
+        from pagerankproject_spark.text.sampling import weighted_sample
+
+        out = weighted_sample(
+            docs, k=args.k, weight_col=args.weight_col,
+            key_col=args.key_col, group_col=args.group_col or None,
+        )
+    elif args.op == "tempsample":
+        from pagerankproject_spark.text.sampling import temperature_sample
+
+        out = temperature_sample(
+            docs, total=args.k, tau=args.tau,
+            group_col=args.group_col, key_col=args.key_col,
+        )
     elif args.op == "heavyhitters":
         from pagerankproject_spark.text.heavyhitters import heavy_hitters
 
