@@ -58,6 +58,7 @@ from pagerankproject_spark.ingest.extract import extract_outlinks
 from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
 from pagerankproject_spark.text import sampling as _sampling_mod
+from pagerankproject_spark.text import approx as _approx_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.dedup import mirrors as _mirrors_mod
 from pagerankproject_spark.text import heavyhitters as _hh_mod
@@ -1375,6 +1376,16 @@ def q_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_scores(_read(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token estimate via the PORTABLE
+    HyperLogLog (deterministic md5-derived registers, fixed-order
+    16-term estimator — text/approx.py::hll_distinct_tokens): the
+    contract-keyed face of the sketch path."""
+    from pagerankproject_spark.text.approx import hll_distinct_tokens
+
+    return hll_distinct_tokens(_read(spark, sf_dir, "documents"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Efraimidis-Spirakis weighted sample, weight =
     n_chars (text/sampling.py::weighted_sample — A-ES top-k keys from
@@ -2146,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,           # NEW round 3 (local gate; r4 window head)
         "weighted_sample": q_weighted_sample,         # NEW round 3 (local gate; r4 window head)
         "temperature_sample": q_temperature_sample,   # NEW round 3 (local gate; r4 window head)
+        "hll_distinct": q_hll_distinct,               # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2471,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),
+        "hll_distinct": _approx_mod.sql_hll_distinct_tokens("documents"),
         "weighted_sample": _sampling_mod.sql_weighted_sample(
             "(select doc_id, lang, n_chars from documents)",
             k=15,

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "anchor_term_index",
     "mirror_hosts",
     "heavy_hitters",
+    "hll_distinct",
 ]
 
 

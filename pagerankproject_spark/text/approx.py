@@ -50,3 +50,147 @@ def approx_corpus_stats(
         F.col("pq")[1].alias("p50"),
         F.col("pq")[2].alias("p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (cross-engine deterministic registers)
+# ---------------------------------------------------------------------------
+
+HLL_SALT = "hll-v1:"
+HLL_M = 16          # registers; rsd ~ 1.04/sqrt(m) ~ 26%
+HLL_ALPHA_16 = 0.673  # Flajolet et al. 2007 bias constant for m=16
+
+
+def _hll_hash_exprs(key):
+    """(bucket, rho) from the portable salted 60-bit md5 hash: bucket =
+    low 4 bits, rho = leading-zero count + 1 of the remaining 56 bits
+    (Flajolet et al. 2007). rho is EXACT integer arithmetic in both
+    engines: length(bin(x)) is the bit length, so rho = 57 - bitlen,
+    and the all-zero word is pinned to 57."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(HLL_SALT), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    rem = F.shiftright(h, 4)
+    rho = F.when(rem == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(rem))
+    )
+    return bucket, rho.cast("long")
+
+
+def hll_distinct_tokens(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group APPROXIMATE distinct-token count via a PORTABLE
+    HyperLogLog (Flajolet-Fuchs-Gandouet-Meunier 2007, with the
+    small-range linear-counting correction): unlike the native
+    `approx_count_distinct` (estimator-internal, engine-specific),
+    every register here is a deterministic exact integer derived from
+    the salted 60-bit md5 hash, so the sketch — registers AND estimate
+    — is bit-identical across engines and replayable by the DuckDB
+    oracle. This is the contract-keyed face of the sketch path.
+
+    Scale shape: tokens never shuffle — the (group, bucket) -> max(rho)
+    aggregation is map-side combinable (16 registers per group is the
+    whole reduced state; merging sketches IS this max, the mergeable-
+    summaries property), then one 16-column pivot per group. Estimator:
+    the FIXED-ORDER 16-term sum pow(2,-r0)+...+pow(2,-r15) (the
+    HyperBall pattern), alpha_16*m^2/S, with E<=2.5m and V>0 switching
+    to linear counting m*ln(m/V). Output: group, v_zero (long),
+    est_distinct (double 6dp).
+
+    Expected relative error ~1.04/sqrt(16) ~ 26% — the m=16 register
+    file keeps the contract output small; production callers raise m
+    (the construction is m-generic) or use approx_corpus_stats.
+    """
+    from .analysis import tokens_expr
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    bucket, rho = _hll_hash_exprs(F.col("token"))
+    regs = (
+        toks.select("grp", bucket.alias("j"), rho.alias("rho"))
+        .groupBy("grp", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    pivoted = regs.groupBy("grp").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("j") == i, F.col("r"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"r{i}")
+            for i in range(HLL_M)
+        ]
+    )
+    s = None
+    for i in range(HLL_M):
+        term = F.pow(F.lit(2.0), -F.col(f"r{i}").cast("double"))
+        s = term if s is None else s + term
+    v = None
+    for i in range(HLL_M):
+        z = F.when(F.col(f"r{i}") == 0, F.lit(1)).otherwise(F.lit(0))
+        v = z if v is None else v + z
+    e0 = F.lit(HLL_ALPHA_16 * HLL_M * HLL_M) / s
+    est = F.when(
+        (e0 <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e0)
+    return pivoted.select(
+        F.col("grp").alias(group_col),
+        v.cast("long").alias("v_zero"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def sql_hll_distinct_tokens(
+    rel: str, group_col: str = "lang", text_col: str = "text"
+) -> str:
+    """DuckDB twin: identical hash/bucket/rho arithmetic (exact
+    integers), identical fixed-order estimator expression."""
+    from .analysis import sql_tokens
+
+    toks = sql_tokens(f"lower({text_col})")
+    h = f"('0x' || substr(md5('{HLL_SALT}' || (token)::varchar), 1, 15))::bigint"
+    reg_cols = ",\n           ".join(
+        f"coalesce(max(case when j = {i} then r end), 0)::bigint as r{i}"
+        for i in range(HLL_M)
+    )
+    s = " + ".join(f"pow(2.0, -r{i}::double)" for i in range(HLL_M))
+    v = " + ".join(
+        f"(case when r{i} = 0 then 1 else 0 end)" for i in range(HLL_M)
+    )
+    e0 = f"{HLL_ALPHA_16 * HLL_M * HLL_M!r} / ({s})"
+    return f"""
+    with hll_tok as (
+        select {group_col} as grp, unnest({toks}) as token from {rel}
+    ),
+    hll_h as (
+        select grp, ({h}) & {HLL_M - 1} as j,
+               case when ({h}) >> 4 = 0 then 57
+                    else 57 - length(bin(({h}) >> 4)) end::bigint as rho
+        from hll_tok
+    ),
+    hll_reg as (select grp, j, max(rho) as r from hll_h group by 1, 2),
+    hll_piv as (
+        select grp,
+           {reg_cols}
+        from hll_reg group by grp
+    ),
+    hll_est as (
+        select grp, ({v})::bigint as v_zero,
+               case when ({e0}) <= {2.5 * HLL_M!r} and ({v}) > 0
+                    then {float(HLL_M)!r}
+                         * ln({float(HLL_M)!r} / ({v})::double)
+                    else {e0} end as est
+        from hll_piv
+    )
+    select grp as {group_col}, v_zero, round(est, 6) as est_distinct
+    from hll_est
+    """

@@ -1746,3 +1746,85 @@ def test_sampling_sql_twins_match_engine(spark):
     ).df()[cols + ["pick_rank"]]
     want_t = {tuple(r) for r in want_df.itertuples(index=False)}
     assert got_t == want_t and len(got_t) == 60
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (text/approx.py)
+# ---------------------------------------------------------------------------
+
+def test_hll_distinct_tokens_replay_and_accuracy(spark):
+    """Registers replayed exactly in python from the md5 spec; the
+    estimate lands within the m=16 error envelope on a known-cardinality
+    corpus; partitioning invariance (sketch merge = max)."""
+    import hashlib
+    import math
+
+    from pagerankproject_spark.text.approx import hll_distinct_tokens
+
+    def h60(tok):
+        return int(hashlib.md5(("hll-v1:" + tok).encode()).hexdigest()[:15], 16)
+
+    # 400 distinct tokens in one group, heavy duplication
+    toks = [f"tok{i}" for i in range(400)]
+    rows = [
+        (i, " ".join(toks[(7 * i + j) % 400] for j in range(40)), "en", "s", 1)
+        for i in range(200)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    out = hll_distinct_tokens(df).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    # python replay of registers + estimator
+    regs = [0] * 16
+    seen = set()
+    for _, text, *_ in rows:
+        for t in text.split():
+            seen.add(t)
+            h = h60(t)
+            j, rem = h & 15, h >> 4
+            rho = 57 if rem == 0 else 57 - rem.bit_length()
+            regs[j] = max(regs[j], rho)
+    s = sum(2.0 ** -r for r in regs)
+    v = sum(1 for r in regs if r == 0)
+    e0 = 0.673 * 256 / s
+    est = 16.0 * math.log(16.0 / v) if (e0 <= 40.0 and v > 0) else e0
+    assert got["v_zero"] == v
+    assert got["est_distinct"] == pytest.approx(round(est, 6), abs=2e-6)
+    # accuracy envelope: 3 sigma of 1.04/sqrt(16)
+    assert abs(est - len(seen)) / len(seen) < 3 * 1.04 / 4.0
+
+    # partitioning invariance (mergeability): same output at 1 and 13
+    # partitions
+    one = hll_distinct_tokens(df.coalesce(1)).collect()[0]
+    many = hll_distinct_tokens(df.repartition(13)).collect()[0]
+    assert (one["v_zero"], one["est_distinct"]) == (
+        many["v_zero"],
+        many["est_distinct"],
+    )
+
+
+def test_hll_sql_twin_matches_engine(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.approx import (
+        hll_distinct_tokens,
+        sql_hll_distinct_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["lang"], r["v_zero"], r["est_distinct"])
+        for r in hll_distinct_tokens(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(sql_hll_distinct_tokens("documents")).fetchall()
+    }
+    assert got == want and len(got) == 5
