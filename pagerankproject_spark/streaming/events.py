@@ -857,3 +857,96 @@ def stream_incremental_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_hll(
+    spark: SparkSession,
+    docs_dir: str,
+    state: dict,
+    group_col: str = "lang",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous distinct-token estimation over a document stream via
+    the PORTABLE HyperLogLog (text/approx.py): state is the per-group
+    16-register file — O(groups) bytes, the textbook mergeable-sketch
+    stream state — and merging a batch is register-wise max, so after
+    every micro-batch the maintained estimate equals the batch
+    `hll_distinct_tokens` on the stream prefix EXACTLY (registers are
+    deterministic md5-derived integers, not engine-internal state; the
+    stream==batch gate is exact equality, not a tolerance).
+
+    state after each batch: {"regs": DataFrame (group, j, r),
+    "est": DataFrame (group, v_zero, est_distinct), "batches": int}.
+    """
+    from pagerankproject_spark.text.analysis import tokens_expr
+    from pagerankproject_spark.text.approx import (
+        HLL_ALPHA_16,
+        HLL_M,
+        _hll_hash_exprs,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("token"),
+        )
+        bucket, rho = _hll_hash_exprs(F.col("token"))
+        delta = (
+            toks.select("grp", bucket.alias("j"), rho.alias("rho"))
+            .groupBy("grp", "j")
+            .agg(F.max("rho").alias("r"))
+        )
+        old = state.get("regs")
+        if old is None:
+            old = spark.createDataFrame([], "grp string, j long, r long")
+        merged = (
+            old.unionByName(delta)
+            .groupBy("grp", "j")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        pivoted = merged.groupBy("grp").agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("j") == i, F.col("r"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"r{i}")
+                for i in range(HLL_M)
+            ]
+        )
+        s = None
+        v = None
+        for i in range(HLL_M):
+            term = F.pow(F.lit(2.0), -F.col(f"r{i}").cast("double"))
+            s = term if s is None else s + term
+            z = F.when(F.col(f"r{i}") == 0, F.lit(1)).otherwise(F.lit(0))
+            v = z if v is None else v + z
+        e0 = F.lit(HLL_ALPHA_16 * HLL_M * HLL_M) / s
+        est = F.when(
+            (e0 <= F.lit(2.5 * HLL_M)) & (v > 0),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(e0)
+        state.update(
+            {
+                "regs": merged,
+                "est": pivoted.select(
+                    F.col("grp").alias(group_col),
+                    v.cast("long").alias("v_zero"),
+                    F.round(est, 6).alias("est_distinct"),
+                ),
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

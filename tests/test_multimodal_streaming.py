@@ -763,3 +763,43 @@ def test_stream_incremental_heavy_hitters_matches_batch(spark, tmp_path):
         stream_incremental_heavy_hitters(
             spark, str(docs_dir) + "/*", {}, denom=1
         )
+
+
+def test_stream_incremental_hll_matches_batch_exactly(spark, tmp_path):
+    """The maintained sketch after the last batch equals the batch
+    hll_distinct_tokens on the full prefix EXACTLY — registers are
+    deterministic, merge is max."""
+    from pagerankproject_spark.streaming.events import stream_incremental_hll
+    from pagerankproject_spark.text.approx import hll_distinct_tokens
+
+    docs_dir = tmp_path / "hll_docs"
+    docs_dir.mkdir()
+
+    def doc(i, text, lang):
+        return (i, text, lang, "s", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = [doc(0, "alpha beta gamma", "en"), doc(1, "uno dos", "es")]
+    b1 = [doc(2, "beta delta epsilon zeta", "en"), doc(3, "tres dos", "es")]
+    b2 = [doc(4, "alpha eta theta", "en")]
+    for i, batch in enumerate((b0, b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}")
+        )
+
+    state: dict = {}
+    q = stream_incremental_hll(spark, str(docs_dir) + "/*", state)
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    got = {
+        (r["lang"], r["v_zero"], r["est_distinct"])
+        for r in state["est"].collect()
+    }
+    want = {
+        (r["lang"], r["v_zero"], r["est_distinct"])
+        for r in hll_distinct_tokens(
+            spark.createDataFrame(b0 + b1 + b2, schema)
+        ).collect()
+    }
+    assert got == want and len(got) == 2
