@@ -45,6 +45,9 @@ PLAN_QUERIES = [
     "crawl_frontier",          # semi/anti joins + per-host top-k window
     "bm25_scores",             # inverted-index postings + fixed-order pivot
     "mirror_hosts",            # host shingle-set self-join + df-cap
+    "weighted_sample",         # A-ES per-group top-k (WindowGroupLimit)
+    "rich_club",               # histogram reduction + tiny cumulative window
+    "hll_distinct",            # combinable register max-merge + 16-col pivot
     # triangles_doulion is excluded: its counts are actions, so the
     # returned one-row frame is a LocalTableScan, not the sampled
     # wedge join (which shares triangles_per_edge's plan shape).
