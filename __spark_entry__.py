@@ -1386,6 +1386,15 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_tokens(_read(spark, sf_dir, "documents"))
 
 
+def q_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the fixed query tokens
+    (Cormode-Muthukrishnan 2005 — text/approx.py::cm_token_counts):
+    pure-integer portable sketch, bit-identical across engines."""
+    from pagerankproject_spark.text.approx import cm_token_counts
+
+    return cm_token_counts(_read(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Efraimidis-Spirakis weighted sample, weight =
     n_chars (text/sampling.py::weighted_sample — A-ES top-k keys from
@@ -2158,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,         # NEW round 3 (local gate; r4 window head)
         "temperature_sample": q_temperature_sample,   # NEW round 3 (local gate; r4 window head)
         "hll_distinct": q_hll_distinct,               # NEW round 3 (local gate; r4 window head)
+        "cm_counts": q_cm_counts,                     # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2484,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),
         "hll_distinct": _approx_mod.sql_hll_distinct_tokens("documents"),
+        "cm_counts": _approx_mod.sql_cm_token_counts("documents", _BM25_TERMS),
         "weighted_sample": _sampling_mod.sql_weighted_sample(
             "(select doc_id, lang, n_chars from documents)",
             k=15,

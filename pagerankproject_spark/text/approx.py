@@ -194,3 +194,128 @@ def sql_hll_distinct_tokens(
     select grp as {group_col}, v_zero, round(est, 6) as est_distinct
     from hll_est
     """
+
+
+# ---------------------------------------------------------------------------
+# Portable Count-Min sketch (cross-engine deterministic counters)
+# ---------------------------------------------------------------------------
+
+CM_SALT = "cm-v1:"
+CM_D = 4    # hash rows; P(overestimate > e*N/w) < exp(-d)
+CM_W = 64   # counters per row
+
+
+def _cm_bucket_py(token: str, i: int) -> int:
+    """Python replay of the row-i bucket — used to build the literal
+    query cells, so the probe side never hashes in-engine."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{CM_SALT}{i}:{token}".encode()).hexdigest()[:15], 16
+    )
+    return h % CM_W
+
+
+def cm_token_counts(
+    docs: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Point-frequency estimates for `query_tokens` from a PORTABLE
+    Count-Min sketch (Cormode & Muthukrishnan, "An improved data
+    stream summary: the count-min sketch and its applications",
+    J. Algorithms 2005): d=4 salted md5 row hashes into w=64 counters,
+    estimate = min over rows of the hit counter. Never undercounts;
+    overcounts by <= e*N/w with probability >= 1-e^-d per query.
+
+    Every counter is an EXACT integer (count of tokens hashing into
+    the cell), the probe cells are python-computed literals, and min
+    over 4 integers is exact — so the whole key is integer arithmetic,
+    bit-identical across engines (the repo's strongest determinism
+    class, no floats at all).
+
+    Scale shape: tokens fan out x4 map-side into (row, bucket) pairs
+    and collapse by a combinable count to the 256-cell sketch — the
+    shuffle carries at most d*w*P partial rows regardless of corpus
+    size; the probe is a broadcast join against a 4*k literal table.
+    Output: token, est_cnt (long), n_total (long).
+    """
+    from .analysis import tokens_expr
+
+    if not query_tokens:
+        raise ValueError("cm_token_counts: query_tokens must be non-empty")
+    if len(set(query_tokens)) != len(query_tokens):
+        raise ValueError("cm_token_counts: duplicate query tokens")
+    toks = docs.select(
+        F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("token")
+    )
+    cells = []
+    for i in range(CM_D):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{CM_SALT}{i}:"), F.col("token"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cells.append(F.struct(F.lit(i).alias("i"), F.pmod(h, F.lit(CM_W)).alias("b")))
+    sketch = (
+        toks.select(F.explode(F.array(*cells)).alias("c"))
+        .select(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n_total = toks.count()
+    probe = docs.sparkSession.createDataFrame(
+        [
+            (t, i, _cm_bucket_py(t, i))
+            for t in query_tokens
+            for i in range(CM_D)
+        ],
+        "token string, i int, b long",
+    )
+    return (
+        probe.join(sketch, ["i", "b"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt"))
+        .select("token", "est_cnt", F.lit(n_total).cast("long").alias("n_total"))
+    )
+
+
+def sql_cm_token_counts(
+    rel: str, query_tokens: list[str], text_col: str = "text"
+) -> str:
+    """DuckDB twin: identical salted row hashes, identical literal
+    probe cells, identical min-over-rows — pure integers."""
+    from .analysis import sql_tokens
+
+    if not query_tokens:
+        raise ValueError("cm_token_counts: query_tokens must be non-empty")
+    if len(set(query_tokens)) != len(query_tokens):
+        raise ValueError("cm_token_counts: duplicate query tokens")
+    toks = sql_tokens(f"lower({text_col})")
+    rows = " union all ".join(
+        f"select token, {i} as i, "
+        f"((('0x' || substr(md5('{CM_SALT}{i}:' || token), 1, 15))::bigint"
+        f" % {CM_W}) + {CM_W}) % {CM_W} as b from cm_tok"
+        for i in range(CM_D)
+    )
+    probe = " union all ".join(
+        f"select '{t}' as token, {i} as i, {_cm_bucket_py(t, i)} as b"
+        for t in query_tokens
+        for i in range(CM_D)
+    )
+    return f"""
+    with cm_tok as (select unnest({toks}) as token from {rel}),
+    cm_cells as ({rows}),
+    cm_sketch as (select i, b, count(*)::bigint as cnt
+                  from cm_cells group by 1, 2),
+    cm_probe as ({probe})
+    select p.token, min(coalesce(s.cnt, 0))::bigint as est_cnt,
+           (select count(*)::bigint from cm_tok) as n_total
+    from cm_probe p
+    left join cm_sketch s on s.i = p.i and s.b = p.b
+    group by p.token
+    """

@@ -1828,3 +1828,73 @@ def test_hll_sql_twin_matches_engine(spark):
         for r in con.execute(sql_hll_distinct_tokens("documents")).fetchall()
     }
     assert got == want and len(got) == 5
+
+
+def test_cm_token_counts_replay_and_bounds(spark):
+    """Sketch replayed exactly in python; never undercounts; exact for
+    the dominant token when no collision lands in one of its rows."""
+    import collections
+
+    from pagerankproject_spark.text.approx import (
+        CM_D,
+        CM_W,
+        _cm_bucket_py,
+        cm_token_counts,
+    )
+
+    rows = [
+        (i, " ".join(["spark"] * 5 + [f"filler{(i * 13 + j) % 97}" for j in range(10)]), "en", "s", 1)
+        for i in range(60)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(rows, schema)
+    terms = ["spark", "filler0", "absentterm"]
+    got = {
+        r["token"]: (r["est_cnt"], r["n_total"])
+        for r in cm_token_counts(df, terms).collect()
+    }
+
+    cnt = collections.Counter(t for _, text, *_ in rows for t in text.split())
+    n = sum(cnt.values())
+    # python replay of the full sketch
+    sketch = collections.Counter()
+    for t, c in cnt.items():
+        for i in range(CM_D):
+            sketch[(i, _cm_bucket_py(t, i))] += c
+    for t in terms:
+        est = min(sketch.get((i, _cm_bucket_py(t, i)), 0) for i in range(CM_D))
+        assert got[t] == (est, n), t
+        assert est >= cnt.get(t, 0)  # never undercounts
+
+    # validation fail-fast
+    import pytest
+
+    with pytest.raises(ValueError):
+        cm_token_counts(df, [])
+    with pytest.raises(ValueError):
+        cm_token_counts(df, ["a", "a"])
+
+
+def test_cm_sql_twin_matches_engine(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.approx import (
+        cm_token_counts,
+        sql_cm_token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    terms = ["spark", "window", "merge"]
+    got = {
+        tuple(r) for r in cm_token_counts(docs, terms).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(sql_cm_token_counts("documents", terms)).fetchall()
+    }
+    assert got == want and len(got) == 3
