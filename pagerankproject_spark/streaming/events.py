@@ -950,3 +950,99 @@ def stream_incremental_hll(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_cm(
+    spark: SparkSession,
+    docs_dir: str,
+    state: dict,
+    query_tokens: list[str],
+    max_files_per_trigger: int = 1,
+):
+    """Continuous Count-Min frequency estimation over a document
+    stream: state is the 256-cell sketch (text/approx.py::CM_D x CM_W)
+    plus the token total — O(1) bytes regardless of corpus size, and
+    merging a batch is CELL-WISE ADD (Count-Min's linearity), so after
+    every micro-batch the maintained point estimates equal the batch
+    `cm_token_counts` on the stream prefix EXACTLY (pure integers).
+
+    state after each batch: {"sketch": DataFrame (i, b, cnt),
+    "n_total": int, "counts": DataFrame (token, est_cnt, n_total),
+    "batches": int}.
+    """
+    if not query_tokens:
+        raise ValueError("stream_incremental_cm: query_tokens must be non-empty")
+    from pagerankproject_spark.text.analysis import tokens_expr
+    from pagerankproject_spark.text.approx import CM_D, CM_SALT, CM_W, _cm_bucket_py
+
+    probe = spark.createDataFrame(
+        [(t, i, _cm_bucket_py(t, i)) for t in query_tokens for i in range(CM_D)],
+        "token string, i int, b long",
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.explode(tokens_expr(F.lower(F.col("text")))).alias("token")
+        )
+        cells = []
+        for i in range(CM_D):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{CM_SALT}{i}:"), F.col("token"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            cells.append(
+                F.struct(F.lit(i).alias("i"), F.pmod(h, F.lit(CM_W)).alias("b"))
+            )
+        delta = (
+            toks.select(F.explode(F.array(*cells)).alias("c"))
+            .select(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+            .groupBy("i", "b")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        batch_total = toks.count()
+        old = state.get("sketch")
+        if old is None:
+            old = spark.createDataFrame([], "i int, b long, cnt long")
+        merged = (
+            old.unionByName(delta)
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        n_total = state.get("n_total", 0) + int(batch_total)
+        counts = (
+            probe.join(merged, ["i", "b"], "left")
+            .groupBy("token")
+            .agg(
+                F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt")
+            )
+            .select(
+                "token",
+                "est_cnt",
+                F.lit(n_total).cast("long").alias("n_total"),
+            )
+        )
+        state.update(
+            {
+                "sketch": merged,
+                "n_total": n_total,
+                "counts": counts,
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

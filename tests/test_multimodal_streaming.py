@@ -803,3 +803,45 @@ def test_stream_incremental_hll_matches_batch_exactly(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_stream_incremental_cm_matches_batch_exactly(spark, tmp_path):
+    """Cell-wise-add merge: the maintained point estimates equal the
+    batch cm_token_counts on the full prefix EXACTLY (pure integers)."""
+    import pytest
+
+    from pagerankproject_spark.streaming.events import stream_incremental_cm
+    from pagerankproject_spark.text.approx import cm_token_counts
+
+    docs_dir = tmp_path / "cm_docs"
+    docs_dir.mkdir()
+
+    def doc(i, text):
+        return (i, text, "en", "s", len(text))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = [doc(0, "spark spark join window"), doc(1, "merge join spark")]
+    b1 = [doc(2, "window window shuffle"), doc(3, "spark merge")]
+    b2 = [doc(4, "shuffle shuffle scan spark")]
+    for i, batch in enumerate((b0, b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}")
+        )
+
+    terms = ["spark", "window", "absentterm"]
+    state: dict = {}
+    q = stream_incremental_cm(spark, str(docs_dir) + "/*", state, terms)
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    got = {tuple(r) for r in state["counts"].collect()}
+    want = {
+        tuple(r)
+        for r in cm_token_counts(
+            spark.createDataFrame(b0 + b1 + b2, schema), terms
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+    with pytest.raises(ValueError):
+        stream_incremental_cm(spark, str(docs_dir) + "/*", {}, [])
