@@ -59,6 +59,7 @@ from pagerankproject_spark.oracle import recursive_sql as rsql
 from pagerankproject_spark.text import bm25 as _bm25_mod
 from pagerankproject_spark.text import sampling as _sampling_mod
 from pagerankproject_spark.text import approx as _approx_mod
+from pagerankproject_spark.text import decontaminate as _decontam_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.dedup import mirrors as _mirrors_mod
 from pagerankproject_spark.text import heavyhitters as _hh_mod
@@ -1279,6 +1280,18 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_overlap(d.filter(~is_eval), d.filter(is_eval), n=4)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen (Bloom 1970; never
+    false-negative superset of decontaminate_overlap — the
+    eval-side-too-big-to-broadcast path; text/decontaminate.py).
+    Pure-integer portable sketch, bit-identical across engines."""
+    from pagerankproject_spark.text.decontaminate import bloom_decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    return bloom_decontaminate(d.filter(~is_eval), d.filter(is_eval), n=4)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking, 128-token chunks / 96 stride
     (text/packing.py::doc_chunks)."""
@@ -2168,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,   # NEW round 3 (local gate; r4 window head)
         "hll_distinct": q_hll_distinct,               # NEW round 3 (local gate; r4 window head)
         "cm_counts": q_cm_counts,                     # NEW round 3 (local gate; r4 window head)
+        "bloom_decontaminate": q_bloom_decontaminate,  # NEW round 3 (local gate; r4 window head)
         "triangles_doulion": q_triangles_doulion,     # NEW round 3 (local gate; r4 window head)
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
@@ -2495,6 +2509,11 @@ def oracle_sql() -> dict[str, str]:
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),
         "hll_distinct": _approx_mod.sql_hll_distinct_tokens("documents"),
         "cm_counts": _approx_mod.sql_cm_token_counts("documents", _BM25_TERMS),
+        "bloom_decontaminate": _decontam_mod.sql_bloom_decontaminate(
+            f"(select * from documents where doc_id % {_EVAL_MOD} <> 0)",
+            f"(select * from documents where doc_id % {_EVAL_MOD} = 0)",
+            n=4,
+        ),
         "weighted_sample": _sampling_mod.sql_weighted_sample(
             "(select doc_id, lang, n_chars from documents)",
             k=15,

@@ -1898,3 +1898,105 @@ def test_cm_sql_twin_matches_engine(spark):
         for r in con.execute(sql_cm_token_counts("documents", terms)).fetchall()
     }
     assert got == want and len(got) == 3
+
+
+def test_bloom_decontaminate_superset_and_replay(spark):
+    """Never false-negative: every doc decontaminate_overlap flags is
+    flagged with flagged_ngrams >= overlap_ngrams; full python replay
+    of the filter and probes."""
+    from pagerankproject_spark.text.decontaminate import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_WORD_BITS,
+        bloom_decontaminate,
+        decontaminate_overlap,
+    )
+
+    def grams(text, n=3):
+        t = text.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated content about spark shuffles here"),
+        (3, "pack my box with five dozen liquor jugs"),
+    ]
+    evald = [
+        (100, "quick brown fox jumps high"),
+        (101, "five dozen liquor jugs arrived"),
+    ]
+    tr = spark.createDataFrame(train, "doc_id long, text string")
+    ev = spark.createDataFrame(evald, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["flagged_ngrams"]
+        for r in bloom_decontaminate(tr, ev, n=3).collect()
+    }
+    exact = {
+        r["doc_id"]: r["overlap_ngrams"]
+        for r in decontaminate_overlap(tr, ev, n=3).collect()
+    }
+    for d, k in exact.items():
+        assert d in got and got[d] >= k, (d, k, got)
+
+    # python replay: identical filter + probes
+    import hashlib
+
+    def probes(shingle):
+        out = []
+        for i in range(BLOOM_K):
+            h = int(
+                hashlib.md5(f"bloom-v1:{i}:{shingle}".encode()).hexdigest()[:15],
+                16,
+            )
+            bit = h % BLOOM_M_BITS
+            out.append((bit // BLOOM_WORD_BITS, 1 << (bit % BLOOM_WORD_BITS)))
+        return out
+
+    filt: dict[int, int] = {}
+    for _, text in evald:
+        for s in grams(text):
+            for w, m in probes(s):
+                filt[w] = filt.get(w, 0) | m
+    expect = {}
+    for d, text in train:
+        flagged = sum(
+            1
+            for s in grams(text)
+            if all(filt.get(w, 0) & m for w, m in probes(s))
+        )
+        if flagged:
+            expect[d] = flagged
+    assert got == expect
+
+
+def test_bloom_sql_twin_matches_engine(spark):
+    import duckdb
+
+    from pagerankproject_spark.text.decontaminate import (
+        bloom_decontaminate,
+        sql_bloom_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        tuple(r)
+        for r in bloom_decontaminate(
+            docs.filter("doc_id % 19 <> 0"), docs.filter("doc_id % 19 = 0"), n=4
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            sql_bloom_decontaminate(
+                "(select * from documents where doc_id % 19 <> 0)",
+                "(select * from documents where doc_id % 19 = 0)",
+                n=4,
+            )
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
