@@ -98,14 +98,20 @@ def build_graph(spark, multiplier: int, num_partitions: int | None = None):
     )
 
 
-def run_worker(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") -> None:
+def run_worker(
+    cpus: int,
+    multiplier: int,
+    iters: int,
+    spmv: str = "dataframe",
+    op: str = "pagerank",
+) -> None:
     from pagerankproject_spark.graph.pagerank import pagerank
     from pagerankproject_spark.session import get_spark
 
     import os
 
     spark = get_spark(
-        app_name=f"scaling-{cpus}-{spmv}",
+        app_name=f"scaling-{cpus}-{op}-{spmv}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 2,
         extra_conf={
@@ -120,6 +126,11 @@ def run_worker(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") 
     t0 = time.time()
     g = build_graph(spark, multiplier, cpus * 2)
     build_sec = time.time() - t0
+
+    if op != "pagerank":
+        _run_worker_op(spark, g, cpus, op, iters, build_sec)
+        spark.stop()
+        return
 
     t0 = time.time()
     res = pagerank(spark, g, epsilon=0.0, max_iterations=iters, spmv=spmv)
@@ -151,11 +162,75 @@ def run_worker(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") 
     spark.stop()
 
 
-def run_level(cpus: int, multiplier: int, iters: int, spmv: str = "dataframe") -> dict:
+def _run_worker_op(spark, g, cpus: int, op: str, iters: int, build_sec: float) -> None:
+    """North-rule ops beyond PageRank: connected components, label
+    propagation, triangle count — the other three operators the rule
+    names. Iterative ops report median steady-state s/iter from the
+    engine's own per-iteration metrics; the one-shot triangle count
+    reports median end-to-end wall over `iters` repeated runs (each run
+    re-executes the full wedge cascade; the adjacency cache built by
+    build_graph is shared, as it would be on a warm cluster)."""
+    if op == "cc":
+        from pagerankproject_spark.graph.components import connected_components
+
+        t0 = time.time()
+        res = connected_components(spark, g, max_iterations=max(iters, 20))
+        res.components.count()
+        total = time.time() - t0
+        iter_walls = [m["wall_sec"] for m in res.metrics]
+    elif op == "lpa":
+        from pagerankproject_spark.graph.labelprop import label_propagation
+
+        t0 = time.time()
+        res = label_propagation(spark, g, max_iterations=iters)
+        res.labels.count()
+        total = time.time() - t0
+        iter_walls = [m["wall_sec"] for m in res.metrics]
+    elif op == "triangles":
+        from pagerankproject_spark.graph.triangles import triangle_counts
+
+        iter_walls = []
+        t0 = time.time()
+        for _ in range(max(iters, 3)):
+            t1 = time.time()
+            triangle_counts(spark, g=g)
+            iter_walls.append(time.time() - t1)
+        total = time.time() - t0
+    else:
+        raise SystemExit(f"unknown --op {op}")
+
+    steady = iter_walls[2:] if len(iter_walls) > 3 else iter_walls
+    per_iter = statistics.median(steady)
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "op": op,
+                "edges": g.num_edges,
+                "vertices": g.n,
+                "iterations": len(iter_walls),
+                "build_sec": round(build_sec, 2),
+                "sec_per_iteration": per_iter,
+                "edges_per_sec_per_iteration": g.num_edges / per_iter,
+                "total_wall_sec": round(total, 2),
+                "iter_walls": [round(w, 3) for w in iter_walls],
+            }
+        )
+    )
+
+
+def run_level(
+    cpus: int,
+    multiplier: int,
+    iters: int,
+    spmv: str = "dataframe",
+    op: str = "pagerank",
+) -> dict:
     cmd = [
         sys.executable, __file__, "--worker", str(cpus),
         "--multiplier", str(multiplier), "--iters", str(iters),
-        "--spmv", spmv,
+        "--spmv", spmv, "--op", op,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, cwd=str(REPO)
@@ -186,16 +261,29 @@ def main() -> None:
         default="dataframe",
         help="SpMV mode to sweep; 'blocks' writes its own BENCH.md section",
     )
+    ap.add_argument(
+        "--op",
+        type=str,
+        default="pagerank",
+        choices=["pagerank", "cc", "lpa", "triangles"],
+        help="which north-rule operator to sweep; non-pagerank ops write "
+        "their own BENCH.md section",
+    )
     args = ap.parse_args()
 
     if args.worker is not None:
-        run_worker(args.worker, args.multiplier, args.iters, args.spmv)
+        run_worker(args.worker, args.multiplier, args.iters, args.spmv, args.op)
         return
 
     levels = [int(x) for x in args.levels.split(",")]
     results = {
-        c: run_level(c, args.multiplier, args.iters, args.spmv) for c in levels
+        c: run_level(c, args.multiplier, args.iters, args.spmv, args.op)
+        for c in levels
     }
+
+    if args.op != "pagerank":
+        _report_op(args, levels, results)
+        return
 
     if args.spmv != "dataframe":
         _report_alt_spmv(args, levels, results)
@@ -350,6 +438,108 @@ def main() -> None:
         )
     bench_path.write_text("\n".join(md) + tail)
     print(f"wrote {bench_path}")
+
+
+_OP_DESC = {
+    "cc": (
+        "Connected components (the engine's real `connected_components()` "
+        "min-label loop: symmetrized edges JOIN labels -> groupBy vertex MIN "
+        "-> change count on the Observation -> lineage truncation; auto skew "
+        "salting probed once). s/iter = median steady-state iteration wall "
+        "from the loop's own metrics."
+    ),
+    "lpa": (
+        "Label propagation (the engine's real `label_propagation()` loop: "
+        "symmetrized edges JOIN labels -> (vertex, label) count -> "
+        "max-by-(count, label) -> change count on the Observation -> lineage "
+        "truncation; frontier-restricted messaging once the changed set "
+        "shrinks). s/iter = median steady-state iteration wall."
+    ),
+    "triangles": (
+        "Triangle count (the engine's real `triangle_counts()` wedge "
+        "cascade: degree-ordered orientation -> wedge equi-join -> closing "
+        "edge semi-join -> per-edge counts + total). One-shot job, so "
+        "'s/iter' = median end-to-end wall over repeated runs on the same "
+        "warm input cache; throughput = input edges / wall."
+    ),
+}
+
+
+def _report_op(args, levels: list[int], results: dict) -> None:
+    """Report + BENCH.md section for a non-PageRank north-rule operator
+    sweep (cc / lpa / triangles): owns only the text between its own
+    BEGIN/END markers, appended after the harness tail if absent."""
+    eff_primary = efficiency(results[levels[0]], results[levels[1]])
+    report = {
+        "job": f"{args.op} scaling sweep, deterministic synthetic graph",
+        "levels": {str(c): r for c, r in results.items()},
+        "primary_pair": f"local[{levels[0]}] vs local[{levels[1]}]",
+        "scaling_efficiency": round(eff_primary, 3),
+        "meets_north_rule_0.8": eff_primary >= 0.8,
+    }
+    if len(levels) > 2:
+        report["secondary_efficiency"] = round(
+            efficiency(results[levels[1]], results[levels[2]]), 3
+        )
+    print(json.dumps(report))
+
+    lo = results[levels[0]]
+    md = [
+        f"### {args.op}: {lo['edges']:,} edges / {lo['vertices']:,} vertices "
+        f"(mean degree {lo['edges'] // lo['vertices']})",
+        "",
+        _OP_DESC[args.op],
+        "",
+        "| level | s/iter (median) | edges/sec/iteration | walls |",
+        "|---|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        md.append(
+            f"| local[{c}] | {r['sec_per_iteration']:.2f} | "
+            f"{r['edges_per_sec_per_iteration']:,.0f} | {r['iter_walls']} |"
+        )
+    md += [
+        "",
+        f"**Primary (local[{levels[0]}] vs local[{levels[1]}]): efficiency = "
+        f"{eff_primary:.3f}**"
+        + ("  — >= 0.8: **PASS**" if eff_primary >= 0.8 else "  — < 0.8: FAIL"),
+        "",
+        f"Reproduce: `python jobs/bench_scaling.py --op {args.op} "
+        f"--multiplier {args.multiplier} --iters {args.iters} "
+        f"--levels {args.levels}`",
+        "",
+    ]
+    begin = f"<!-- BEGIN {args.op}-op-scaling -->"
+    end = f"<!-- END {args.op}-op-scaling -->"
+    header_begin = "<!-- BEGIN north-rule-ops-header -->"
+    header = (
+        header_begin
+        + "\n## North-rule operator sweeps beyond PageRank (same N->4N protocol)\n\n"
+        "The north rule names four operators: PageRank (the headline sweep\n"
+        "above), connected components, label propagation, and triangle\n"
+        "count. The same two-parallelism-level protocol applied to each of\n"
+        "the other three, on the same deterministic synthetic graph builder\n"
+        "(multiplier chosen per op so each run measures the operator, not\n"
+        "the sandbox's memory ceiling).\n"
+        "<!-- END north-rule-ops-header -->\n"
+    )
+    section = begin + "\n" + "\n".join(md) + end
+    bench_path = REPO / "BENCH.md"
+    text = bench_path.read_text() if bench_path.exists() else ""
+    if header_begin not in text:
+        text = text.rstrip("\n") + "\n\n" + header + "\n"
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        # keep the three op sections grouped right after the header
+        hmark = "<!-- END north-rule-ops-header -->\n"
+        head, tail = text.split(hmark, 1)
+        text = head + hmark + "\n" + section + "\n" + tail
+    bench_path.write_text(text)
+    print(f"wrote {bench_path} ({args.op} section)")
 
 
 def _report_alt_spmv(args, levels: list[int], results: dict) -> None:
