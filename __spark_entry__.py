@@ -553,6 +553,19 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(g=g, walk_length=4, walks_per_vertex=2)
 
 
+def q_simrank_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo SimRank (graph/walks.py::simrank_mc — Jeh & Widom
+    2002 measure, Fogaras & Racz 2005 first-meeting estimator): c^tau
+    over first meetings of deterministic reverse hash-walks, c = 0.5
+    so every estimate is an exact binary fraction; the oracle replays
+    the walks and the meeting accounting literally. Dense-id loop
+    (g=), row-identical to the string path (tested)."""
+    from pagerankproject_spark.graph.walks import simrank_mc
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return simrank_mc(g=g, walk_length=4, walks_per_vertex=2)
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto algorithm pick (graph/components.py::connected_components_auto):
     min-label probe, star-contraction handoff on near-flat changed
@@ -2168,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_incremental": q_msf_incremental,         # NEW round 3 (local gate; r4 window head)
         "affinity_level2": q_affinity_level2,         # NEW round 3 (local gate; r4 window head)
         "node2vec_walks": q_node2vec_walks,           # NEW round 3 (local gate; r4 window head)
+        "simrank_mc": q_simrank_mc,                   # NEW round 3 (local gate; r4 window head)
         "walk_ppmi": q_walk_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "double_sweep": q_double_sweep,               # NEW round 3 (local gate; r4 window head)
         "lpa_conductance": q_lpa_conductance,         # NEW round 3 (local gate; r4 window head)
@@ -2244,9 +2258,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.walks import (
         sql_ppr_from_walks as _sql_ppr_from_walks,
-            sql_node2vec_walks as _sql_n2v,
+        sql_node2vec_walks as _sql_n2v,
+        sql_simrank_mc as _sql_simrank,
         sql_walk_ppmi as _sql_wppmi,
-)
+    )
     from pagerankproject_spark.ingest.snapshots import (
         sql_latest_snapshots as _sql_latest_snapshots,
     )
@@ -2839,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": f"{g},{rsql.sql_bowtie()}",
         "random_walks": f"{g},\n{sql_random_walks(4, 2)}",
         "node2vec_walks": f"{g},{_sql_n2v(walk_length=4, walks_per_vertex=2)}",
+        "simrank_mc": f"{g},\n{_sql_simrank(walk_length=4, walks_per_vertex=2)}",
         "walk_ppmi": f"{g},{_sql_wppmi(walk_length=4, walks_per_vertex=2, context=2, min_count=2)}",
         "ppr_walks": f"{g},\n{_sql_ppr_from_walks(4, 2, 0.5)}",
         "pagerank": f"{g},{rsql.sql_pagerank_ranks(epsilon=1e-6, max_iterations=60)}",

@@ -221,17 +221,23 @@ def _random_walks_dense(
 
 
 def _sql_walk_ctes(
-    walk_length: int = 4, walks_per_vertex: int = 2
+    walk_length: int = 4, walks_per_vertex: int = 2, reverse: bool = False
 ) -> list[str]:
     """The s0..sN step CTEs shared by sql_random_walks and
-    sql_ppr_from_walks."""
+    sql_ppr_from_walks. reverse=True walks the transposed graph
+    (IN-links) — the corpus sql_simrank_mc replays."""
+    base = (
+        "select distinct dst as src, src as dst from edges where src <> dst"
+        if reverse
+        else "select distinct src, dst from edges where src <> dst"
+    )
     walks = ", ".join(f"({w})" for w in range(walks_per_vertex))
     parts = [
         f"""adj as (
             select src, dst,
                    row_number() over (partition by src order by dst) - 1 as idx,
                    count(*) over (partition by src) as outdeg
-            from (select distinct src, dst from edges where src <> dst)
+            from ({base})
         ),
         deg as (select distinct src, outdeg from adj),
         s0 as (
@@ -747,6 +753,141 @@ def walk_ppmi(
                 6,
             ).alias("ppmi"),
         )
+    )
+
+
+def meeting_weights(walk_length: int, c: float) -> list[float]:
+    """c^t per step, computed ONCE in python and inlined as literals on
+    both engines (the step_weights convention — no cross-engine pow()
+    in the hot path). c = 0.5 (the contract pin) makes every weight an
+    exact binary fraction, so the estimator sums are bit-exact."""
+    return [c**t for t in range(walk_length + 1)]
+
+
+def simrank_mc(
+    edges: DataFrame | None = None,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    c: float = 0.5,
+    *,
+    g: GraphTables | None = None,
+) -> DataFrame:
+    """Monte-Carlo SimRank via first-meeting times of reverse walks
+    (Jeh & Widom, KDD 2002 define SimRank; Fogaras & Racz, WWW 2005
+    "Scaling link-based similarity search" give the estimator:
+    s(a, b) = E[c^tau] where tau is the first time two independent
+    uniform reverse walks from a and b occupy the same vertex at the
+    same step, 0 if they never meet).
+
+    The walks are the engine's deterministic hash-walks (module
+    docstring) on the TRANSPOSED graph — SimRank recurses over
+    in-neighbors — so the corpus, and therefore the estimate, is
+    bit-reproducible across engines, partitionings and reruns; the
+    DuckDB twin replays it exactly. tau >= 1 always (step 0 has the
+    two walks at their distinct start vertices).
+
+        s_hat(a, b) = (1 / wpv^2) * sum over walk pairs (wa, wb) of
+                      c^tau(wa, wb)
+
+    Execution shape: walk corpus O(n * wpv * L) rows; ONE self-join on
+    (step, vertex) — meetings — then two combinable aggregations
+    (min step per walk pair, sum per vertex pair). Never all-pairs:
+    output is exactly the pairs whose walks met, the natural sparse
+    support of the estimator. Skew note: the (step, vertex) join
+    fans out quadratically in the number of reverse walks AT a vertex
+    at a step, i.e. popular (high in-degree) pages attract meetings —
+    that concentration IS the signal SimRank measures, and the cell
+    population is bounded by n * wpv per step with wpv a small
+    constant; at 100 TB the same df-cap discipline as jaccard_pairs
+    can bound a pathological cell, biasing only the capped cell's
+    pairs (not applied here — the estimator stays unbiased).
+
+    Output: (a, b, simrank) with a < b, simrank rounded once to 6 dp
+    (exact for c = 0.5, walk_length <= 4, wpv a power of two: every
+    c^tau / wpv^2 term is a 6-dp-exact binary fraction).
+    """
+    if (edges is None) == (g is None):
+        raise ValueError("pass exactly one of `edges` or `g`")
+    if g is not None:
+        from dataclasses import replace
+
+        rev = replace(
+            g,
+            weighted_edges=g.weighted_edges.select(
+                F.col("dst_id").alias("src_id"),
+                F.col("src_id").alias("dst_id"),
+            ),
+        )
+        corpus = random_walks(g=rev, walk_length=walk_length,
+                              walks_per_vertex=walks_per_vertex)
+    else:
+        corpus = random_walks(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            walk_length=walk_length,
+            walks_per_vertex=walks_per_vertex,
+        )
+    # (start, w) back out of walk_id — the ppr_from_walks convention
+    # (suffix-anchored so '#' inside urls survives)
+    pos = corpus.select(
+        F.regexp_replace(F.col("walk_id"), r"#\d+$", "").alias("v"),
+        F.regexp_extract(F.col("walk_id"), r"#(\d+)$", 1).cast("int").alias("w"),
+        "step",
+        "url",
+    ).localCheckpoint(eager=True)
+    a = pos.select(
+        F.col("v").alias("a"), F.col("w").alias("wa"), "step", "url"
+    )
+    b = pos.select(
+        F.col("v").alias("b"), F.col("w").alias("wb"), "step", "url"
+    )
+    first = (
+        a.join(b, ["step", "url"])
+        .filter((F.col("a") < F.col("b")) & (F.col("step") >= 1))
+        .groupBy("a", "wa", "b", "wb")
+        .agg(F.min("step").alias("tau"))
+    )
+    wts = meeting_weights(walk_length, c)
+    contrib = F.array(*[F.lit(x) for x in wts])[F.col("tau")]
+    return first.groupBy("a", "b").agg(
+        F.round(
+            F.sum(contrib) / F.lit(float(walks_per_vertex**2)), 6
+        ).alias("simrank")
+    )
+
+
+def sql_simrank_mc(
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    c: float = 0.5,
+) -> str:
+    """DuckDB twin: the reverse-walk CTEs replayed literally, the
+    identical (step, vertex) meeting join, min-step first meetings,
+    and the identical inlined c^tau literals + round-once."""
+    parts = _sql_walk_ctes(walk_length, walks_per_vertex, reverse=True)
+    union = "\nunion all\n".join(
+        f"select start, w, {t} as step, cur from s{t}"
+        for t in range(1, walk_length + 1)
+    )
+    wts = meeting_weights(walk_length, c)
+    case = " ".join(
+        f"when {t} then {wts[t]!r}" for t in range(1, walk_length + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+    pos as (\n{union}\n),
+    meets as (
+        select pa.start as a, pa.w as wa, pb.start as b, pb.w as wb,
+               min(pa.step) as tau
+        from pos pa join pos pb
+          on pa.step = pb.step and pa.cur = pb.cur
+        where pa.start < pb.start
+        group by 1, 2, 3, 4
+    )
+    select a, b,
+           round(sum(case tau {case} end) / {float(walks_per_vertex**2)!r}, 6)
+               as simrank
+    from meets group by 1, 2"""
     )
 
 

@@ -2051,3 +2051,83 @@ def test_powerlaw_alpha_matches_python_replay(spark):
         powerlaw_alpha(edges_df(spark, star), dmin=0)
     with pytest.raises(ValueError):
         powerlaw_alpha(edges_df(spark, star), degree="total")
+
+
+def _simrank_python_replay(post, L, W, c=0.5):
+    """Pure-python reverse hash-walks + first-meeting estimator
+    (shared by the Spark test here and the DuckDB oracle test in
+    test_recursive_oracles.py)."""
+    import hashlib
+    from collections import defaultdict
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    radj: dict[str, list[str]] = {}
+    for s, t in sorted({(b, a) for a, b in post if a != b}):
+        radj.setdefault(s, []).append(t)
+    verts = sorted({v for e in post for v in e})
+
+    cells = defaultdict(list)  # (t, vertex) -> [(start, w)]
+    for start in verts:
+        for w in range(W):
+            cur = start
+            for t in range(1, L + 1):
+                nbrs = radj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[h60(f"{cur}|{start}|{w}|{t}") % len(nbrs)]
+                cells[(t, cur)].append((start, w))
+
+    first: dict[tuple, int] = {}
+    for (t, _), walkers in sorted(cells.items()):
+        for i, (a, wa) in enumerate(walkers):
+            for b, wb in walkers[i + 1:]:
+                if a == b:
+                    continue
+                k = (a, wa, b, wb) if a < b else (b, wb, a, wa)
+                if k not in first:
+                    first[k] = t
+                else:
+                    first[k] = min(first[k], t)
+    est: dict[tuple, float] = {}
+    for (a, _, b, _), tau in first.items():
+        est[(a, b)] = est.get((a, b), 0.0) + c**tau
+    return {k: round(v / W**2, 6) for k, v in est.items()}
+
+
+def test_simrank_mc_matches_python_replay(spark):
+    """Full estimator vs a literal python replay of the reverse
+    hash-walks and first-meeting accounting, string path vs dense-id
+    path identical, and the exactly-one-input fail-fast."""
+    from pagerankproject_spark.graph.walks import simrank_mc
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    pairs = make_weblike(seed=47, n_nodes=40, m_edges=260)
+    post = sorted({(s, t) for s, t in _post_regex(pairs) if s != t})
+    L, W = 4, 2
+    want = _simrank_python_replay(post, L, W)
+    assert want, "fixture must produce meetings"
+    assert any(v < 1.0 for v in want.values())
+
+    df = spark.createDataFrame(post, "src string, dst string")
+    got = {
+        (r["a"], r["b"]): r["simrank"]
+        for r in simrank_mc(df, walk_length=L, walks_per_vertex=W).collect()
+    }
+    assert got == want
+
+    g = build_graph_tables(spark, df)
+    got_dense = {
+        (r["a"], r["b"]): r["simrank"]
+        for r in simrank_mc(g=g, walk_length=L, walks_per_vertex=W).collect()
+    }
+    assert got_dense == want
+    g.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        simrank_mc(df, g=g)
+    with _pytest.raises(ValueError, match="exactly one"):
+        simrank_mc()

@@ -767,3 +767,25 @@ def test_node2vec_oracle_matches_engine_shape(con, g, graph):
     sql = sql_node2vec_walks(walk_length=L, walks_per_vertex=W)
     rows = con.execute(g + "," + sql).fetchall()
     assert {(wid, s): u for wid, s, u in rows} == want
+
+
+def test_simrank_oracle_matches_python_replay(con, g, graph):
+    """sql_simrank_mc replays the identical reverse hash-walks and
+    first-meeting estimator: checked against the pure-python replay
+    over the standard fixture."""
+    from pagerankproject_spark.graph.walks import sql_simrank_mc
+    from tests.test_graph_ops import _simrank_python_replay
+
+    edges, _ = graph
+    post = sorted({(s, t) for s, t in edges if s != t})
+    L, W = 4, 2
+    want = _simrank_python_replay(post, L, W)
+    assert want, "fixture must produce meetings"
+
+    got = {
+        (a, b): v
+        for a, b, v in con.execute(
+            g + ",\n" + sql_simrank_mc(walk_length=L, walks_per_vertex=W)
+        ).fetchall()
+    }
+    assert got == want
