@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "boruvka_msf",
     "node2vec_walks",
     "walk_ppmi",
+    "simrank_mc",
     "double_sweep",
     "lpa_conductance",
     # end-of-round-3 additions: relevance + sampled/host-level scale

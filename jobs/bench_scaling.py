@@ -48,13 +48,24 @@ SF_DIR = "/root/testdata/sf0.1"
 NUM_VERTICES = 100_000
 
 
-def build_graph(spark, multiplier: int, num_partitions: int | None = None):
+def build_graph(
+    spark,
+    multiplier: int,
+    num_partitions: int | None = None,
+    vertices: int = NUM_VERTICES,
+):
     """Deterministic synthetic graph as GraphTables, integer-id layer.
 
-    orders x range(multiplier), endpoints hashed into [0, NUM_VERTICES).
+    orders x range(multiplier), endpoints hashed into [0, vertices).
     Same rows at any parallelism level (pure arithmetic, no sampling).
     num_partitions=None autotunes from the known edge count
-    (orders_rows x multiplier) via tuned_partitions.
+    (orders_rows x multiplier) via tuned_partitions. `vertices` sets
+    graph sparsity independently of edge count: wedge-bound operators
+    (triangle count) are benched in the sparse web-graph regime (many
+    vertices, low mean degree) rather than the dense-random regime the
+    100k default gives at high multipliers — wedge volume is
+    n * C(d,2), so constant-degree growth keeps the per-key fan-out
+    flat while the job gets bigger.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -71,10 +82,10 @@ def build_graph(spark, multiplier: int, num_partitions: int | None = None):
     m = spark.range(multiplier).select(F.col("id").alias("m"))
     e = o.crossJoin(m).select(
         F.pmod(
-            F.col("o_custkey") * 1009 + F.col("m") * 31, F.lit(NUM_VERTICES)
+            F.col("o_custkey") * 1009 + F.col("m") * 31, F.lit(vertices)
         ).alias("src_id"),
         F.pmod(
-            F.col("o_orderkey") * 2003 + F.col("m") * 17, F.lit(NUM_VERTICES)
+            F.col("o_orderkey") * 2003 + F.col("m") * 17, F.lit(vertices)
         ).alias("dst_id"),
     )
     w = Window.partitionBy("src_id")
@@ -84,15 +95,15 @@ def build_graph(spark, multiplier: int, num_partitions: int | None = None):
         .persist()
     )
     num_edges = weighted.count()
-    vertices = spark.range(NUM_VERTICES).select(
+    vdf = spark.range(vertices).select(
         F.col("id"),
         F.concat(F.lit("site.com/p"), F.col("id").cast("string")).alias("url"),
     ).repartition(num_partitions, "id").persist()
-    vertices.count()
+    vdf.count()
     return GraphTables(
-        vertices=vertices,
+        vertices=vdf,
         weighted_edges=weighted,
-        n=NUM_VERTICES,
+        n=vertices,
         num_partitions=num_partitions,
         num_edges=num_edges,
     )
@@ -104,6 +115,7 @@ def run_worker(
     iters: int,
     spmv: str = "dataframe",
     op: str = "pagerank",
+    vertices: int = NUM_VERTICES,
 ) -> None:
     from pagerankproject_spark.graph.pagerank import pagerank
     from pagerankproject_spark.session import get_spark
@@ -124,7 +136,7 @@ def run_worker(
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    g = build_graph(spark, multiplier, cpus * 2)
+    g = build_graph(spark, multiplier, cpus * 2, vertices)
     build_sec = time.time() - t0
 
     if op != "pagerank":
@@ -226,11 +238,12 @@ def run_level(
     iters: int,
     spmv: str = "dataframe",
     op: str = "pagerank",
+    vertices: int = NUM_VERTICES,
 ) -> dict:
     cmd = [
         sys.executable, __file__, "--worker", str(cpus),
         "--multiplier", str(multiplier), "--iters", str(iters),
-        "--spmv", spmv, "--op", op,
+        "--spmv", spmv, "--op", op, "--vertices", str(vertices),
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, cwd=str(REPO)
@@ -269,15 +282,27 @@ def main() -> None:
         help="which north-rule operator to sweep; non-pagerank ops write "
         "their own BENCH.md section",
     )
+    ap.add_argument(
+        "--vertices",
+        type=int,
+        default=NUM_VERTICES,
+        help="vertex-space size; raise with constant mean degree to bench "
+        "the sparse web-graph regime (wedge fan-out stays flat)",
+    )
     args = ap.parse_args()
 
     if args.worker is not None:
-        run_worker(args.worker, args.multiplier, args.iters, args.spmv, args.op)
+        run_worker(
+            args.worker, args.multiplier, args.iters, args.spmv, args.op,
+            args.vertices,
+        )
         return
 
     levels = [int(x) for x in args.levels.split(",")]
     results = {
-        c: run_level(c, args.multiplier, args.iters, args.spmv, args.op)
+        c: run_level(
+            c, args.multiplier, args.iters, args.spmv, args.op, args.vertices
+        )
         for c in levels
     }
 
@@ -507,7 +532,13 @@ def _report_op(args, levels: list[int], results: dict) -> None:
         "",
         f"Reproduce: `python jobs/bench_scaling.py --op {args.op} "
         f"--multiplier {args.multiplier} --iters {args.iters} "
-        f"--levels {args.levels}`",
+        f"--levels {args.levels}"
+        + (
+            f" --vertices {args.vertices}"
+            if args.vertices != NUM_VERTICES
+            else ""
+        )
+        + "`",
         "",
     ]
     begin = f"<!-- BEGIN {args.op}-op-scaling -->"

@@ -219,11 +219,18 @@ def ktruss(
     return KTrussResult(edges=out, rounds=rounds, converged=converged)
 
 
-def _wedge_triangles(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _wedge_triangles(
+    und: DataFrame, persist_triangles: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Degree-ordered wedge enumeration over a canonical undirected
     edge list (a < b, deduped). Key type agnostic (long ids or urls).
-    Returns (oriented, triangles), both persisted — each triangle is
-    one (u, v1, v2) row; the caller unpersists both when done."""
+    Returns (oriented, triangles) — each triangle is one (u, v1, v2)
+    row; `oriented` is always persisted (it feeds three plan branches),
+    `triangles` only when the caller will consume it more than once
+    (`persist_triangles`): it is the largest intermediate of the whole
+    cascade (wedge fan-out x closing matches), and caching it for a
+    single pass just churns the old generation. The caller unpersists
+    whatever was persisted when done."""
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -254,16 +261,35 @@ def _wedge_triangles(und: DataFrame) -> tuple[DataFrame, DataFrame]:
         "u", "v1", "v2"
     )
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    triangles = wedges.join(closing, ["v1", "v2"]).persist()
+    # SHUFFLE_HASH, not the default sort-merge: the probe side (wedges)
+    # outnumbers the build side (closing = the m oriented edges) by the
+    # wedge fan-out on every graph, and SMJ's sort of the wedge stream
+    # dominated the whole cascade (profiled at local[8]: 40 of 107
+    # task-seconds in GC from sort buffers). Hash-building the small
+    # per-partition closing side streams wedges sort-free; per-executor
+    # build memory is m/P rows, flat at any scale.
+    triangles = wedges.join(closing.hint("SHUFFLE_HASH"), ["v1", "v2"])
+    if persist_triangles:
+        triangles = triangles.persist()
     return oriented, triangles
 
 
 def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     """Per-edge triangle counts over a canonical undirected edge list
-    (a < b, deduped) via _wedge_triangles."""
-    oriented, triangles = _wedge_triangles(und)
+    (a < b, deduped) via _wedge_triangles.
 
-    total = triangles.count()
+    The materialized path runs as ONE Spark job: the triangle stream is
+    never cached or counted separately — it flows straight through the
+    explode + per-edge aggregation, and the global total rides an
+    Observation on the per-edge localCheckpoint as sum(triangles) / 3
+    (every triangle lands on exactly 3 canonical edges, and the
+    zero-filled non-triangle edges contribute 0). Measured on the
+    bench_scaling synthetic (3M edges / mean degree 60): dropping the
+    triangle cache + extra count action removes the dominant GC churn
+    and one full wedge pass."""
+    oriented, triangles = _wedge_triangles(und, persist_triangles=not materialize)
+
+    total: int | None = None if materialize else triangles.count()
 
     tri_edges = triangles.select(
         F.explode(
@@ -289,9 +315,18 @@ def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     # accumulate blocks (round-1 advice). localCheckpoint also cuts the
     # 5-join lineage, so the caller's downstream plans stay flat.
     if materialize:
-        per_edge = per_edge.localCheckpoint(eager=True)
+        # reset_stats_checkpoint, not a plain localCheckpoint: without
+        # the cached triangle table the checkpointed plan is the full
+        # 5-join cascade, whose multiplied sizeInBytes estimate would
+        # compound geometrically across ktruss's peel rounds (the
+        # session.py BigInteger stats blow-up — observed as a wedged
+        # driver spending minutes in LogicalPlanStats.stats).
+        obs = Observation()
+        per_edge = reset_stats_checkpoint(
+            per_edge.observe(obs, F.sum("triangles").cast("long").alias("t3"))
+        )
+        total = int(obs.get["t3"] or 0) // 3
         oriented.unpersist()
-        triangles.unpersist()
     return per_edge, int(total)
 
 
@@ -554,10 +589,10 @@ def triangle_count_sampled(
         == 0
     ).persist()
     n_sampled = sampled.count()
-    oriented, triangles = _wedge_triangles(sampled)
+    # single consumer (the count) — never cache the triangle stream
+    oriented, triangles = _wedge_triangles(sampled, persist_triangles=False)
     n_tri = triangles.count()
     oriented.unpersist()
-    triangles.unpersist()
     sampled.unpersist()
     und.unpersist()
     return spark.createDataFrame(
