@@ -73,7 +73,9 @@ def triangle_counts(
             )
             .distinct()
         ).persist()
-        per_edge_ids, total = _count(und_ids, materialize)
+        per_edge_ids, total = _count(
+            und_ids, materialize, pack_max_id=g.n
+        )
         if materialize:
             und_ids.unpersist()
         v = g.vertices
@@ -190,7 +192,7 @@ def ktruss(
     rounds, converged = 0, False
     per_edge = None
     while rounds < max_rounds:
-        per_edge, _ = _count(und)
+        per_edge, _ = _count(und, pack_max_id=g.n)
         survivors = per_edge.filter(
             F.col("triangles") >= k - 2
         ).localCheckpoint(eager=True)
@@ -220,7 +222,9 @@ def ktruss(
 
 
 def _wedge_triangles(
-    und: DataFrame, persist_triangles: bool = True
+    und: DataFrame,
+    persist_triangles: bool = True,
+    pack_max_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Degree-ordered wedge enumeration over a canonical undirected
     edge list (a < b, deduped). Key type agnostic (long ids or urls).
@@ -230,7 +234,29 @@ def _wedge_triangles(
     (`persist_triangles`): it is the largest intermediate of the whole
     cascade (wedge fan-out x closing matches), and caching it for a
     single pass just churns the old generation. The caller unpersists
-    whatever was persisted when done."""
+    whatever was persisted when done.
+
+    The closing join is SHUFFLE_HASH, not the default sort-merge: the
+    probe side (wedges) outnumbers the build side (closing = the m
+    oriented edges) by the wedge fan-out on every graph, and SMJ's
+    sort of the wedge stream dominated the whole cascade in GC
+    (profiled at local[8]: 40 of 107 task-seconds). The wedge stream
+    shuffles exactly once, unsorted; per-partition build memory is
+    m/P rows, flat at any scale. (A broadcast-closing variant was
+    measured and REJECTED: at 3M edges it removed the 524 MB wedge
+    exchange but the serial driver-side relation build cost more wall
+    than the exchange at 8 cores — a pure Amdahl loss; AQE already
+    broadcast-converts genuinely tiny closing sides at runtime.)
+
+    `pack_max_id`: when the keys are dense long ids with a known
+    exclusive upper bound below 2^31 (every GraphTables graph until
+    ~2 billion vertices), the (v1, v2) wedge join key is packed into
+    ONE long (v1<<32 | v2). The dominant shuffle then moves 2 longs
+    per wedge instead of 3 and the join probes Spark's long-keyed
+    hash relation instead of a 2-field row comparator — measurably
+    less bandwidth and garbage where the cascade is bottlenecked.
+    None (or a bound over 2^31, or string keys) keeps the 2-column
+    key — the >2-billion-vertex tier."""
     deg = (
         und.select(F.col("a").alias("x"))
         .union(und.select(F.col("b").alias("x")))
@@ -257,26 +283,38 @@ def _wedge_triangles(
 
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("rv").alias("r1"))
     e2 = oriented.select("u", F.col("v").alias("v2"), F.col("rv").alias("r2"))
-    wedges = e1.join(e2, "u").filter(F.col("r1") < F.col("r2")).select(
-        "u", "v1", "v2"
-    )
-    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    # SHUFFLE_HASH, not the default sort-merge: the probe side (wedges)
-    # outnumbers the build side (closing = the m oriented edges) by the
-    # wedge fan-out on every graph, and SMJ's sort of the wedge stream
-    # dominated the whole cascade (profiled at local[8]: 40 of 107
-    # task-seconds in GC from sort buffers). Hash-building the small
-    # per-partition closing side streams wedges sort-free; per-executor
-    # build memory is m/P rows, flat at any scale.
-    triangles = wedges.join(closing.hint("SHUFFLE_HASH"), ["v1", "v2"])
+    wedges = e1.join(e2, "u").filter(F.col("r1") < F.col("r2"))
+    if pack_max_id is not None and pack_max_id < 2**31:
+        wedges = wedges.select(
+            "u", (F.shiftleft("v1", 32) + F.col("v2")).alias("vk")
+        )
+        closing = oriented.select(
+            (F.shiftleft("u", 32) + F.col("v")).alias("vk")
+        )
+        triangles = wedges.join(closing.hint("SHUFFLE_HASH"), "vk").select(
+            "u",
+            F.shiftright("vk", 32).alias("v1"),
+            (F.col("vk") - F.shiftleft(F.shiftright("vk", 32), 32)).alias("v2"),
+        )
+    else:
+        wedges = wedges.select("u", "v1", "v2")
+        closing = oriented.select(
+            F.col("u").alias("v1"), F.col("v").alias("v2")
+        )
+        triangles = wedges.join(closing.hint("SHUFFLE_HASH"), ["v1", "v2"])
     if persist_triangles:
         triangles = triangles.persist()
     return oriented, triangles
 
 
-def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
+def _count(
+    und: DataFrame,
+    materialize: bool = True,
+    pack_max_id: int | None = None,
+) -> tuple[DataFrame, int]:
     """Per-edge triangle counts over a canonical undirected edge list
-    (a < b, deduped) via _wedge_triangles.
+    (a < b, deduped) via _wedge_triangles; `pack_max_id` (when the
+    caller knows the dense-id bound) packs the wedge join key.
 
     The materialized path runs as ONE Spark job: the triangle stream is
     never cached or counted separately — it flows straight through the
@@ -287,7 +325,9 @@ def _count(und: DataFrame, materialize: bool = True) -> tuple[DataFrame, int]:
     bench_scaling synthetic (3M edges / mean degree 60): dropping the
     triangle cache + extra count action removes the dominant GC churn
     and one full wedge pass."""
-    oriented, triangles = _wedge_triangles(und, persist_triangles=not materialize)
+    oriented, triangles = _wedge_triangles(
+        und, persist_triangles=not materialize, pack_max_id=pack_max_id
+    )
 
     total: int | None = None if materialize else triangles.count()
 
@@ -393,10 +433,11 @@ def trussness(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = und.count()
     # incidence: one row per (triangle, member edge) with the OTHER two
     # edges' canonical keys — built once from ONE wedge pass, reused
     # every round. Support (= rho_0) is the per-edge incidence count.
-    oriented, triangles = _wedge_triangles(und)
+    oriented, triangles = _wedge_triangles(und, pack_max_id=g.n)
 
     def _rows(e: tuple[str, str], f: tuple[str, str], h: tuple[str, str]):
         return triangles.select(
@@ -430,7 +471,6 @@ def trussness(
     metrics: list[dict] = []
     converged = False
     it = -1
-    n_edges = und.count()
     chgdf = None  # edges whose rho changed last round (None = round 0)
     last_changed = n_edges
     with no_aqe(spark):
