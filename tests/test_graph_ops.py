@@ -127,6 +127,29 @@ def test_triangles_weblike_matches_oracle(spark):
     assert res.total == total
 
 
+def test_triangles_packed_key_matches_string_path(spark):
+    # the GraphTables path packs the (v1, v2) wedge join key into one
+    # long (v1<<32 | v2) when g.n < 2^31; the string-keyed path never
+    # packs. Same graph through both must agree edge-for-edge — this
+    # pins the bit-packing (shift/unpack round-trip) against the
+    # unpacked 2-column join.
+    pairs = make_weblike(seed=13, n_nodes=90, m_edges=700)
+    g = _tables(spark, pairs)
+    assert g.n < 2**31  # packed path engaged
+    packed = triangle_counts(spark, g)
+    got_packed = {
+        (r["a"], r["b"]): r["triangles"] for r in packed.per_edge.collect()
+    }
+    # build_graph_tables applies the reference's drop-regex; feed the
+    # string path the same post-filter edge set so the graphs match
+    plain = triangle_counts(spark, edges=edges_df(spark, _post_regex(pairs)))
+    got_plain = {
+        (r["a"], r["b"]): r["triangles"] for r in plain.per_edge.collect()
+    }
+    assert got_packed == got_plain
+    assert packed.total == plain.total
+
+
 def test_hits_star_graph(spark):
     from pagerankproject_spark.graph.hits import hits
 
