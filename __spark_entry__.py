@@ -63,6 +63,7 @@ from pagerankproject_spark.text import decontaminate as _decontam_mod
 from pagerankproject_spark.graph import triangles as _tri_mod
 from pagerankproject_spark.dedup import mirrors as _mirrors_mod
 from pagerankproject_spark.text import heavyhitters as _hh_mod
+from pagerankproject_spark.search import synonyms as _syn_mod
 from pagerankproject_spark.similarity.cosine import (
     cosine_similar_pairs,
     cosine_topk,
@@ -1455,6 +1456,30 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_read(spark, sf_dir, "documents"), denom=40)
 
 
+def q_term_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed term co-occurrence PPMI over documents — the training
+    matrix for corpus-trained distributional synonyms (operator #17's
+    gensim-free completion; Levy-Goldberg 2014 / Turney-Pantel 2010).
+    Slice-zip pair generation (no positional self-join), exact-integer
+    counts and marginals, one ln rounded 6dp
+    (search/synonyms.py::term_ppmi)."""
+    from pagerankproject_spark.search.synonyms import term_ppmi
+
+    return term_ppmi(_read(spark, sf_dir, "documents"))
+
+
+def q_term_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distributional synonyms for the 10 most frequent corpus
+    terms: cosine between integer-scaled PPMI rows (dot products and
+    norms are exact longs; one sqrt-divide rounded 6dp) — the engine's
+    stand-in for the reference's glove most_similar(term)[:5]
+    (pagerank.py:259-269), trained on the corpus itself
+    (search/synonyms.py::term_synonyms)."""
+    from pagerankproject_spark.search.synonyms import term_synonyms
+
+    return term_synonyms(_read(spark, sf_dir, "documents"))
+
+
 def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (Bharat-Broder WWW 1999): host pairs with
     shingle-set-union resemblance >= 0.03 over synthesized 23-host
@@ -2200,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_term_index": q_anchor_term_index,     # NEW round 3 (local gate; r4 window head)
         "mirror_hosts": q_mirror_hosts,               # NEW round 3 (local gate; r4 window head)
         "heavy_hitters": q_heavy_hitters,             # NEW round 3 (local gate; r4 window head)
+        "term_ppmi": q_term_ppmi,                     # NEW round 3 (local gate; r4 window head)
+        "term_synonyms": q_term_synonyms,             # NEW round 3 (local gate; r4 window head)
     }
 
 
@@ -2546,6 +2573,8 @@ def oracle_sql() -> dict[str, str]:
             cols=["doc_id", "lang", "n_chars"],
         ),
         "heavy_hitters": _hh_mod.sql_heavy_hitters("documents", denom=40),
+        "term_ppmi": _syn_mod.sql_term_ppmi(),
+        "term_synonyms": _syn_mod.sql_term_synonyms(),
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",
             "'h' || (doc_id % 23) || '.com'",

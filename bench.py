@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "mirror_hosts",
     "heavy_hitters",
     "hll_distinct",
+    "term_synonyms",
 ]
 
 

@@ -41,11 +41,24 @@ def main() -> None:
         "to both --search_query and --personalization_vector_query, like "
         "the reference's url_satisfies_query",
     )
+    parser.add_argument(
+        "--synonyms_corpus",
+        default=None,
+        help="parquet with a `text` column: train distributional term "
+        "vectors on it (windowed co-occurrence -> PPMI -> cosine top-5, "
+        "search/synonyms.py) and expand query terms with their nearest "
+        "neighbors — the gensim-free, corpus-trained completion of the "
+        "reference's glove most_similar expansion; mutually exclusive "
+        "with --synonyms_file",
+    )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--checkpoint_dir", default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
+
+    if args.synonyms_file and args.synonyms_corpus:
+        parser.error("--synonyms_file and --synonyms_corpus are mutually exclusive")
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
@@ -63,11 +76,25 @@ def main() -> None:
     )
     from pagerankproject_spark.session import get_spark
 
-    synonyms = (
-        file_synonyms(args.synonyms_file) if args.synonyms_file else no_synonyms
-    )
-
     spark = get_spark(app_name="pagerank-job", master=args.master)
+
+    if args.synonyms_file:
+        synonyms = file_synonyms(args.synonyms_file)
+    elif args.synonyms_corpus:
+        from pagerankproject_spark.search.synonyms import corpus_synonyms
+
+        # expansion applies to both queries; train for the union of
+        # their positive terms in one Spark job (negated terms are
+        # never expanded, matching the reference's url_satisfies_query)
+        terms = [
+            t
+            for q in (args.search_query, args.personalization_vector_query)
+            for t in (q or "").split()
+            if not t.startswith("-")
+        ]
+        synonyms = corpus_synonyms(spark, args.synonyms_corpus, terms)
+    else:
+        synonyms = no_synonyms
     edges = read_edge_csv(spark, args.data)
     g = build_graph_tables(spark, edges, filter_ratio=args.filter_ratio)
     print(f"n= {g.n}")

@@ -1,0 +1,183 @@
+"""Corpus-trained distributional synonyms (search/synonyms.py) —
+operator #17's gensim-free completion: PPMI vs a pure-python oracle,
+semantic sanity of the cosine neighbors, the provider contract, and
+the --synonyms_corpus CLI seam end to end."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+SMALL_CSV = (
+    "source,target\n1,2\n1,3\n3,1\n3,2\n3,5\n4,5\n4,6\n5,6\n5,4\n6,4\n"
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def _py_ppmi(texts, window=2, min_count=2):
+    pairs = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        for i in range(len(toks)):
+            for k in range(1, window + 1):
+                if i + k < len(toks):
+                    pairs[(toks[i], toks[i + k])] += 1
+                    pairs[(toks[i + k], toks[i])] += 1
+    nx, ny, n = Counter(), Counter(), 0
+    for (x, y), c in pairs.items():
+        nx[x] += c
+        ny[y] += c
+        n += c
+    return {
+        (x, y): max(0.0, math.log(float(c) * float(n) / (float(nx[x]) * float(ny[y]))))
+        for (x, y), c in pairs.items()
+        if c >= min_count
+    }
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the mat",
+    "a cat ran into the house",
+    "a dog ran into the house",
+    "the cat chased the ball",
+    "the dog chased the ball",
+    "stocks fell on the news",
+    "bonds fell on the news",
+]
+
+
+def test_term_ppmi_matches_python_oracle(spark):
+    from pagerankproject_spark.search.synonyms import term_ppmi
+
+    got = {
+        (r["x"], r["y"]): (r["n_pairs"], r["ppmi"])
+        for r in term_ppmi(_docs(spark, CORPUS)).collect()
+    }
+    want = _py_ppmi(CORPUS)
+    assert set(got) == set(want)
+    for key, ppmi in want.items():
+        assert got[key][1] == pytest.approx(ppmi, abs=1e-6), key
+
+
+def test_term_synonyms_cat_dog_are_mutual_neighbors(spark):
+    """cat and dog share every context (sat/ran/chased frames) while
+    stocks/bonds live in a different frame — distributional cosine must
+    rank cat<->dog as each other's top neighbor and keep the finance
+    terms out of their top slot."""
+    from pagerankproject_spark.search.synonyms import term_synonyms
+
+    rows = term_synonyms(
+        _docs(spark, CORPUS), probes=["cat", "dog", "stocks"], k=3,
+        min_count=1,
+    ).collect()
+    top = {
+        r["term"]: r["neighbor"] for r in rows if r["rank"] == 1
+    }
+    assert top["cat"] == "dog"
+    assert top["dog"] == "cat"
+    assert top["stocks"] == "bonds"
+    for r in rows:
+        assert 0.0 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_term_synonyms_int_probes_deterministic(spark):
+    from pagerankproject_spark.search.synonyms import term_synonyms
+
+    a = term_synonyms(_docs(spark, CORPUS), probes=3, k=2, min_count=1)
+    b = term_synonyms(_docs(spark, CORPUS), probes=3, k=2, min_count=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # 'the' is the most frequent token, so it must be among the probes
+    assert "the" in {r["term"] for r in a.collect()}
+
+
+def test_corpus_synonyms_provider_contract(spark):
+    """Same provider shape as file_synonyms: best-first (score desc,
+    neighbor asc), unknown/absent term -> [], case-insensitive terms."""
+    from pagerankproject_spark.search.synonyms import corpus_synonyms
+
+    prov = corpus_synonyms(
+        spark, _docs(spark, CORPUS), ["CAT", "zzz-unknown"], top_k=2,
+        min_count=1,
+    )
+    cat = prov("cat")
+    assert cat and cat[0][0] == "dog"
+    assert cat == prov("CAT")  # case-insensitive lookup
+    assert [s for _, s in cat] == sorted(
+        [s for _, s in cat], reverse=True
+    )
+    assert len(cat) <= 2
+    assert prov("zzz-unknown") == []
+    assert prov("never-requested") == []
+
+
+def test_cli_synonyms_corpus(tmp_path):
+    """--synonyms_corpus end to end: train on a corpus where 'page'
+    co-occurs with the token '4'; the expanded predicate must then
+    match url '4' even though no url contains 'page'."""
+    import gzip
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = tmp_path / "small.csv.gz"
+    data.write_bytes(gzip.compress(SMALL_CSV.encode()))
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(
+        pa.table({"text": ["page 4 page 4 page 4", "other words here"]}),
+        corpus,
+    )
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "pagerank_job.py"),
+            f"--data={data}",
+            "--search_query=page",
+            f"--synonyms_corpus={corpus}",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-4000:]
+    ranked = re.findall(r"rank = \d+ ranking = ([0-9.e+-]+) url= (\S+)", out)
+    assert [url for _, url in ranked] == ["4"], out[-2000:]
+
+
+def test_cli_synonym_flags_mutually_exclusive(tmp_path):
+    import gzip
+    import subprocess
+    import sys
+
+    data = tmp_path / "small.csv.gz"
+    data.write_bytes(gzip.compress(SMALL_CSV.encode()))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "pagerank_job.py"),
+            f"--data={data}",
+            "--synonyms_file=x.json",
+            "--synonyms_corpus=y.parquet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=str(REPO),
+    )
+    assert proc.returncode != 0
+    assert "mutually exclusive" in (proc.stdout + proc.stderr)
