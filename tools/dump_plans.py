@@ -49,6 +49,7 @@ PLAN_QUERIES = [
     "rich_club",               # histogram reduction + tiny cumulative window
     "hll_distinct",            # combinable register max-merge + 16-col pivot
     "simrank_mc",              # (step, vertex) meeting self-join + min/sum aggs
+    "term_synonyms",           # PPMI vectors + probe-restricted cosine join
     # triangles_doulion is excluded: its counts are actions, so the
     # returned one-row frame is a LocalTableScan, not the sampled
     # wedge join (which shares triangles_per_edge's plan shape).
