@@ -169,6 +169,7 @@ def term_synonyms(
     k: int = 5,
     window: int = 2,
     min_count: int = 2,
+    max_context_df: int | None = None,
 ) -> DataFrame:
     """Top-k distributional synonyms per probe term: cosine similarity
     between integer-scaled PPMI rows.
@@ -180,11 +181,29 @@ def term_synonyms(
     the one float expression is rounded to 6 dp. Ties (and the rank
     cut) break by neighbor asc — same ordering contract as
     file_synonyms. Output: term, neighbor, cosine, rank (1-based).
+
+    `max_context_df`: drop context terms shared by more than this many
+    distinct terms BEFORE norms and dots (so the cosine stays a true
+    cosine over the capped vectors) — the repo's hub df-cap
+    (cocitation/adamic_adar) at the context-join level. PPMI already
+    zeroes most stopword contexts (pmi <= 0 for independent-rate
+    co-occurrence, and s > 0 entries are pruned), so the cap is a
+    web-scale belt-and-braces bound on the inverted-index fan-out, not
+    a quality knob; None (the contract key's setting) disables it.
+    Deterministic: the cap is an exact integer count.
     """
     spark = documents.sparkSession
     vec = _scaled_vectors(documents, window, min_count).localCheckpoint(
         eager=True
     )
+    if max_context_df is not None:
+        keep = (
+            vec.groupBy("y")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_context_df)
+            .select("y")
+        )
+        vec = vec.join(keep, "y")
     norms = vec.groupBy("x").agg(F.sum(F.col("s") * F.col("s")).alias("nrm"))
 
     if isinstance(probes, int):
@@ -345,15 +364,29 @@ def sql_term_ppmi(window: int = 2, min_count: int = 2) -> str:
 
 
 def sql_term_synonyms(
-    probes: int = 10, k: int = 5, window: int = 2, min_count: int = 2
+    probes: int = 10,
+    k: int = 5,
+    window: int = 2,
+    min_count: int = 2,
+    max_context_df: int | None = None,
 ) -> str:
     """DuckDB twin of term_synonyms with the int-probes default (the P
-    most frequent tokens, count desc / term asc)."""
+    most frequent tokens, count desc / term asc); `max_context_df`
+    mirrors the engine's context df-cap (applied before norms/dots)."""
     tk = sql_tokens("lower(text)")
+    cap_cte = (
+        f"""syn_capped as (
+        select v.* from syn_vec v
+        join (select y from syn_vec group by y
+              having count(*) <= {int(max_context_df)}) c using (y)),"""
+        if max_context_df is not None
+        else "syn_capped as (select * from syn_vec),"
+    )
     return f"""
     with
     {_sql_pair_ctes(window, min_count).strip().lstrip()},
-    syn_norm as (select x, sum(s * s)::bigint as nrm from syn_vec group by 1),
+    {cap_cte}
+    syn_norm as (select x, sum(s * s)::bigint as nrm from syn_capped group by 1),
     syn_probe as (
         select term from (
             select unnest({tk}) as term from documents
@@ -361,9 +394,9 @@ def sql_term_synonyms(
         order by count(*) desc, term asc limit {int(probes)}),
     syn_dot as (
         select a.x as term, b.x as neighbor, sum(a.s * b.s)::bigint as dot
-        from syn_vec a
+        from syn_capped a
         join syn_probe p on p.term = a.x
-        join syn_vec b using (y)
+        join syn_capped b using (y)
         where a.x <> b.x
         group by 1, 2),
     syn_cos as (

@@ -100,6 +100,52 @@ def test_term_synonyms_int_probes_deterministic(spark):
     assert "the" in {r["term"] for r in a.collect()}
 
 
+def test_term_synonyms_context_df_cap_matches_duckdb(spark):
+    """max_context_df drops hub contexts BEFORE norms and dots in both
+    engines: the capped Spark run must match the capped DuckDB twin
+    row-for-row, and capping must actually remove at least one context
+    on this corpus (so the test exercises the filter, not a no-op)."""
+    import duckdb
+
+    from pagerankproject_spark.search.synonyms import (
+        sql_term_synonyms,
+        term_synonyms,
+    )
+
+    con = duckdb.connect()
+    con.execute("create table documents (text varchar)")
+    con.executemany(
+        "insert into documents values (?)", [(t,) for t in CORPUS]
+    )
+    got = sorted(
+        (r["term"], r["neighbor"], r["cosine"], r["rank"])
+        for r in term_synonyms(
+            _docs(spark, CORPUS), probes=5, k=3, min_count=1,
+            max_context_df=4,
+        ).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                sql_term_synonyms(
+                    probes=5, k=3, min_count=1, max_context_df=4
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    uncapped = sorted(
+        map(
+            tuple,
+            con.execute(
+                sql_term_synonyms(probes=5, k=3, min_count=1)
+            ).fetchall(),
+        )
+    )
+    assert uncapped != want  # the cap bit on this corpus
+
+
 def test_corpus_synonyms_provider_contract(spark):
     """Same provider shape as file_synonyms: best-first (score desc,
     neighbor asc), unknown/absent term -> [], case-insensitive terms."""
