@@ -79,19 +79,13 @@ def _sym_pairs(documents: DataFrame, window: int) -> DataFrame:
     )
 
 
-def term_ppmi(
-    documents: DataFrame, window: int = 2, min_count: int = 2
+def _pair_stats(
+    documents: DataFrame, window: int, min_count: int
 ) -> DataFrame:
-    """PPMI(x, y) over windowed term co-occurrence in `documents(text)`:
-
-        ppmi(x, y) = max(0, ln(n_xy * N / (n_x * n_y)))
-
-    Counts and marginals are exact integers over the UNFILTERED pair
-    table (min_count trims only the output rows, mirroring
-    graph/walks.py::walk_ppmi); the single ln is rounded once to 6 dp.
-    Output: x, y, n_pairs (long), ppmi (double) — symmetric (both
-    directions present).
-    """
+    """Pair counts with marginals attached: (x, y, n_pairs, n_x, n_y,
+    n_tot), all exact longs. Marginals and the total run over the
+    UNFILTERED pair table (min_count trims only the output rows,
+    mirroring graph/walks.py::walk_ppmi)."""
     nxy = (
         _sym_pairs(documents, window)
         .groupBy("x", "y")
@@ -106,22 +100,35 @@ def term_ppmi(
         .join(nx, "x")
         .join(ny, "y")
         .crossJoin(ntot)
-        .select(
-            "x",
-            "y",
-            "n_pairs",
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    F.log(
-                        F.col("n_pairs").cast("double")
-                        * F.col("n_tot").cast("double")
-                        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
-                    ),
-                ),
-                6,
-            ).alias("ppmi"),
-        )
+    )
+
+
+def _pmi_ln() -> Column:
+    """max(0, ln(n_xy * N / (n_x * n_y))) over _pair_stats columns —
+    built lazily (Column construction needs an active SparkContext)."""
+    return F.greatest(
+        F.lit(0.0),
+        F.log(
+            F.col("n_pairs").cast("double")
+            * F.col("n_tot").cast("double")
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+    )
+
+
+def term_ppmi(
+    documents: DataFrame, window: int = 2, min_count: int = 2
+) -> DataFrame:
+    """PPMI(x, y) over windowed term co-occurrence in `documents(text)`:
+
+        ppmi(x, y) = max(0, ln(n_xy * N / (n_x * n_y)))
+
+    Counts and marginals are exact integers (_pair_stats); the single
+    ln is rounded once to 6 dp. Output: x, y, n_pairs (long), ppmi
+    (double) — symmetric (both directions present).
+    """
+    return _pair_stats(documents, window, min_count).select(
+        "x", "y", "n_pairs", F.round(_pmi_ln(), 6).alias("ppmi")
     )
 
 
@@ -132,32 +139,9 @@ def _scaled_vectors(
     s = round(ln-expression * PPMI_SCALE) as long, s > 0. ONE rounding
     of the single float op — never round-6dp-then-rescale, which would
     manufacture .5-boundary halves at the 4th decimal."""
-    nxy = (
-        _sym_pairs(documents, window)
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("n_pairs"))
-        .localCheckpoint(eager=True)
-    )
-    nx = nxy.groupBy("x").agg(F.sum("n_pairs").alias("n_x"))
-    ny = nxy.groupBy("y").agg(F.sum("n_pairs").alias("n_y"))
-    ntot = nxy.agg(F.sum("n_pairs").alias("n_tot"))
-    s = F.round(
-        F.greatest(
-            F.lit(0.0),
-            F.log(
-                F.col("n_pairs").cast("double")
-                * F.col("n_tot").cast("double")
-                / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
-            ),
-        )
-        * F.lit(float(PPMI_SCALE)),
-        0,
-    ).cast("long")
+    s = F.round(_pmi_ln() * F.lit(float(PPMI_SCALE)), 0).cast("long")
     return (
-        nxy.filter(F.col("n_pairs") >= min_count)
-        .join(nx, "x")
-        .join(ny, "y")
-        .crossJoin(ntot)
+        _pair_stats(documents, window, min_count)
         .select("x", "y", s.alias("s"))
         .filter(F.col("s") > 0)
     )
