@@ -69,6 +69,59 @@ def test_term_ppmi_matches_python_oracle(spark):
         assert got[key][1] == pytest.approx(ppmi, abs=1e-6), key
 
 
+def test_term_ppmi_window3_matches_python_oracle(spark):
+    """window=3 exercises the third slice-zip offset (the generalized
+    _offset_pairs path beyond the default window=2)."""
+    from pagerankproject_spark.search.synonyms import term_ppmi
+
+    got = {
+        (r["x"], r["y"]): r["ppmi"]
+        for r in term_ppmi(_docs(spark, CORPUS), window=3).collect()
+    }
+    want = _py_ppmi(CORPUS, window=3)
+    assert set(got) == set(want)
+    for key, ppmi in want.items():
+        assert got[key] == pytest.approx(ppmi, abs=1e-6), key
+
+
+def test_fuzz_term_ppmi_random_corpora(spark):
+    """Derandomized fuzz (same spirit as test_property_fuzz): random
+    tiny corpora over a 6-word vocabulary — repeated words, 1-token
+    docs, empty strings — through term_ppmi vs the python oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pagerankproject_spark.search.synonyms import term_ppmi
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(words), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=corpus_strategy)
+    def check(texts):
+        got = {
+            (r["x"], r["y"]): (r["n_pairs"], r["ppmi"])
+            for r in term_ppmi(_docs(spark, texts), min_count=1).collect()
+        }
+        want = _py_ppmi(texts, min_count=1)
+        assert set(got) == set(want)
+        for key, ppmi in want.items():
+            assert got[key][1] == pytest.approx(ppmi, abs=1e-6), key
+
+    check()
+
+
 def test_term_synonyms_cat_dog_are_mutual_neighbors(spark):
     """cat and dog share every context (sat/ran/chased frames) while
     stocks/bonds live in a different frame — distributional cosine must
