@@ -79,19 +79,26 @@ def _sym_pairs(documents: DataFrame, window: int) -> DataFrame:
     )
 
 
-def _pair_stats(
-    documents: DataFrame, window: int, min_count: int
-) -> DataFrame:
-    """Pair counts with marginals attached: (x, y, n_pairs, n_x, n_y,
-    n_tot), all exact longs. Marginals and the total run over the
-    UNFILTERED pair table (min_count trims only the output rows,
-    mirroring graph/walks.py::walk_ppmi)."""
-    nxy = (
+def pair_counts(documents: DataFrame, window: int = 2) -> DataFrame:
+    """Exact co-occurrence count table (x, y, n_pairs) — the sufficient
+    statistic for PPMI. Pair generation is per-document, so the table
+    over a corpus equals the count-merge of the tables over any
+    partition of it — which is what the streaming twin
+    (streaming/events.py::stream_incremental_ppmi) maintains
+    delta-by-delta."""
+    return (
         _sym_pairs(documents, window)
         .groupBy("x", "y")
         .agg(F.count("*").alias("n_pairs"))
         .localCheckpoint(eager=True)
     )
+
+
+def _stats_from_counts(nxy: DataFrame, min_count: int) -> DataFrame:
+    """Attach marginals to a pair-count table: (x, y, n_pairs, n_x,
+    n_y, n_tot), all exact longs. Marginals and the total run over the
+    UNFILTERED pair table (min_count trims only the output rows,
+    mirroring graph/walks.py::walk_ppmi)."""
     nx = nxy.groupBy("x").agg(F.sum("n_pairs").alias("n_x"))
     ny = nxy.groupBy("y").agg(F.sum("n_pairs").alias("n_y"))
     ntot = nxy.agg(F.sum("n_pairs").alias("n_tot"))
@@ -101,6 +108,12 @@ def _pair_stats(
         .join(ny, "y")
         .crossJoin(ntot)
     )
+
+
+def _pair_stats(
+    documents: DataFrame, window: int, min_count: int
+) -> DataFrame:
+    return _stats_from_counts(pair_counts(documents, window), min_count)
 
 
 def _pmi_ln() -> Column:
@@ -127,7 +140,15 @@ def term_ppmi(
     ln is rounded once to 6 dp. Output: x, y, n_pairs (long), ppmi
     (double) — symmetric (both directions present).
     """
-    return _pair_stats(documents, window, min_count).select(
+    return ppmi_from_counts(pair_counts(documents, window), min_count)
+
+
+def ppmi_from_counts(nxy: DataFrame, min_count: int = 2) -> DataFrame:
+    """Finish PPMI from a maintained (x, y, n_pairs) count table —
+    term_ppmi == ppmi_from_counts(pair_counts(docs)), and the streaming
+    twin calls this on its delta-merged table so the stream result is
+    the batch result on the prefix by construction."""
+    return _stats_from_counts(nxy, min_count).select(
         "x", "y", "n_pairs", F.round(_pmi_ln(), 6).alias("ppmi")
     )
 

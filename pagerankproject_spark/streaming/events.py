@@ -1046,3 +1046,72 @@ def stream_incremental_cm(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_ppmi(
+    spark: SparkSession,
+    docs_dir: str,
+    state: dict,
+    window: int = 2,
+    min_count: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous EXACT PPMI maintenance over a document stream — the
+    incremental twin of search/synonyms.py::term_ppmi, keeping the
+    corpus-trained synonym matrix current as crawl batches land
+    (pattern-matched to the heavy-hitter/HLL/CM twins above).
+
+    The sufficient statistic for PPMI is the (x, y, n_pairs)
+    co-occurrence count table, and pair generation is per-document, so
+    the prefix's table is the count-merge of the batch deltas. Per
+    batch the work is DELTA-sized: slice-zip pairs over the batch's
+    documents (never a rescan of earlier ones), one map-side-combinable
+    count, one count-table-keyed merge aggregation. PPMI is then
+    finished from the maintained table (ppmi_from_counts — the same
+    finisher the batch operator uses), so stream == batch on the prefix
+    is by construction AND verified in tests. State is O(distinct
+    pairs) — at 100 TB a bucketed (x, y)-keyed table; exactness needs
+    the full table because marginals (n_x, n_y, N) shift with every
+    batch and re-scale every ppmi value.
+
+    state after each batch: {"pair_counts": DataFrame (x, y, n_pairs),
+    "ppmi": DataFrame (x, y, n_pairs, ppmi), "batches": int}.
+    """
+    from pagerankproject_spark.search.synonyms import (
+        _sym_pairs,
+        ppmi_from_counts,
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            _sym_pairs(batch_df, window)
+            .groupBy("x", "y")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+        )
+        old = state.get("pair_counts")
+        if old is None:
+            old = spark.createDataFrame([], "x string, y string, n_pairs long")
+        merged = (
+            old.unionByName(delta)
+            .groupBy("x", "y")
+            .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
+            .localCheckpoint(eager=True)
+        )
+        state.update(
+            {
+                "pair_counts": merged,
+                "ppmi": ppmi_from_counts(merged, min_count),
+                "batches": state.get("batches", 0) + 1,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

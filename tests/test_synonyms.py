@@ -258,6 +258,65 @@ def test_cli_synonyms_corpus(tmp_path):
     assert [url for _, url in ranked] == ["4"], out[-2000:]
 
 
+def test_stream_incremental_ppmi_matches_batch(spark, tmp_path):
+    """After the stream drains, the maintained PPMI equals the batch
+    term_ppmi on the full prefix, and the maintained pair-count table
+    equals the exact python pair counter — the same stream == batch
+    contract as the heavy-hitter/HLL/CM twins."""
+    from collections import Counter
+
+    from pagerankproject_spark.search.synonyms import term_ppmi
+    from pagerankproject_spark.streaming.events import (
+        stream_incremental_ppmi,
+    )
+
+    docs_dir = tmp_path / "syn_docs"
+    docs_dir.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = [
+        [(0, "the cat sat on the mat", "en", "s", 22),
+         (1, "the dog sat on the mat", "en", "s", 22)],
+        [(2, "a cat ran into the house", "en", "s", 24)],
+        [(3, "stocks fell on the news", "en", "s", 23),
+         (4, "bonds fell on the news", "en", "s", 22)],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}")
+        )
+
+    state: dict = {}
+    q = stream_incremental_ppmi(spark, str(docs_dir) + "/*", state)
+    q.awaitTermination(300)
+    assert state["batches"] == 3
+
+    all_texts = [r[1] for b in batches for r in b]
+    got = {
+        (r["x"], r["y"]): (r["n_pairs"], r["ppmi"])
+        for r in state["ppmi"].collect()
+    }
+    want = {
+        (r["x"], r["y"]): (r["n_pairs"], r["ppmi"])
+        for r in term_ppmi(_docs(spark, all_texts)).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the maintained count table is the exact corpus pair counter
+    pairs = Counter()
+    for t in all_texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for k in (1, 2):
+                if i + k < len(toks):
+                    pairs[(toks[i], toks[i + k])] += 1
+                    pairs[(toks[i + k], toks[i])] += 1
+    got_counts = {
+        (r["x"], r["y"]): r["n_pairs"]
+        for r in state["pair_counts"].collect()
+    }
+    assert got_counts == dict(pairs)
+
+
 def test_cli_synonym_flags_mutually_exclusive(tmp_path):
     import gzip
     import subprocess
