@@ -27,6 +27,11 @@ Writes:
                   weight = --weight_col (text/sampling.py)
   tempsample   -> temperature-flattened mixture sample: --k total rows
                   across --group_col groups at temperature --tau
+  synonyms     -> (term, neighbor, cosine, rank) corpus-trained
+                  distributional synonyms (windowed co-occurrence ->
+                  PPMI -> cosine, search/synonyms.py): top --top_k
+                  per term for --query's terms, or for the --k most
+                  frequent corpus terms with no --query
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ def main() -> None:
     p.add_argument(
         "--op", required=True,
         choices=["bm25", "ql", "heavyhitters", "mirrors",
-                 "weightedsample", "tempsample"],
+                 "weightedsample", "tempsample", "synonyms"],
     )
     p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
     p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
@@ -102,6 +107,11 @@ def main() -> None:
             docs, total=args.k, tau=args.tau,
             group_col=args.group_col, key_col=args.key_col,
         )
+    elif args.op == "synonyms":
+        from pagerankproject_spark.search.synonyms import term_synonyms
+
+        probes = args.query.lower().split() if args.query else args.k
+        out = term_synonyms(docs, probes=probes, k=args.top_k or 5)
     elif args.op == "heavyhitters":
         from pagerankproject_spark.text.heavyhitters import heavy_hitters
 

@@ -317,6 +317,45 @@ def test_stream_incremental_ppmi_matches_batch(spark, tmp_path):
     assert got_counts == dict(pairs)
 
 
+def test_cli_text_job_synonyms(tmp_path):
+    """text_job --op synonyms end to end: writes (term, neighbor,
+    cosine, rank) parquet for the query's terms, ranks 1..top_k
+    best-first."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    out_dir = tmp_path / "syn_out"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "text_job.py"),
+            "--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out_dir),
+            "--op", "synonyms",
+            "--query", "data group",
+            "--top_k", "3",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-4000:]
+    t = pq.read_table(out_dir).to_pylist()
+    assert sorted(set(r["term"] for r in t)) == ["data", "group"]
+    for term in ("data", "group"):
+        rows = sorted(
+            (r for r in t if r["term"] == term), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        scores = [r["cosine"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
 def test_cli_synonym_flags_mutually_exclusive(tmp_path):
     import gzip
     import subprocess
