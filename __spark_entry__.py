@@ -2027,6 +2027,32 @@ def q_anchor_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016 word-frequency
+    formulation, text/bpe.py::bpe_merges): 12 merge rounds, each ONE
+    Spark job (pair explode + combinable integer sum + 1-row argmax),
+    worklist-restricted JVM-side rewrite. Oracle: the same greedy
+    leftmost-non-overlap replay unrolled as 12 MATERIALIZED DuckDB
+    CTE rounds — exact integers, binary-collation tiebreak."""
+    from pagerankproject_spark.text.bpe import bpe_merges
+
+    return bpe_merges(_read(spark, sf_dir, "documents"), num_merges=12)
+
+
+def q_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (Xu et al. KDD 2007,
+    graph/scan.py::scan_clusters): integer-exact epsilon-similarity
+    gate over per-edge triangle counts (the degree-ordered wedge
+    cascade), mu-core test, min-label core components, deterministic
+    border/hub/outlier rules. Oracle: identical integer gate +
+    recursive-CTE min-label components (self-row trick)."""
+    from pagerankproject_spark.graph.scan import scan_clusters
+
+    return scan_clusters(
+        spark, edges=_edges(spark, sf_dir), eps_num=3, eps_den=5, mu=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2227,10 +2253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,             # NEW round 3 (local gate; r4 window head)
         "term_ppmi": q_term_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "term_synonyms": q_term_synonyms,             # NEW round 3 (local gate; r4 window head)
+        "bpe_merges": q_bpe_merges,                   # NEW round 3 (local gate; r4 window head)
+        "scan_clusters": q_scan_clusters,             # NEW round 3 (local gate; r4 window head)
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerankproject_spark.graph import scan as _scan_mod
+    from pagerankproject_spark.text import bpe as _bpe_mod
     from pagerankproject_spark.graph.hyperball import (
         sql_harmonic_centrality as _sql_harmonic,
         sql_hyperball_balls as _sql_hyperball_balls,
@@ -2575,6 +2605,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _hh_mod.sql_heavy_hitters("documents", denom=40),
         "term_ppmi": _syn_mod.sql_term_ppmi(),
         "term_synonyms": _syn_mod.sql_term_synonyms(),
+        "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
+        "scan_clusters": f"{g},\n{_scan_mod.sql_scan_clusters(eps_num=3, eps_den=5, mu=3)}",
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",
             "'h' || (doc_id % 23) || '.com'",
