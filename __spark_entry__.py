@@ -2039,6 +2039,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_read(spark, sf_dir, "documents"), num_merges=12)
 
 
+def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
+    graph/pushppr.py::ppr_push): worklist rounds pushing only
+    above-threshold residuals, state = touched vertices only, one job
+    per round. The deterministic local counterpart of the Monte-Carlo
+    `ppr_walks`. Oracle: recursive-CTE replay of the same synchronous
+    rounds (self-row trick); 6dp rounding, same noise-floor argument
+    as the `pagerank` key."""
+    from pagerankproject_spark.graph.pushppr import ppr_push
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return ppr_push(spark, g, "site.com/p1", eps=1e-4, max_rounds=60)
+
+
 def q_scan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural clustering (Xu et al. KDD 2007,
     graph/scan.py::scan_clusters): integer-exact epsilon-similarity
@@ -2254,11 +2268,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_ppmi": q_term_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "term_synonyms": q_term_synonyms,             # NEW round 3 (local gate; r4 window head)
         "bpe_merges": q_bpe_merges,                   # NEW round 3 (local gate; r4 window head)
+        "ppr_push": q_ppr_push,                       # NEW round 3 (local gate; r4 window head)
         "scan_clusters": q_scan_clusters,             # NEW round 3 (local gate; r4 window head)
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from pagerankproject_spark.graph import pushppr as _push_mod
     from pagerankproject_spark.graph import scan as _scan_mod
     from pagerankproject_spark.text import bpe as _bpe_mod
     from pagerankproject_spark.graph.hyperball import (
@@ -2606,6 +2622,7 @@ def oracle_sql() -> dict[str, str]:
         "term_ppmi": _syn_mod.sql_term_ppmi(),
         "term_synonyms": _syn_mod.sql_term_synonyms(),
         "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
+        "ppr_push": f"{g},\n{_push_mod.sql_ppr_push('site.com/p1', eps=1e-4, max_rounds=60)}",
         "scan_clusters": f"{g},\n{_scan_mod.sql_scan_clusters(eps_num=3, eps_den=5, mu=3)}",
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(
             "documents",

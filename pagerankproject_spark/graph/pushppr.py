@@ -1,0 +1,226 @@
+"""Personalized PageRank by forward push (Andersen, Chung & Lang,
+"Local Graph Partitioning using PageRank Vectors", FOCS 2006; directed
+forward-push as used by FORA, Wang et al. SIGMOD 2017 — both public).
+
+The deterministic LOCAL counterpart of the engine's Monte-Carlo PPR
+(graph/walks.py::ppr_from_walks): instead of ranking the whole graph
+(graph/pagerank.py) or sampling walks, maintain per-vertex
+(estimate p, residual r) with r(seed)=1, and repeatedly PUSH every
+vertex whose residual is large relative to its out-degree:
+
+    active(u):  r(u) > eps * outdeg'(u)
+    push:       p(u) += (1-d) * r(u)
+                r(t) += d * r(u) * w(u,t)   for each out-edge (u,t)
+                r(u)  = 0
+    (dangling u routes d*r(u) back to the seed — the same
+    teleport-to-seed convention as personalized PageRank with an
+    indicator vector; realised as a synthetic (u -> seed, w=1) edge,
+    so outdeg'(dangling) = 1 and ONE join rule covers every vertex.)
+
+This engine runs the BATCH-SYNCHRONOUS variant: each round pushes ALL
+currently-active vertices in one DataFrame job. At termination
+p approximates the damped personalized PageRank with per-vertex
+residual error below eps * outdeg' (the ACL invariant
+ppr = p + sum_v r(v) * ppr_v is preserved by every push).
+
+Scale shape — this is the operator's point at 10^12 documents: the
+iteration STATE holds only TOUCHED vertices (it starts as the single
+seed row and grows with the push frontier), and each round joins only
+the ACTIVE rows against the pre-partitioned augmented edge table — a
+worklist algorithm end-to-end, cost O(edges incident to pushed
+vertices), independent of graph size. Per round exactly ONE Spark job:
+the next-round active count rides the localCheckpoint as an
+Observation. Messages carry the destination's out-degree (min-merged),
+so new frontier vertices join nothing.
+
+Determinism / oracle: same story as the PageRank contract key — both
+engines run the identical equations and active rule; unordered float
+summation differs only in the last ulps (~1e-16) while the active
+threshold (eps = 1e-4 scale) and the 6dp output rounding are decisively
+above that noise floor. The DuckDB twin replays the same synchronous
+rounds as a recursive CTE (self-row trick, change flag windowed over
+the new state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.edges import GraphTables
+from ..session import no_aqe
+
+
+def ppr_push(
+    spark: SparkSession,
+    g: GraphTables,
+    seed_url: str,
+    damping: float = 0.85,
+    eps: float = 1e-4,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Forward-push PPR from `seed_url`; returns (url, p) for every
+    vertex with positive estimate, p rounded to 6dp."""
+    if not 0 < damping < 1:
+        raise ValueError("ppr_push: damping must be in (0,1)")
+    if eps <= 0:
+        raise ValueError("ppr_push: eps must be positive")
+    seed_rows = g.vertices.filter(F.col("url") == seed_url).collect()
+    if not seed_rows:
+        raise ValueError(f"ppr_push: seed url not in graph: {seed_url!r}")
+    seed_id = int(seed_rows[0]["id"])
+
+    od = g.weighted_edges.groupBy("src_id").agg(
+        F.count("*").cast("long").alias("od")
+    )
+    dangling = g.vertices.select(F.col("id").alias("src_id")).join(
+        od, "src_id", "left_anti"
+    )
+    aug = g.weighted_edges.select("src_id", "dst_id", "weight").unionByName(
+        dangling.select(
+            "src_id",
+            F.lit(seed_id).alias("dst_id"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    # outdeg' (dangling -> 1) of the DESTINATION rides each edge so new
+    # frontier vertices learn their threshold from the message itself
+    od_aug = aug.groupBy("src_id").agg(F.count("*").cast("long").alias("od"))
+    aug = (
+        aug.join(
+            od_aug.select(
+                F.col("src_id").alias("dst_id"), F.col("od").alias("od_dst")
+            ),
+            "dst_id",
+        )
+        .repartition(g.num_partitions, "src_id")
+        .persist()
+    )
+    seed_od = aug.filter(F.col("src_id") == seed_id).count()
+
+    state = spark.createDataFrame(
+        [(seed_id, 0.0, 1.0, seed_od)], "id long, p double, r double, od long"
+    ).localCheckpoint(eager=True)
+
+    d = float(damping)
+    with no_aqe(spark):
+        for _ in range(max_rounds):
+            staged = state.withColumn("act", F.col("r") > F.lit(eps) * F.col("od"))
+            msgs = (
+                staged.filter("act")
+                .join(aug, staged.id == aug.src_id)
+                .groupBy(F.col("dst_id").alias("id"))
+                .agg(
+                    F.sum(F.lit(d) * F.col("r") * F.col("weight")).alias("m"),
+                    F.min("od_dst").alias("m_od"),
+                )
+            )
+            obs = Observation()
+            merged = (
+                staged.join(msgs, "id", "full")
+                .select(
+                    "id",
+                    (
+                        F.coalesce("p", F.lit(0.0))
+                        + F.when(
+                            F.coalesce("act", F.lit(False)),
+                            F.lit(1.0 - d) * F.col("r"),
+                        ).otherwise(0.0)
+                    ).alias("p"),
+                    (
+                        F.when(
+                            F.coalesce("act", F.lit(False)), F.lit(0.0)
+                        ).otherwise(F.coalesce("r", F.lit(0.0)))
+                        + F.coalesce("m", F.lit(0.0))
+                    ).alias("r"),
+                    F.coalesce("od", "m_od").alias("od"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("r") > F.lit(eps) * F.col("od"), 1
+                        ).otherwise(0)
+                    ).alias("active"),
+                )
+            )
+            state = merged.localCheckpoint(eager=True)
+            if int(obs.get["active"] or 0) == 0:
+                break
+
+    out = (
+        state.filter(F.col("p") > 0)
+        .join(g.vertices, state.id == g.vertices.id)
+        .select("url", F.round("p", 6).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    aug.unpersist()
+    return out
+
+
+def sql_ppr_push(
+    seed_url: str,
+    damping: float = 0.85,
+    eps: float = 1e-4,
+    max_rounds: int = 60,
+) -> str:
+    """DuckDB twin over the shared graph CTEs (edges/vertices):
+    identical synchronous push rounds as a recursive CTE. State rows
+    carry (i, v, p, r); the previous state reaches the step through
+    the self-row trick; the recursion gates on the windowed
+    next-active flag and the round counter."""
+    d = float(damping)
+    return f"""
+odt as (select src, count(*)::bigint as od from edges group by src),
+dang as (
+  select url from vertices where url not in (select src from edges)
+),
+aug as materialized (
+  select e.src, e.dst, 1.0 / o.od as w
+  from edges e join odt o on o.src = e.src
+  union all
+  select url, '{seed_url}', 1.0 from dang
+),
+oda as materialized (
+  select src, count(*)::bigint as od from aug group by src
+),
+augw as materialized (
+  select src, dst, w, 0 as own from aug
+  union all
+  select url, url, 0.0, 1 from vertices
+),
+push as (
+  with recursive st(i, v, p, r, chg) as (
+    select 0, '{seed_url}', 0.0::double, 1.0::double, 1
+    union all
+    select i + 1, v, p2, r2,
+           max(case when r2 > {eps} * od.od then 1 else 0 end) over () as chg
+    from (
+      select s.i as i, e.dst as v,
+             coalesce(min(s.p) filter (where e.own = 1), 0.0)
+               + case when coalesce(
+                          min(case when s.act then 1 else 0 end)
+                              filter (where e.own = 1), 0) = 1
+                      then {1.0 - d} * min(s.r) filter (where e.own = 1)
+                      else 0.0 end as p2,
+             case when coalesce(
+                      min(case when s.act then 1 else 0 end)
+                          filter (where e.own = 1), 0) = 1
+                  then 0.0
+                  else coalesce(min(s.r) filter (where e.own = 1), 0.0) end
+               + coalesce(
+                   sum({d} * s.r * e.w)
+                       filter (where e.own = 0 and s.act), 0.0) as r2
+      from (
+        select st.*, st.r > {eps} * o.od as act
+        from st join oda o on o.src = st.v
+      ) s
+      join augw e on e.src = s.v
+      where s.chg = 1 and s.i < {max_rounds}
+      group by s.i, e.dst
+    )
+    join oda od on od.src = v
+  )
+  select v, p from st where i = (select max(i) from st)
+)
+select v as url, round(p, 6) as p from push where p > 0"""
