@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "hll_distinct",
     "term_synonyms",
+    # round-3 late additions: tokenizer training, structural
+    # clustering, local push
+    "bpe_merges",
+    "scan_clusters",
+    "ppr_push",
 ]
 
 

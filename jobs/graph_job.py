@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|coloring|matching|louvain|coreness|salsa|bowtie --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|coloring|matching|louvain|coreness|salsa|bowtie|scan|pprpush --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -34,7 +34,7 @@ def main() -> None:
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
             "coloring", "palette", "matching", "trussness", "doulion",
-            "richclub", "powerlaw",
+            "richclub", "powerlaw", "scan", "pprpush",
         ],
     )
     p.add_argument(
@@ -74,7 +74,7 @@ def main() -> None:
     needs_g = args.algo not in {
         "assortativity", "walks", "cocitation", "coupling",
         "adamicadar", "reciprocity", "hostrank", "hostsssp", "squares", "mis",
-        "coloring", "palette", "matching", "doulion",
+        "coloring", "palette", "matching", "doulion", "scan",
     }
     g = None
     if needs_g:
@@ -381,6 +381,22 @@ def main() -> None:
         out = powerlaw_alpha(
             regex_filter(read_edge_csv(spark, args.data)), dmin=args.k
         )
+    elif args.algo == "scan":
+        from pagerankproject_spark.graph.scan import scan_clusters
+        from pagerankproject_spark.ingest.edges import regex_filter
+
+        out = scan_clusters(
+            spark, edges=regex_filter(read_edge_csv(spark, args.data)),
+            mu=args.k,
+        ).orderBy("role", "url")
+    elif args.algo == "pprpush":
+        from pagerankproject_spark.graph.pushppr import ppr_push
+
+        if not args.source:
+            raise SystemExit("pprpush requires --source <seed url>")
+        out = ppr_push(
+            spark, g, args.source, max_rounds=args.max_iterations
+        ).orderBy(F.desc("p"), "url")
     elif args.algo == "doulion":
         from pagerankproject_spark.graph.triangles import (
             triangle_count_sampled,

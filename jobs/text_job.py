@@ -51,7 +51,7 @@ def main() -> None:
     p.add_argument(
         "--op", required=True,
         choices=["bm25", "ql", "heavyhitters", "mirrors",
-                 "weightedsample", "tempsample", "synonyms"],
+                 "weightedsample", "tempsample", "synonyms", "bpe"],
     )
     p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
     p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
@@ -65,6 +65,7 @@ def main() -> None:
     p.add_argument("--k", type=int, default=100,
                    help="weightedsample per-group k / tempsample total")
     p.add_argument("--tau", type=float, default=0.5, help="tempsample temperature")
+    p.add_argument("--merges", type=int, default=12, help="bpe merge rounds")
     p.add_argument("--group_col", default="lang")
     p.add_argument("--weight_col", default="n_chars")
     p.add_argument("--key_col", default="doc_id")
@@ -112,6 +113,10 @@ def main() -> None:
 
         probes = args.query.lower().split() if args.query else args.k
         out = term_synonyms(docs, probes=probes, k=args.top_k or 5)
+    elif args.op == "bpe":
+        from pagerankproject_spark.text.bpe import bpe_merges
+
+        out = bpe_merges(docs, num_merges=args.merges)
     elif args.op == "heavyhitters":
         from pagerankproject_spark.text.heavyhitters import heavy_hitters
 

@@ -130,6 +130,33 @@ def test_bpe_encode_matches_python_replay(spark):
     assert got == expected
 
 
+def test_cli_text_job_bpe(tmp_path):
+    """text_job --op bpe end to end: writes the ordered merge table."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    repo = Path(__file__).resolve().parents[1]
+    out_dir = tmp_path / "bpe_out"
+    proc = subprocess.run(
+        [
+            sys.executable, str(repo / "jobs" / "text_job.py"),
+            "--documents", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(out_dir),
+            "--op", "bpe", "--merges", "6",
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert proc.returncode == 0, (proc.stdout + proc.stderr)[-4000:]
+    t = sorted(pq.read_table(out_dir).to_pylist(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in t] == list(range(len(t))) and len(t) == 6
+    assert all(r["freq"] >= 2 for r in t)
+    assert all((r["left"] + r["right"]).count("</w>") <= 1 for r in t)
+
+
 @pytest.mark.parametrize("seed", [7, 41])
 def test_bpe_random_corpus_fuzz(spark, seed):
     rng = random.Random(seed)

@@ -54,6 +54,8 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("coloring", ()),                # symmetry-breaking family
         ("palette", ()),                 # symmetry-breaking family
         ("matching", ()),                # symmetry-breaking family
+        ("scan", ("--k", "2")),          # structural-clustering family
+        ("pprpush", ("--source", "1")),  # local-push family
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):
