@@ -2027,6 +2027,43 @@ def q_anchor_term_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed CCNet-style cleaning pass (Wenzek et al. 2020): exact
+    dedup -> lang-id -> corpus-self-trained bigram-LM log-loss ->
+    per-language head/middle/tail terciles. Every stage is an existing
+    contract-gated operator (dedup_exact, lang_id, bigram_logloss);
+    this key pins their composition. Terciles are ntile(3) over
+    (lang, logloss, doc_id) — a deterministic total order both engines
+    rank identically; at 100 TB the same bucketing runs off sampled /
+    approx-percentile CUTOFFS broadcast against the scan (the repo's
+    sketch-path precedent) rather than a per-language global sort —
+    ntile here is the bit-exact contract-scale formulation."""
+    from pagerankproject_spark.dedup.exact import dedup_exact
+    from pagerankproject_spark.text.pipeline import bigram_logloss
+
+    d = _read(spark, sf_dir, "documents")
+    surv = d.join(
+        dedup_exact(d).select(F.col("survivor_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    ll = bigram_logloss(surv)
+    lng = surv.select("doc_id", lang_id_expr(F.col("text")).alias("lang"))
+    joined = ll.join(lng, "doc_id")
+    w = Window.partitionBy("lang").orderBy("logloss", "doc_id")
+    tercile = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "logloss",
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich 2016 word-frequency
     formulation, text/bpe.py::bpe_merges): 12 merge rounds, each ONE
@@ -2268,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_ppmi": q_term_ppmi,                     # NEW round 3 (local gate; r4 window head)
         "term_synonyms": q_term_synonyms,             # NEW round 3 (local gate; r4 window head)
         "bpe_merges": q_bpe_merges,                   # NEW round 3 (local gate; r4 window head)
+        "ccnet_buckets": q_ccnet_buckets,             # NEW round 3 (local gate; r4 window head)
         "ppr_push": q_ppr_push,                       # NEW round 3 (local gate; r4 window head)
         "scan_clusters": q_scan_clusters,             # NEW round 3 (local gate; r4 window head)
     }
@@ -2622,6 +2660,24 @@ def oracle_sql() -> dict[str, str]:
         "term_ppmi": _syn_mod.sql_term_ppmi(),
         "term_synonyms": _syn_mod.sql_term_synonyms(),
         "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
+        "ccnet_buckets": f"""
+            with surv as materialized (
+              select d.doc_id, d.text
+              from documents d
+              join ( {sql_dedup_exact('documents')} ) s
+                on s.survivor_id = d.doc_id
+            ),
+            ll as materialized (
+              select * from ( {pipeline.sql_bigram_logloss('surv')} )
+            ),
+            lhits as (select doc_id, {sql_lang_hit_columns('text')} from surv),
+            lng as (select doc_id, {sql_lang_id_case()} as lang from lhits)
+            select l.doc_id, g.lang, l.n_bigrams, l.logloss,
+                   case ntile(3) over (partition by g.lang
+                                       order by l.logloss, l.doc_id)
+                        when 1 then 'head' when 2 then 'middle'
+                        else 'tail' end as bucket
+            from ll l join lng g on l.doc_id = g.doc_id""",
         "ppr_push": f"{g},\n{_push_mod.sql_ppr_push('site.com/p1', eps=1e-4, max_rounds=60)}",
         "scan_clusters": f"{g},\n{_scan_mod.sql_scan_clusters(eps_num=3, eps_den=5, mu=3)}",
         "mirror_hosts": _mirrors_mod.sql_mirror_host_pairs(

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "scan_clusters",
     "ppr_push",
+    "ccnet_buckets",
 ]
 
 

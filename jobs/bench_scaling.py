@@ -146,6 +146,11 @@ def run_worker(
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if op == "minhash":
+        _run_worker_minhash(spark, cpus, multiplier, iters)
+        spark.stop()
+        return
+
     t0 = time.time()
     g = build_graph(spark, multiplier, cpus * 2, vertices)
     build_sec = time.time() - t0
@@ -183,6 +188,89 @@ def run_worker(
         )
     )
     spark.stop()
+
+
+def _build_docs(spark, multiplier: int, partitions: int):
+    """Deterministic synthetic corpus: multiplier x 10k docs, 60 tokens
+    each, drawn from a 4k-token vocabulary by pure integer hashing —
+    identical rows at any parallelism level, enough shingle collisions
+    to exercise the band join without planting quadratic near-dup
+    clusters (replicating real docs would put `multiplier` copies in
+    one bucket and measure the pair EXPLOSION, not the pipeline)."""
+    from pyspark.sql import functions as F
+
+    n_docs = multiplier * 10_000
+    # 1% of docs are a near-dup TWIN of their predecessor (3 of 60
+    # tokens perturbed -> high-Jaccard pair): bounded cluster size 2,
+    # so candidate pairs stay linear while the band join and the
+    # exact-Jaccard rescore both do real work.
+    base = F.col("id") - F.when(
+        F.pmod(F.col("id"), 100) == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    docs = spark.range(0, n_docs, 1, partitions).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(
+                            F.when(
+                                (F.pmod(F.col("id"), 100) == 1) & (j < 3),
+                                F.col("id") * 60 + j + F.lit(7_777_777),
+                            ).otherwise(base * 60 + j)
+                        ),
+                        F.lit(4000),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    docs = docs.persist()
+    docs.count()
+    return docs, n_docs
+
+
+def _run_worker_minhash(spark, cpus: int, multiplier: int, iters: int) -> None:
+    """Dedup-family sweep: the production minhash recipe end-to-end
+    (shingle -> 32 minhashes -> 8x4 band join -> exact-Jaccard rescore
+    of candidates). One-shot op: median wall over repeated runs, first
+    run excluded (JIT + Arrow warm-up), throughput = docs/sec."""
+    import gc
+
+    from pagerankproject_spark.dedup.minhash import minhash_verified_pairs
+
+    t0 = time.time()
+    docs, n_docs = _build_docs(spark, multiplier, cpus * 2)
+    build_sec = time.time() - t0
+
+    run_walls, n_pairs = [], 0
+    for _ in range(max(iters, 3)):
+        t1 = time.time()
+        n_pairs = minhash_verified_pairs(docs, threshold=0.5).count()
+        run_walls.append(time.time() - t1)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    steady = run_walls[1:]
+    per_run = statistics.median(steady)
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "op": "minhash",
+                "docs": n_docs,
+                "n_pairs": n_pairs,
+                "build_sec": round(build_sec, 2),
+                "sec_per_run": round(per_run, 3),
+                "docs_per_sec": round(n_docs / per_run, 1),
+                "run_walls": [round(w, 3) for w in run_walls],
+            }
+        )
+    )
 
 
 def _run_worker_op(spark, g, cpus: int, op: str, iters: int, build_sec: float) -> None:
@@ -299,8 +387,9 @@ def main() -> None:
         "--op",
         type=str,
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "triangles"],
-        help="which north-rule operator to sweep; non-pagerank ops write "
+        choices=["pagerank", "cc", "lpa", "triangles", "minhash"],
+        help="which north-rule operator to sweep (minhash extends the "
+        "protocol to the dedup family); non-pagerank ops write "
         "their own BENCH.md section",
     )
     ap.add_argument(
@@ -326,6 +415,10 @@ def main() -> None:
         )
         for c in levels
     }
+
+    if args.op == "minhash":
+        _report_minhash(args, levels, results)
+        return
 
     if args.op != "pagerank":
         _report_op(args, levels, results)
@@ -604,6 +697,82 @@ def _report_op(args, levels: list[int], results: dict) -> None:
         text = head + hmark + "\n" + section + "\n" + tail
     bench_path.write_text(text)
     print(f"wrote {bench_path} ({args.op} section)")
+
+
+def _report_minhash(args, levels: list[int], results: dict) -> None:
+    """Report + BENCH.md section for the dedup-family sweep: same
+    N->4N protocol, throughput = docs/sec through the full
+    minhash_verified_pairs recipe."""
+    def eff(lo, hi):
+        return (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
+            hi["cpus"] / lo["cpus"]
+        )
+
+    eff_primary = eff(results[levels[0]], results[levels[1]])
+    report = {
+        "job": "minhash_verified_pairs end-to-end, deterministic synthetic corpus",
+        "levels": {str(c): r for c, r in results.items()},
+        "primary_pair": f"local[{levels[0]}] vs local[{levels[1]}]",
+        "scaling_efficiency": round(eff_primary, 3),
+        "meets_north_rule_0.8": eff_primary >= 0.8,
+    }
+    if len(levels) > 2:
+        report["secondary_efficiency"] = round(
+            eff(results[levels[1]], results[levels[2]]), 3
+        )
+    print(json.dumps(report))
+
+    lo = results[levels[0]]
+    md = [
+        f"### minhash dedup: {lo['docs']:,} docs (60 tokens each), "
+        "full verified-pairs recipe",
+        "",
+        "The two-parallelism-level protocol extended beyond the north rule's",
+        "four graph operators to the dedup family: the PRODUCTION near-dup",
+        "recipe (`dedup/minhash.py::minhash_verified_pairs` — shingle -> 32",
+        "minhashes -> 8x4 banded equi-join -> exact-Jaccard rescore of",
+        "candidates only) end-to-end on a deterministic synthetic corpus",
+        "(no planted near-dup clusters, so the sweep measures the pipeline,",
+        "not a pair explosion). Median wall over repeats, first run excluded.",
+        "",
+        "| level | s/run (median) | docs/sec | run walls |",
+        "|---|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        md.append(
+            f"| local[{c}] | {r['sec_per_run']:.2f} | "
+            f"{r['docs_per_sec']:,.0f} | {r['run_walls']} |"
+        )
+    md += [
+        "",
+        f"**Primary (local[{levels[0]}] vs local[{levels[1]}]): efficiency = "
+        f"{eff_primary:.3f}**"
+        + ("  — >= 0.8: **PASS**" if eff_primary >= 0.8 else "  — < 0.8: FAIL"),
+        "",
+        f"Reproduce: `python jobs/bench_scaling.py --op minhash "
+        f"--multiplier {args.multiplier} --iters {args.iters} "
+        f"--levels {args.levels}`",
+        "",
+    ]
+    begin = "<!-- BEGIN minhash-op-scaling -->"
+    end = "<!-- END minhash-op-scaling -->"
+    section = begin + "\n" + "\n".join(md) + end
+    bench_path = REPO / "BENCH.md"
+    text = bench_path.read_text() if bench_path.exists() else ""
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        hmark = "<!-- END north-rule-ops-header -->\n"
+        if hmark in text:
+            head, tail = text.split(hmark, 1)
+            text = head + hmark + "\n" + section + "\n" + tail
+        else:
+            text = text.rstrip("\n") + "\n\n" + section + "\n"
+    bench_path.write_text(text)
+    print(f"wrote {bench_path} (minhash section)")
 
 
 def _report_alt_spmv(args, levels: list[int], results: dict) -> None:
