@@ -33,6 +33,12 @@ the next-round active count rides the localCheckpoint as an
 Observation. Messages carry the destination's out-degree (min-merged),
 so new frontier vertices join nothing.
 
+`ppr_push_incremental` extends the same machinery to EVOLVING graphs
+(the engine's incremental family: CC, SCC, rank, triangles, MSF —
+now PPR): the push invariant pins the residual that reconciles an old
+estimate with the new topology, and pushing those signed residuals
+costs work proportional to the delta's influence, not the graph.
+
 Determinism / oracle: same story as the PageRank contract key — both
 engines run the identical equations and active rule; unordered float
 summation differs only in the last ulps (~1e-16) while the active
@@ -65,11 +71,88 @@ def ppr_push(
         raise ValueError("ppr_push: damping must be in (0,1)")
     if eps <= 0:
         raise ValueError("ppr_push: eps must be positive")
+    seed_id = _resolve_seed(g, seed_url)
+    aug, od_aug = _build_aug(g, seed_id)
+    seed_od = aug.filter(F.col("src_id") == seed_id).count()
+
+    state = spark.createDataFrame(
+        [(seed_id, 0.0, 1.0, seed_od)], "id long, p double, r double, od long"
+    ).localCheckpoint(eager=True)
+    state = _push_loop(spark, aug, state, float(damping), eps, max_rounds)
+    return _emit(g, aug, state)
+
+
+def ppr_push_incremental(
+    spark: SparkSession,
+    g: GraphTables,
+    prev: DataFrame,
+    seed_url: str,
+    damping: float = 0.85,
+    eps: float = 1e-4,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Maintain a forward-push PPR estimate across a graph change
+    (Gauss-Southwell dynamic update — Ohsaka, Maehara & Kawarabayashi,
+    "Efficient PageRank Tracking in Evolving Networks", KDD 2015;
+    Zhang, Lofgren & Goel, KDD 2016 — both public).
+
+    `prev` is a previous `ppr_push` output (url, p) from an EARLIER
+    snapshot; `g` is the NEW graph (e.g. after `append_edges`). The
+    push invariant  exact = p + F(r),  F(r) = (1-d) r + d P^T F(r),
+    pins the residual that makes ANY estimate p consistent on the new
+    graph:
+
+        r  =  e_seed  +  (d * P_aug^T p  -  p) / (1 - d)
+
+    (one join+agg to compute; identically zero when p is already the
+    new graph's exact answer). Pushing these SIGNED residuals with the
+    same loop (threshold on |r|) converges to the same eps-guarantee
+    as a cold run while doing work proportional to the CHANGE, not the
+    graph: the residual is supported only where the delta's influence
+    reaches. Intended for edge additions (reachability never shrinks,
+    so stale positive mass only gets corrected, not stranded).
+    """
+    if not 0 < damping < 1:
+        raise ValueError("ppr_push_incremental: damping must be in (0,1)")
+    if eps <= 0:
+        raise ValueError("ppr_push_incremental: eps must be positive")
+    d = float(damping)
+    seed_id = _resolve_seed(g, seed_url)
+    aug, od_aug = _build_aug(g, seed_id)
+
+    p0 = prev.join(g.vertices, "url").select("id", F.col("p").alias("p"))
+    incoming = (
+        p0.join(aug, p0.id == aug.src_id)
+        .groupBy(F.col("dst_id").alias("id"))
+        .agg(F.sum(F.lit(d) * F.col("p") * F.col("weight")).alias("m"))
+    )
+    state = (
+        p0.join(incoming, "id", "full")
+        .select(
+            "id",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            (
+                (F.coalesce("m", F.lit(0.0)) - F.coalesce("p", F.lit(0.0)))
+                / F.lit(1.0 - d)
+                + F.when(F.col("id") == seed_id, 1.0).otherwise(0.0)
+            ).alias("r"),
+        )
+        .join(od_aug.select(F.col("src_id").alias("id"), "od"), "id")
+        .localCheckpoint(eager=True)
+    )
+    state = _push_loop(spark, aug, state, d, eps, max_rounds)
+    return _emit(g, aug, state)
+
+
+def _resolve_seed(g: GraphTables, seed_url: str) -> int:
     seed_rows = g.vertices.filter(F.col("url") == seed_url).collect()
     if not seed_rows:
         raise ValueError(f"ppr_push: seed url not in graph: {seed_url!r}")
-    seed_id = int(seed_rows[0]["id"])
+    return int(seed_rows[0]["id"])
 
+
+def _build_aug(g: GraphTables, seed_id: int):
+    """Augmented edge table (dangling -> seed) + outdeg' per vertex."""
     od = g.weighted_edges.groupBy("src_id").agg(
         F.count("*").cast("long").alias("od")
     )
@@ -96,16 +179,26 @@ def ppr_push(
         .repartition(g.num_partitions, "src_id")
         .persist()
     )
-    seed_od = aug.filter(F.col("src_id") == seed_id).count()
+    return aug, od_aug
 
-    state = spark.createDataFrame(
-        [(seed_id, 0.0, 1.0, seed_od)], "id long, p double, r double, od long"
-    ).localCheckpoint(eager=True)
 
-    d = float(damping)
+def _push_loop(
+    spark: SparkSession,
+    aug: DataFrame,
+    state: DataFrame,
+    d: float,
+    eps: float,
+    max_rounds: int,
+) -> DataFrame:
+    """The batch-synchronous push rounds; |r| threshold handles both
+    the cold non-negative case (where abs is the identity, so the cold
+    path's oracle parity is untouched) and the signed incremental one.
+    """
     with no_aqe(spark):
         for _ in range(max_rounds):
-            staged = state.withColumn("act", F.col("r") > F.lit(eps) * F.col("od"))
+            staged = state.withColumn(
+                "act", F.abs(F.col("r")) > F.lit(eps) * F.col("od")
+            )
             msgs = (
                 staged.filter("act")
                 .join(aug, staged.id == aug.src_id)
@@ -139,7 +232,7 @@ def ppr_push(
                     obs,
                     F.sum(
                         F.when(
-                            F.col("r") > F.lit(eps) * F.col("od"), 1
+                            F.abs(F.col("r")) > F.lit(eps) * F.col("od"), 1
                         ).otherwise(0)
                     ).alias("active"),
                 )
@@ -147,7 +240,10 @@ def ppr_push(
             state = merged.localCheckpoint(eager=True)
             if int(obs.get["active"] or 0) == 0:
                 break
+    return state
 
+
+def _emit(g: GraphTables, aug: DataFrame, state: DataFrame) -> DataFrame:
     out = (
         state.filter(F.col("p") > 0)
         .join(g.vertices, state.id == g.vertices.id)

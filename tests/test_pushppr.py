@@ -144,6 +144,53 @@ def test_push_random_graph_fuzz(spark, seed_rng):
     assert _run_sql(pairs, seed) == pytest.approx(expected, abs=2e-6)
 
 
+def test_push_incremental_matches_cold_after_additions(spark):
+    from pagerankproject_spark.graph.pushppr import ppr_push_incremental
+
+    base = sorted(set(GRAPH))
+    extra = [("b", "e"), ("a", "f"), ("f", "c")]
+    e1 = spark.createDataFrame(base, "src string, dst string")
+    g1 = build_graph_tables(spark, e1)
+    prev = ppr_push(spark, g1, "a", eps=1e-7, max_rounds=500)
+
+    e2 = spark.createDataFrame(base + extra, "src string, dst string")
+    g2 = build_graph_tables(spark, e2)
+    inc = {
+        r["url"]: r["p"]
+        for r in ppr_push_incremental(
+            spark, g2, prev, "a", eps=1e-7, max_rounds=500
+        ).collect()
+    }
+    cold = {
+        r["url"]: r["p"]
+        for r in ppr_push(spark, g2, "a", eps=1e-7, max_rounds=500).collect()
+    }
+    assert inc == pytest.approx(cold, abs=2e-6)
+    assert "f" in inc  # newly reachable mass found by the delta push
+    g1.unpersist()
+    g2.unpersist()
+
+
+def test_push_incremental_noop_delta_converges_immediately(spark):
+    # same graph again: the invariant residual is rounding dust only,
+    # so the warm start returns the previous estimate unchanged
+    from pagerankproject_spark.graph.pushppr import ppr_push_incremental
+
+    e1 = spark.createDataFrame(sorted(set(GRAPH)), "src string, dst string")
+    g = build_graph_tables(spark, e1)
+    prev = ppr_push(spark, g, "a", eps=1e-5, max_rounds=200)
+    inc = {
+        r["url"]: r["p"]
+        for r in ppr_push_incremental(
+            spark, g, prev, "a", eps=1e-5, max_rounds=200
+        ).collect()
+    }
+    assert inc == pytest.approx(
+        {r["url"]: r["p"] for r in prev.collect()}, abs=2e-5
+    )
+    g.unpersist()
+
+
 def test_push_bad_seed_fails_fast(spark):
     edges = spark.createDataFrame(GRAPH, "src string, dst string")
     g = build_graph_tables(spark, edges)
