@@ -50,6 +50,12 @@ PLAN_QUERIES = [
     "hll_distinct",            # combinable register max-merge + 16-col pivot
     "simrank_mc",              # (step, vertex) meeting self-join + min/sum aggs
     "term_synonyms",           # PPMI vectors + probe-restricted cosine join
+    "ccnet_buckets",           # composed dedup/lang/LM stages + ntile terciles
+    # bpe_merges / ppr_push / scan_clusters are excluded like
+    # triangles_doulion: their driver loops materialize eagerly, so the
+    # returned frame is a LocalTableScan / checkpoint scan, not the
+    # per-round join+agg (spmv_step and triangles_per_edge already
+    # show those shapes).
     # triangles_doulion is excluded: its counts are actions, so the
     # returned one-row frame is a LocalTableScan, not the sampled
     # wedge join (which shares triangles_per_edge's plan shape).
