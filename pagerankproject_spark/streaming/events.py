@@ -433,6 +433,65 @@ def stream_incremental_pagerank(
     )
 
 
+def stream_incremental_ppr(
+    spark: SparkSession,
+    edges_dir: str,
+    state: dict,
+    seed_url: str,
+    damping: float = 0.85,
+    eps: float = 1e-6,
+    max_rounds: int = 200,
+    max_files_per_trigger: int = 1,
+):
+    """Continuous personalized-PageRank maintenance — the LOCAL-rank
+    twin of stream_incremental_pagerank: batch 0 cold-pushes from the
+    seed, every later micro-batch folds its edges in via append_edges
+    and reconciles the previous estimate with the Gauss-Southwell
+    signed push (graph/pushppr.py::ppr_push_incremental) — per-batch
+    work proportional to the delta's influence on the seed's
+    neighborhood, not the graph. The seed must appear in the first
+    batch's graph (the push seam fails fast otherwise, matching the
+    repo's strict seed resolution).
+
+    `state` after each batch: {"g": GraphTables, "ppr": DataFrame
+    (url, p), "batches": int}. Returns the StreamingQuery.
+    """
+    from ..graph.pushppr import ppr_push, ppr_push_incremental
+    from ..ingest.edges import append_edges, build_graph_tables
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select("src", "dst")
+        if "g" not in state:
+            g = build_graph_tables(spark, edges)
+            ppr = ppr_push(
+                spark, g, seed_url, damping=damping, eps=eps,
+                max_rounds=max_rounds,
+            )
+        else:
+            g = append_edges(spark, state["g"], edges)
+            ppr = ppr_push_incremental(
+                spark, g, state["ppr"], seed_url, damping=damping,
+                eps=eps, max_rounds=max_rounds,
+            )
+        old = state.get("g")
+        state.update(
+            {"g": g, "ppr": ppr, "batches": state.get("batches", 0) + 1}
+        )
+        if old is not None:
+            old.unpersist()
+
+    stream = (
+        spark.readStream.schema(EDGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(edges_dir, header=True)
+    )
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_incremental_components(
     spark: SparkSession,
     edges_dir: str,

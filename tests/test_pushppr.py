@@ -191,6 +191,31 @@ def test_push_incremental_noop_delta_converges_immediately(spark):
     g.unpersist()
 
 
+def test_stream_incremental_ppr_matches_cold(spark, tmp_path):
+    from pagerankproject_spark.streaming.events import stream_incremental_ppr
+
+    edges_dir = tmp_path / "ppr_stream"
+    edges_dir.mkdir()
+    b0 = sorted(set(GRAPH))
+    b1 = [("b", "e"), ("a", "f"), ("f", "c")]
+    for i, batch in enumerate((b0, b1)):
+        (edges_dir / f"batch{i}.csv").write_text(
+            "src,dst\n" + "\n".join(f"{s},{d}" for s, d in batch)
+        )
+
+    state: dict = {}
+    q = stream_incremental_ppr(
+        spark, str(edges_dir), state, "a", eps=1e-7, max_rounds=500
+    )
+    q.awaitTermination(300)
+    assert state["batches"] == 2
+
+    got = {r["url"]: r["p"] for r in state["ppr"].collect()}
+    cold = _run_engine(spark, b0 + b1, "a", eps=1e-7, max_rounds=500)
+    assert got == pytest.approx(cold, abs=2e-6)
+    state["g"].unpersist()
+
+
 def test_push_bad_seed_fails_fast(spark):
     edges = spark.createDataFrame(GRAPH, "src string, dst string")
     g = build_graph_tables(spark, edges)
