@@ -53,8 +53,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from dataclasses import dataclass
+
 from ..ingest.edges import GraphTables
 from ..session import no_aqe
+
+DANGLING_SENTINEL = -1  # aug rows routing dangling mass; re-aimed at the
+                        # query's seed at message time, so ONE index
+                        # serves every seed
+
+
+@dataclass
+class PushIndex:
+    """Seed-independent push index: the augmented edge table (dangling
+    rows target DANGLING_SENTINEL) and outdeg' per vertex. Build ONCE
+    per graph snapshot (O(edges): one aggregate + one repartition), run
+    ANY number of local pushes against it — at corpus scale the prep is
+    amortized across seeds exactly like pagerank_topics amortizes its
+    edge scan across personalization vectors."""
+
+    aug: DataFrame
+    od_aug: DataFrame
+
+    def unpersist(self) -> None:
+        try:
+            self.aug.unpersist()
+        except Exception:
+            pass
+
+
+def build_push_index(spark: SparkSession, g: GraphTables) -> PushIndex:
+    od = g.weighted_edges.groupBy("src_id").agg(
+        F.count("*").cast("long").alias("od")
+    )
+    dangling = g.vertices.select(F.col("id").alias("src_id")).join(
+        od, "src_id", "left_anti"
+    )
+    aug = g.weighted_edges.select("src_id", "dst_id", "weight").unionByName(
+        dangling.select(
+            "src_id",
+            F.lit(DANGLING_SENTINEL).cast("long").alias("dst_id"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    # outdeg' (dangling -> 1) of the DESTINATION rides each edge so new
+    # frontier vertices learn their threshold from the message itself;
+    # sentinel rows keep a null od_dst (their mass lands on the seed,
+    # which is in the state from round 0 and knows its own threshold)
+    od_aug = aug.groupBy("src_id").agg(F.count("*").cast("long").alias("od"))
+    aug = (
+        aug.join(
+            od_aug.select(
+                F.col("src_id").alias("dst_id"), F.col("od").alias("od_dst")
+            ),
+            "dst_id",
+            "left",
+        )
+        .repartition(g.num_partitions, "src_id")
+        .persist()
+    )
+    aug.count()
+    return PushIndex(aug=aug, od_aug=od_aug)
 
 
 def ppr_push(
@@ -64,22 +123,28 @@ def ppr_push(
     damping: float = 0.85,
     eps: float = 1e-4,
     max_rounds: int = 60,
+    index: PushIndex | None = None,
 ) -> DataFrame:
     """Forward-push PPR from `seed_url`; returns (url, p) for every
-    vertex with positive estimate, p rounded to 6dp."""
+    vertex with positive estimate, p rounded to 6dp. Pass a prebuilt
+    `index` to amortize the O(edges) prep across seeds (caller keeps
+    ownership and unpersists it)."""
     if not 0 < damping < 1:
         raise ValueError("ppr_push: damping must be in (0,1)")
     if eps <= 0:
         raise ValueError("ppr_push: eps must be positive")
     seed_id = _resolve_seed(g, seed_url)
-    aug, od_aug = _build_aug(g, seed_id)
-    seed_od = aug.filter(F.col("src_id") == seed_id).count()
+    owned = index is None
+    idx = index or build_push_index(spark, g)
+    seed_od = idx.od_aug.filter(F.col("src_id") == seed_id).collect()[0]["od"]
 
     state = spark.createDataFrame(
         [(seed_id, 0.0, 1.0, seed_od)], "id long, p double, r double, od long"
     ).localCheckpoint(eager=True)
-    state = _push_loop(spark, aug, state, float(damping), eps, max_rounds)
-    return _emit(g, aug, state)
+    state = _push_loop(
+        spark, idx.aug, state, float(damping), eps, max_rounds, seed_id
+    )
+    return _emit(g, idx, state, owned)
 
 
 def ppr_push_incremental(
@@ -90,6 +155,7 @@ def ppr_push_incremental(
     damping: float = 0.85,
     eps: float = 1e-4,
     max_rounds: int = 60,
+    index: PushIndex | None = None,
 ) -> DataFrame:
     """Maintain a forward-push PPR estimate across a graph change
     (Gauss-Southwell dynamic update — Ohsaka, Maehara & Kawarabayashi,
@@ -118,12 +184,18 @@ def ppr_push_incremental(
         raise ValueError("ppr_push_incremental: eps must be positive")
     d = float(damping)
     seed_id = _resolve_seed(g, seed_url)
-    aug, od_aug = _build_aug(g, seed_id)
+    owned = index is None
+    idx = index or build_push_index(spark, g)
+    aug = idx.aug
 
     p0 = prev.join(g.vertices, "url").select("id", F.col("p").alias("p"))
     incoming = (
         p0.join(aug, p0.id == aug.src_id)
-        .groupBy(F.col("dst_id").alias("id"))
+        .groupBy(
+            F.when(F.col("dst_id") == DANGLING_SENTINEL, F.lit(seed_id))
+            .otherwise(F.col("dst_id"))
+            .alias("id")
+        )
         .agg(F.sum(F.lit(d) * F.col("p") * F.col("weight")).alias("m"))
     )
     state = (
@@ -137,11 +209,11 @@ def ppr_push_incremental(
                 + F.when(F.col("id") == seed_id, 1.0).otherwise(0.0)
             ).alias("r"),
         )
-        .join(od_aug.select(F.col("src_id").alias("id"), "od"), "id")
+        .join(idx.od_aug.select(F.col("src_id").alias("id"), "od"), "id")
         .localCheckpoint(eager=True)
     )
-    state = _push_loop(spark, aug, state, d, eps, max_rounds)
-    return _emit(g, aug, state)
+    state = _push_loop(spark, aug, state, d, eps, max_rounds, seed_id)
+    return _emit(g, idx, state, owned)
 
 
 def _resolve_seed(g: GraphTables, seed_url: str) -> int:
@@ -151,37 +223,6 @@ def _resolve_seed(g: GraphTables, seed_url: str) -> int:
     return int(seed_rows[0]["id"])
 
 
-def _build_aug(g: GraphTables, seed_id: int):
-    """Augmented edge table (dangling -> seed) + outdeg' per vertex."""
-    od = g.weighted_edges.groupBy("src_id").agg(
-        F.count("*").cast("long").alias("od")
-    )
-    dangling = g.vertices.select(F.col("id").alias("src_id")).join(
-        od, "src_id", "left_anti"
-    )
-    aug = g.weighted_edges.select("src_id", "dst_id", "weight").unionByName(
-        dangling.select(
-            "src_id",
-            F.lit(seed_id).alias("dst_id"),
-            F.lit(1.0).alias("weight"),
-        )
-    )
-    # outdeg' (dangling -> 1) of the DESTINATION rides each edge so new
-    # frontier vertices learn their threshold from the message itself
-    od_aug = aug.groupBy("src_id").agg(F.count("*").cast("long").alias("od"))
-    aug = (
-        aug.join(
-            od_aug.select(
-                F.col("src_id").alias("dst_id"), F.col("od").alias("od_dst")
-            ),
-            "dst_id",
-        )
-        .repartition(g.num_partitions, "src_id")
-        .persist()
-    )
-    return aug, od_aug
-
-
 def _push_loop(
     spark: SparkSession,
     aug: DataFrame,
@@ -189,6 +230,7 @@ def _push_loop(
     d: float,
     eps: float,
     max_rounds: int,
+    seed_id: int,
 ) -> DataFrame:
     """The batch-synchronous push rounds; |r| threshold handles both
     the cold non-negative case (where abs is the identity, so the cold
@@ -202,7 +244,13 @@ def _push_loop(
             msgs = (
                 staged.filter("act")
                 .join(aug, staged.id == aug.src_id)
-                .groupBy(F.col("dst_id").alias("id"))
+                .groupBy(
+                    F.when(
+                        F.col("dst_id") == DANGLING_SENTINEL, F.lit(seed_id)
+                    )
+                    .otherwise(F.col("dst_id"))
+                    .alias("id")
+                )
                 .agg(
                     F.sum(F.lit(d) * F.col("r") * F.col("weight")).alias("m"),
                     F.min("od_dst").alias("m_od"),
@@ -243,14 +291,17 @@ def _push_loop(
     return state
 
 
-def _emit(g: GraphTables, aug: DataFrame, state: DataFrame) -> DataFrame:
+def _emit(
+    g: GraphTables, idx: PushIndex, state: DataFrame, owned: bool
+) -> DataFrame:
     out = (
         state.filter(F.col("p") > 0)
         .join(g.vertices, state.id == g.vertices.id)
         .select("url", F.round("p", 6).alias("p"))
         .localCheckpoint(eager=True)
     )
-    aug.unpersist()
+    if owned:
+        idx.unpersist()
     return out
 
 

@@ -216,6 +216,27 @@ def test_stream_incremental_ppr_matches_cold(spark, tmp_path):
     state["g"].unpersist()
 
 
+def test_push_shared_index_multi_seed(spark):
+    # ONE seed-independent index serves every seed (dangling rows are
+    # re-aimed at the query's seed at message time)
+    from pagerankproject_spark.graph.pushppr import build_push_index
+
+    edges = spark.createDataFrame(sorted(set(GRAPH)), "src string, dst string")
+    g = build_graph_tables(spark, edges)
+    idx = build_push_index(spark, g)
+    for seed in ("a", "c", "d"):
+        shared = {
+            r["url"]: r["p"]
+            for r in ppr_push(spark, g, seed, index=idx).collect()
+        }
+        owned = {
+            r["url"]: r["p"] for r in ppr_push(spark, g, seed).collect()
+        }
+        assert shared == owned, seed
+    idx.unpersist()
+    g.unpersist()
+
+
 def test_push_bad_seed_fails_fast(spark):
     edges = spark.createDataFrame(GRAPH, "src string, dst string")
     g = build_graph_tables(spark, edges)
