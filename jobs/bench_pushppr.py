@@ -7,16 +7,19 @@ stay comparable while the graph grows 16x). Per size, in a fresh JVM
 (one subprocess per size, like jobs/bench_scaling.py's levels):
 
   * build the graph (bench_scaling.build_graph, deterministic),
-  * build the seed-independent PushIndex ONCE — this is the O(edges)
-    prep a production deployment amortizes across every seed,
-  * run ppr_push for three seeds against the shared index, reporting
-    the median query wall and the touched-vertex count.
+  * build BOTH PushIndex forms ONCE each (the O(edges) prep a
+    production deployment amortizes across every seed),
+  * run ppr_push for three seeds against each shared index, reporting
+    median query walls and touched-vertex counts.
 
-Expected shape (and the claim BENCH.md records): prep wall grows with
-edges; QUERY wall stays roughly flat because the push loop only joins
-ACTIVE state rows against the index — work is O(edges incident to
-pushed vertices), bounded by eps and the degree profile, independent
-of total graph size.
+The sweep exists because the first measurement caught a real scale
+flaw: with the in-memory index every round broadcast-joins the tiny
+state against a FULL scan of the cached edge table, so query cost is
+O(edges/cores) per round no matter how local the push is. The
+bucket-partitioned parquet index fixes it — literal partition filters
+prune to the touched buckets, so query I/O tracks the worklist, not
+the graph. The table records both, so the flaw and the fix stay
+visible.
 
 Usage: python jobs/bench_pushppr.py [--multipliers 50,200,800]
        (appends/updates its marker section in BENCH.md)
@@ -56,31 +59,38 @@ def run_worker(multiplier: int) -> None:
     g = build_graph(spark, multiplier, vertices=multiplier * VERTS_PER_MULT)
     build_sec = time.time() - t0
 
-    t0 = time.time()
-    idx = build_push_index(spark, g)
-    prep_sec = time.time() - t0
+    import tempfile
 
-    walls, touched = [], []
-    for seed in SEEDS:
-        t1 = time.time()
-        out = ppr_push(spark, g, seed, eps=1e-6, max_rounds=200, index=idx)
-        touched.append(out.count())
-        walls.append(time.time() - t1)
-    print(
-        "WORKER_RESULT "
-        + json.dumps(
-            {
-                "multiplier": multiplier,
-                "edges": g.num_edges,
-                "vertices": g.n,
-                "graph_build_sec": round(build_sec, 2),
-                "index_prep_sec": round(prep_sec, 2),
+    res = {
+        "multiplier": multiplier,
+        "edges": g.num_edges,
+        "vertices": g.n,
+        "graph_build_sec": round(build_sec, 2),
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        for kind in ("memory", "parquet"):
+            t0 = time.time()
+            idx = build_push_index(
+                spark, g,
+                path=None if kind == "memory" else f"{tmp}/idx",
+            )
+            prep = time.time() - t0
+            walls, touched = [], []
+            for seed in SEEDS:
+                t1 = time.time()
+                out = ppr_push(
+                    spark, g, seed, eps=1e-6, max_rounds=200, index=idx
+                )
+                touched.append(out.count())
+                walls.append(time.time() - t1)
+            idx.unpersist()
+            res[kind] = {
+                "prep_sec": round(prep, 2),
                 "query_walls": [round(w, 2) for w in walls],
                 "query_median_sec": round(statistics.median(walls), 2),
                 "touched": touched,
             }
-        )
-    )
+    print("WORKER_RESULT " + json.dumps(res))
     spark.stop()
 
 
@@ -110,13 +120,12 @@ def main() -> None:
 
     ms = sorted(results)
     lo, hi = results[ms[0]], results[ms[-1]]
-    growth = hi["query_median_sec"] / lo["query_median_sec"]
     size_ratio = hi["edges"] / lo["edges"]
     report = {
         "job": "ppr_push locality sweep (constant mean degree)",
         "edge_growth": f"{size_ratio:.0f}x",
-        "query_wall_growth": f"{growth:.2f}x",
-        "prep_growth": f"{hi['index_prep_sec'] / lo['index_prep_sec']:.1f}x",
+        "memory_query_growth": f"{hi['memory']['query_median_sec'] / lo['memory']['query_median_sec']:.2f}x",
+        "parquet_query_growth": f"{hi['parquet']['query_median_sec'] / lo['parquet']['query_median_sec']:.2f}x",
     }
     print(json.dumps(report))
 
@@ -124,28 +133,34 @@ def main() -> None:
         "### ppr_push locality: query cost vs graph size "
         "(constant mean degree)",
         "",
-        "Forward push is a LOCAL operator: the index prep is O(edges) and",
-        "amortized across seeds; each query joins only the active state",
-        "rows against the index, so its wall must stay ~flat while the",
-        "graph grows. Three sizes, fresh JVM each, eps=1e-6, median of 3",
-        "seeds against one shared PushIndex:",
+        "Forward push is a LOCAL operator, and the index's physical form",
+        "decides whether the engine honors that: the in-memory cached index",
+        "full-scans per round (broadcast state vs the whole edge cache), so",
+        "its query wall grows with the graph; the bucket-partitioned",
+        "parquet index prunes to the touched buckets (literal partition",
+        "filters), so its query wall tracks the worklist. Three sizes,",
+        "fresh JVM each, eps=1e-6, median of 3 seeds per shared index:",
         "",
-        "| edges | vertices | graph build s | index prep s (O(m), amortized)"
-        " | query median s | touched vertices |",
+        "| edges | vertices | prep s (mem / parquet) | query median s"
+        " (mem) | query median s (parquet, pruned) | touched |",
         "|---|---|---|---|---|---|",
     ]
     for m in ms:
         r = results[m]
         md.append(
             f"| {r['edges']:,} | {r['vertices']:,} | "
-            f"{r['graph_build_sec']} | {r['index_prep_sec']} | "
-            f"{r['query_median_sec']} | {r['touched']} |"
+            f"{r['memory']['prep_sec']} / {r['parquet']['prep_sec']} | "
+            f"{r['memory']['query_median_sec']} | "
+            f"{r['parquet']['query_median_sec']} | "
+            f"{r['parquet']['touched']} |"
         )
     md += [
         "",
-        f"**Edges grew {report['edge_growth']}; the query wall grew "
-        f"{report['query_wall_growth']} (prep {report['prep_growth']}, "
-        "as expected for the O(m) amortized step).**",
+        f"**Edges grew {report['edge_growth']}: in-memory query wall grew "
+        f"{report['memory_query_growth']} (the per-round full scan), the "
+        f"partition-pruned index {report['parquet_query_growth']}.**",
+        "",
+        "The crossover is honest: the pruned form pays fixed per-round costs (worklist collect, parquet task setup) and loses while the full scan is cheap, winning once the scan side dominates (>=100M edges here) — at 10^12-document scale the full scan is not an option at all.",
         "",
         f"Reproduce: `python jobs/bench_pushppr.py --multipliers "
         f"{args.multipliers}`",

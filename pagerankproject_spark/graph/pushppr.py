@@ -67,13 +67,33 @@ DANGLING_SENTINEL = -1  # aug rows routing dangling mass; re-aimed at the
 class PushIndex:
     """Seed-independent push index: the augmented edge table (dangling
     rows target DANGLING_SENTINEL) and outdeg' per vertex. Build ONCE
-    per graph snapshot (O(edges): one aggregate + one repartition), run
-    ANY number of local pushes against it — at corpus scale the prep is
-    amortized across seeds exactly like pagerank_topics amortizes its
-    edge scan across personalization vectors."""
+    per graph snapshot (O(edges) prep), run ANY number of local pushes
+    against it — at corpus scale the prep is amortized across seeds
+    exactly like pagerank_topics amortizes its edge scan across
+    personalization vectors.
+
+    Two physical forms:
+
+    * in-memory (``path=None``): the aug DataFrame persisted and
+      hash-partitioned — but every push round's join is a broadcast of
+      the tiny state against a FULL scan of the cached table, so each
+      round costs O(edges/cores) regardless of how local the push is
+      (jobs/bench_pushppr.py measured exactly this: 16x edges -> 4.4x
+      query wall). Right only when the same session also runs global
+      operators that want the cache.
+    * bucket-partitioned parquet (``path=...``): aug written once as
+      ``bkt=src_id % buckets`` hive partitions. Each round collects the
+      active ids (a worklist-sized driver list, house collect policy),
+      and reads ONLY the touched buckets via literal partition filters
+      — Spark's partition pruning turns the file layout into the
+      adjacency index, making query I/O O(edges incident to pushed
+      vertices), independent of graph size. This is the 10^12-document
+      form."""
 
     aug: DataFrame
     od_aug: DataFrame
+    path: str | None = None
+    buckets: int = 0
 
     def unpersist(self) -> None:
         try:
@@ -82,7 +102,12 @@ class PushIndex:
             pass
 
 
-def build_push_index(spark: SparkSession, g: GraphTables) -> PushIndex:
+def build_push_index(
+    spark: SparkSession,
+    g: GraphTables,
+    path: str | None = None,
+    buckets: int = 256,
+) -> PushIndex:
     od = g.weighted_edges.groupBy("src_id").agg(
         F.count("*").cast("long").alias("od")
     )
@@ -101,17 +126,32 @@ def build_push_index(spark: SparkSession, g: GraphTables) -> PushIndex:
     # sentinel rows keep a null od_dst (their mass lands on the seed,
     # which is in the state from round 0 and knows its own threshold)
     od_aug = aug.groupBy("src_id").agg(F.count("*").cast("long").alias("od"))
-    aug = (
-        aug.join(
-            od_aug.select(
-                F.col("src_id").alias("dst_id"), F.col("od").alias("od_dst")
-            ),
-            "dst_id",
-            "left",
-        )
-        .repartition(g.num_partitions, "src_id")
-        .persist()
+    aug = aug.join(
+        od_aug.select(
+            F.col("src_id").alias("dst_id"), F.col("od").alias("od_dst")
+        ),
+        "dst_id",
+        "left",
     )
+    if path is not None:
+        (
+            aug.withColumn(
+                "bkt", F.pmod(F.col("src_id"), F.lit(buckets)).cast("int")
+            )
+            .repartition("bkt")
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(path)
+        )
+        od_cached = od_aug.persist()
+        od_cached.count()
+        return PushIndex(
+            aug=spark.read.parquet(path),
+            od_aug=od_cached,
+            path=path,
+            buckets=buckets,
+        )
+    aug = aug.repartition(g.num_partitions, "src_id").persist()
     aug.count()
     return PushIndex(aug=aug, od_aug=od_aug)
 
@@ -141,8 +181,8 @@ def ppr_push(
     state = spark.createDataFrame(
         [(seed_id, 0.0, 1.0, seed_od)], "id long, p double, r double, od long"
     ).localCheckpoint(eager=True)
-    state = _push_loop(
-        spark, idx.aug, state, float(damping), eps, max_rounds, seed_id
+    state = _run_loop(
+        spark, idx, state, float(damping), eps, max_rounds, seed_id
     )
     return _emit(g, idx, state, owned)
 
@@ -212,7 +252,7 @@ def ppr_push_incremental(
         .join(idx.od_aug.select(F.col("src_id").alias("id"), "od"), "id")
         .localCheckpoint(eager=True)
     )
-    state = _push_loop(spark, aug, state, d, eps, max_rounds, seed_id)
+    state = _run_loop(spark, idx, state, d, eps, max_rounds, seed_id)
     return _emit(g, idx, state, owned)
 
 
@@ -221,6 +261,93 @@ def _resolve_seed(g: GraphTables, seed_url: str) -> int:
     if not seed_rows:
         raise ValueError(f"ppr_push: seed url not in graph: {seed_url!r}")
     return int(seed_rows[0]["id"])
+
+
+def _run_loop(
+    spark: SparkSession,
+    idx: PushIndex,
+    state: DataFrame,
+    d: float,
+    eps: float,
+    max_rounds: int,
+    seed_id: int,
+) -> DataFrame:
+    if idx.path is not None:
+        return _push_loop_pruned(
+            spark, idx, state, d, eps, max_rounds, seed_id
+        )
+    return _push_loop(spark, idx.aug, state, d, eps, max_rounds, seed_id)
+
+
+def _push_loop_pruned(
+    spark: SparkSession,
+    idx: PushIndex,
+    state: DataFrame,
+    d: float,
+    eps: float,
+    max_rounds: int,
+    seed_id: int,
+) -> DataFrame:
+    """Worklist rounds against the bucket-partitioned parquet index:
+    collect the active ids (worklist-sized), read ONLY their buckets
+    (literal partition filters -> partition pruning), broadcast the
+    residuals into the pruned scan. Two actions per round (worklist
+    collect + checkpoint) buys query I/O independent of graph size —
+    the tradeoff jobs/bench_pushppr.py quantifies."""
+    with no_aqe(spark):
+        for _ in range(max_rounds):
+            active = (
+                state.filter(F.abs(F.col("r")) > F.lit(eps) * F.col("od"))
+                .select("id", "r")
+                .collect()
+            )
+            if not active:
+                break
+            ids = [int(row["id"]) for row in active]
+            bkts = sorted({i % idx.buckets for i in ids})
+            rmap = spark.createDataFrame(
+                [(int(row["id"]), float(row["r"])) for row in active],
+                "id long, r double",
+            )
+            adj = idx.aug.filter(F.col("bkt").isin(bkts)).filter(
+                F.col("src_id").isin(ids)
+            )
+            msgs = (
+                adj.join(F.broadcast(rmap), adj.src_id == rmap.id)
+                .groupBy(
+                    F.when(
+                        F.col("dst_id") == DANGLING_SENTINEL, F.lit(seed_id)
+                    )
+                    .otherwise(F.col("dst_id"))
+                    .alias("id")
+                )
+                .agg(
+                    F.sum(F.lit(d) * F.col("r") * F.col("weight")).alias("m"),
+                    F.min("od_dst").alias("m_od"),
+                )
+            )
+            staged = state.withColumn(
+                "act", F.abs(F.col("r")) > F.lit(eps) * F.col("od")
+            )
+            merged = staged.join(msgs, "id", "full").select(
+                "id",
+                (
+                    F.coalesce("p", F.lit(0.0))
+                    + F.when(
+                        F.coalesce("act", F.lit(False)),
+                        F.lit(1.0 - d) * F.col("r"),
+                    ).otherwise(0.0)
+                ).alias("p"),
+                (
+                    F.when(
+                        F.coalesce("act", F.lit(False)), F.lit(0.0)
+                    ).otherwise(F.coalesce("r", F.lit(0.0)))
+                    + F.coalesce("m", F.lit(0.0))
+                ).alias("r"),
+                F.coalesce("od", "m_od").alias("od"),
+            )
+            state = merged.localCheckpoint(eager=True)
+    return state
 
 
 def _push_loop(

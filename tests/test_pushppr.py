@@ -216,6 +216,53 @@ def test_stream_incremental_ppr_matches_cold(spark, tmp_path):
     state["g"].unpersist()
 
 
+def test_push_parquet_index_parity(spark, tmp_path):
+    # the bucket-partitioned on-disk index must give the SAME answers
+    # as the in-memory form (identical equations; only the physical
+    # lookup differs), for cold, multi-seed and incremental pushes
+    from pagerankproject_spark.graph.pushppr import (
+        build_push_index,
+        ppr_push_incremental,
+    )
+
+    base = sorted(set(GRAPH))
+    edges = spark.createDataFrame(base, "src string, dst string")
+    g = build_graph_tables(spark, edges)
+    idx = build_push_index(
+        spark, g, path=str(tmp_path / "pushidx"), buckets=4
+    )
+    for seed in ("a", "d"):
+        pruned = {
+            r["url"]: r["p"]
+            for r in ppr_push(spark, g, seed, index=idx).collect()
+        }
+        mem = {r["url"]: r["p"] for r in ppr_push(spark, g, seed).collect()}
+        assert pruned == pytest.approx(mem, abs=2e-6), seed
+
+    prev = ppr_push(spark, g, "a", eps=1e-7, max_rounds=500, index=idx)
+    e2 = spark.createDataFrame(
+        base + [("b", "e"), ("a", "f")], "src string, dst string"
+    )
+    g2 = build_graph_tables(spark, e2)
+    idx2 = build_push_index(
+        spark, g2, path=str(tmp_path / "pushidx2"), buckets=4
+    )
+    inc = {
+        r["url"]: r["p"]
+        for r in ppr_push_incremental(
+            spark, g2, prev, "a", eps=1e-7, max_rounds=500, index=idx2
+        ).collect()
+    }
+    cold = {
+        r["url"]: r["p"]
+        for r in ppr_push(spark, g2, "a", eps=1e-7, max_rounds=500).collect()
+    }
+    assert inc == pytest.approx(cold, abs=2e-6)
+    idx2.unpersist()
+    g.unpersist()
+    g2.unpersist()
+
+
 def test_push_shared_index_multi_seed(spark):
     # ONE seed-independent index serves every seed (dangling rows are
     # re-aimed at the query's seed at message time)
