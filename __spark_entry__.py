@@ -2064,6 +2064,23 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS 2023,
+    text/dsir.py::dsir_weights): hashed-n-gram bucket models (portable
+    md5 hash, exact integer counts, Laplace smoothing), per-doc log
+    importance weight via a broadcast B-row log-ratio join + one
+    combinable sum; target = every 5th doc, raw = the rest. Oracle:
+    identical counts/hash/smoothing, 6dp rounding."""
+    from pagerankproject_spark.text.dsir import dsir_weights
+
+    d = _read(spark, sf_dir, "documents")
+    return dsir_weights(
+        d.filter("doc_id % 5 != 0"),
+        d.filter("doc_id % 5 = 0"),
+        n_buckets=512,
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich 2016 word-frequency
     formulation, text/bpe.py::bpe_merges): 12 merge rounds, each ONE
@@ -2306,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_synonyms": q_term_synonyms,             # NEW round 3 (local gate; r4 window head)
         "bpe_merges": q_bpe_merges,                   # NEW round 3 (local gate; r4 window head)
         "ccnet_buckets": q_ccnet_buckets,             # NEW round 3 (local gate; r4 window head)
+        "dsir_weights": q_dsir_weights,               # NEW round 3 (local gate; r4 window head)
         "ppr_push": q_ppr_push,                       # NEW round 3 (local gate; r4 window head)
         "scan_clusters": q_scan_clusters,             # NEW round 3 (local gate; r4 window head)
     }
@@ -2313,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph import pushppr as _push_mod
+    from pagerankproject_spark.text import dsir as _dsir_mod
     from pagerankproject_spark.graph import scan as _scan_mod
     from pagerankproject_spark.text import bpe as _bpe_mod
     from pagerankproject_spark.graph.hyperball import (
@@ -2660,6 +2679,10 @@ def oracle_sql() -> dict[str, str]:
         "term_ppmi": _syn_mod.sql_term_ppmi(),
         "term_synonyms": _syn_mod.sql_term_synonyms(),
         "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
+        "dsir_weights": f"""
+            with dsir_raw as (select * from documents where doc_id % 5 != 0),
+                 dsir_tgt as (select * from documents where doc_id % 5 = 0),
+            {_dsir_mod.sql_dsir_weights('dsir_raw', 'dsir_tgt', n_buckets=512)}""",
         "ccnet_buckets": f"""
             with surv as materialized (
               select d.doc_id, d.text

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "scan_clusters",
     "ppr_push",
     "ccnet_buckets",
+    "dsir_weights",
 ]
 
 
