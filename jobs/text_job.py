@@ -51,7 +51,7 @@ def main() -> None:
     p.add_argument(
         "--op", required=True,
         choices=["bm25", "ql", "heavyhitters", "mirrors",
-                 "weightedsample", "tempsample", "synonyms", "bpe"],
+                 "weightedsample", "tempsample", "synonyms", "bpe", "dsir"],
     )
     p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
     p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
@@ -66,6 +66,9 @@ def main() -> None:
                    help="weightedsample per-group k / tempsample total")
     p.add_argument("--tau", type=float, default=0.5, help="tempsample temperature")
     p.add_argument("--merges", type=int, default=12, help="bpe merge rounds")
+    p.add_argument("--target_mod", type=int, default=5,
+                   help="dsir: every Nth doc_id is the target corpus")
+    p.add_argument("--buckets", type=int, default=10000, help="dsir buckets")
     p.add_argument("--group_col", default="lang")
     p.add_argument("--weight_col", default="n_chars")
     p.add_argument("--key_col", default="doc_id")
@@ -117,6 +120,15 @@ def main() -> None:
         from pagerankproject_spark.text.bpe import bpe_merges
 
         out = bpe_merges(docs, num_merges=args.merges)
+    elif args.op == "dsir":
+        from pagerankproject_spark.text.dsir import dsir_weights
+
+        m = args.target_mod
+        out = dsir_weights(
+            docs.filter(f"doc_id % {m} != 0"),
+            docs.filter(f"doc_id % {m} = 0"),
+            n_buckets=args.buckets,
+        )
     elif args.op == "heavyhitters":
         from pagerankproject_spark.text.heavyhitters import heavy_hitters
 

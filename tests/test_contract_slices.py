@@ -72,6 +72,15 @@ KEYS = [
     "weight_normalize",
     "triangle_total",
     "cocitation",
+    # continued-round additions, all cardinality-robust (bpe's
+    # min_count gate and ccnet's terciles are replayed identically by
+    # their oracles at any row subset; scan runs on whatever graph the
+    # slice induces; dsir's models are fit on the slice itself).
+    # ppr_push is excluded: its fixed seed url may not survive a slice.
+    "bpe_merges",
+    "scan_clusters",
+    "ccnet_buckets",
+    "dsir_weights",
 ]
 
 
