@@ -150,6 +150,10 @@ def run_worker(
         _run_worker_minhash(spark, cpus, multiplier, iters)
         spark.stop()
         return
+    if op == "bpe":
+        _run_worker_bpe(spark, cpus, multiplier)
+        spark.stop()
+        return
 
     t0 = time.time()
     g = build_graph(spark, multiplier, cpus * 2, vertices)
@@ -190,7 +194,7 @@ def run_worker(
     spark.stop()
 
 
-def _build_docs(spark, multiplier: int, partitions: int):
+def _build_docs(spark, multiplier: int, partitions: int, vocab: int = 4000):
     """Deterministic synthetic corpus: multiplier x 10k docs, 60 tokens
     each, drawn from a 4k-token vocabulary by pure integer hashing —
     identical rows at any parallelism level, enough shingle collisions
@@ -222,7 +226,7 @@ def _build_docs(spark, multiplier: int, partitions: int):
                                 F.col("id") * 60 + j + F.lit(7_777_777),
                             ).otherwise(base * 60 + j)
                         ),
-                        F.lit(4000),
+                        F.lit(vocab),
                     ),
                 ),
             ),
@@ -268,6 +272,49 @@ def _run_worker_minhash(spark, cpus: int, multiplier: int, iters: int) -> None:
                 "sec_per_run": round(per_run, 3),
                 "docs_per_sec": round(n_docs / per_run, 1),
                 "run_walls": [round(w, 3) for w in run_walls],
+            }
+        )
+    )
+
+
+def _run_worker_bpe(spark, cpus: int, multiplier: int) -> None:
+    """Tokenizer-family sweep: BPE merge training over a 2M-word
+    space (the iteration state is the vocabulary table — a rich word
+    space makes each round's pair explode data-bound rather than
+    fixed-cost-bound, which is the regime a real corpus vocabulary
+    puts the operator in).
+    Per-round cost isolated by the two-run difference protocol:
+    (wall at 10 merges - wall at 2 merges) / 8 amortizes the shared
+    wordcount/init exactly. Throughput = corpus tokens / round-sec
+    (tokens constant across levels, so efficiency divides out)."""
+    from pagerankproject_spark.text.bpe import bpe_merges
+
+    t0 = time.time()
+    docs, n_docs = _build_docs(spark, multiplier, cpus * 2, vocab=2_000_000)
+    build_sec = time.time() - t0
+
+    t0 = time.time()
+    bpe_merges(docs, num_merges=2, min_count=1).collect()
+    t2 = time.time() - t0
+    t0 = time.time()
+    rules = bpe_merges(docs, num_merges=10, min_count=1).collect()
+    t10 = time.time() - t0
+    per_round = max((t10 - t2) / 8.0, 1e-9)
+    n_tokens = n_docs * 60
+    print(
+        "WORKER_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "op": "bpe",
+                "docs": n_docs,
+                "tokens": n_tokens,
+                "rules": len(rules),
+                "build_sec": round(build_sec, 2),
+                "wall_2_merges": round(t2, 2),
+                "wall_10_merges": round(t10, 2),
+                "sec_per_round": round(per_round, 3),
+                "tokens_per_sec_per_round": round(n_tokens / per_round, 1),
             }
         )
     )
@@ -387,10 +434,10 @@ def main() -> None:
         "--op",
         type=str,
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "triangles", "minhash"],
-        help="which north-rule operator to sweep (minhash extends the "
-        "protocol to the dedup family); non-pagerank ops write "
-        "their own BENCH.md section",
+        choices=["pagerank", "cc", "lpa", "triangles", "minhash", "bpe"],
+        help="which north-rule operator to sweep (minhash / bpe extend "
+        "the protocol to the dedup and tokenizer families); "
+        "non-pagerank ops write their own BENCH.md section",
     )
     ap.add_argument(
         "--vertices",
@@ -418,6 +465,10 @@ def main() -> None:
 
     if args.op == "minhash":
         _report_minhash(args, levels, results)
+        return
+
+    if args.op == "bpe":
+        _report_bpe(args, levels, results)
         return
 
     if args.op != "pagerank":
@@ -773,6 +824,69 @@ def _report_minhash(args, levels: list[int], results: dict) -> None:
             text = text.rstrip("\n") + "\n\n" + section + "\n"
     bench_path.write_text(text)
     print(f"wrote {bench_path} (minhash section)")
+
+
+def _report_bpe(args, levels: list[int], results: dict) -> None:
+    """Report + BENCH.md section for the tokenizer-family sweep."""
+    def eff(lo, hi):
+        return (
+            hi["tokens_per_sec_per_round"] / lo["tokens_per_sec_per_round"]
+        ) / (hi["cpus"] / lo["cpus"])
+
+    eff_primary = eff(results[levels[0]], results[levels[1]])
+    report = {
+        "job": "bpe merge-round cost, deterministic synthetic corpus",
+        "levels": {str(c): r for c, r in results.items()},
+        "primary_pair": f"local[{levels[0]}] vs local[{levels[1]}]",
+        "scaling_efficiency": round(eff_primary, 3),
+        "meets_north_rule_0.8": eff_primary >= 0.8,
+    }
+    print(json.dumps(report))
+
+    lo = results[levels[0]]
+    md = [
+        f"### bpe merge training: {lo['docs']:,} docs / {lo['tokens']:,} "
+        "tokens, 2M-word space",
+        "",
+        "The N->4N protocol extended to the tokenizer family: BPE merge",
+        "rounds over the vocabulary table (text/bpe.py). Per-round cost",
+        "isolated by the two-run difference (wall@10 - wall@2)/8, which",
+        "amortizes the shared wordcount/init exactly; throughput =",
+        "corpus tokens / round-second.",
+        "",
+        "| level | s/round | tokens/sec/round | wall@2 | wall@10 |",
+        "|---|---|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        md.append(
+            f"| local[{c}] | {r['sec_per_round']:.2f} | "
+            f"{r['tokens_per_sec_per_round']:,.0f} | "
+            f"{r['wall_2_merges']} | {r['wall_10_merges']} |"
+        )
+    md += [
+        "",
+        f"**Primary (local[{levels[0]}] vs local[{levels[1]}]): efficiency = "
+        f"{eff_primary:.3f}**"
+        + ("  — >= 0.8: **PASS**" if eff_primary >= 0.8 else "  — < 0.8: FAIL"),
+        "",
+        f"Reproduce: `python jobs/bench_scaling.py --op bpe "
+        f"--multiplier {args.multiplier} --levels {args.levels}`",
+        "",
+    ]
+    begin = "<!-- BEGIN bpe-op-scaling -->"
+    end = "<!-- END bpe-op-scaling -->"
+    section = begin + "\n" + "\n".join(md) + end
+    bench_path = REPO / "BENCH.md"
+    text = bench_path.read_text() if bench_path.exists() else ""
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + section + tail
+    else:
+        text = text.rstrip("\n") + "\n\n" + section + "\n"
+    bench_path.write_text(text)
+    print(f"wrote {bench_path} (bpe section)")
 
 
 def _report_alt_spmv(args, levels: list[int], results: dict) -> None:
