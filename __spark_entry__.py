@@ -2064,6 +2064,17 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021 Appendix A,
+    text/gopher.py::gopher_rules): seven per-doc boolean flags +
+    conjunction, every threshold integer cross-multiplied — one scan,
+    zero shuffle, whole-stage codegen. Oracle: identical integer
+    comparisons over DuckDB list functions."""
+    from pagerankproject_spark.text.gopher import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. NeurIPS 2023,
     text/dsir.py::dsir_weights): hashed-n-gram bucket models (portable
@@ -2324,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,                   # NEW round 3 (local gate; r4 window head)
         "ccnet_buckets": q_ccnet_buckets,             # NEW round 3 (local gate; r4 window head)
         "dsir_weights": q_dsir_weights,               # NEW round 3 (local gate; r4 window head)
+        "gopher_rules": q_gopher_rules,               # NEW round 3 (local gate; r4 window head)
         "ppr_push": q_ppr_push,                       # NEW round 3 (local gate; r4 window head)
         "scan_clusters": q_scan_clusters,             # NEW round 3 (local gate; r4 window head)
     }
@@ -2332,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph import pushppr as _push_mod
     from pagerankproject_spark.text import dsir as _dsir_mod
+    from pagerankproject_spark.text import gopher as _gopher_mod
     from pagerankproject_spark.graph import scan as _scan_mod
     from pagerankproject_spark.text import bpe as _bpe_mod
     from pagerankproject_spark.graph.hyperball import (
@@ -2679,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "term_ppmi": _syn_mod.sql_term_ppmi(),
         "term_synonyms": _syn_mod.sql_term_synonyms(),
         "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
+        "gopher_rules": "with " + _gopher_mod.sql_gopher_rules("documents"),
         "dsir_weights": f"""
             with dsir_raw as (select * from documents where doc_id % 5 != 0),
                  dsir_tgt as (select * from documents where doc_id % 5 = 0),

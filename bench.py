@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ppr_push",
     "ccnet_buckets",
     "dsir_weights",
+    "gopher_rules",
 ]
 
 

@@ -81,6 +81,7 @@ KEYS = [
     "scan_clusters",
     "ccnet_buckets",
     "dsir_weights",
+    "gopher_rules",
 ]
 
 
