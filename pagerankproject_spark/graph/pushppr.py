@@ -96,10 +96,11 @@ class PushIndex:
     buckets: int = 0
 
     def unpersist(self) -> None:
-        try:
-            self.aug.unpersist()
-        except Exception:
-            pass
+        for df in (self.aug, self.od_aug):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def build_push_index(

@@ -71,6 +71,8 @@ def scan_clusters(
     cluster (min member url of the core component; NULL for
     hub/outlier). Covers every endpoint of the simplified graph.
     """
+    if g is None and edges is None:
+        raise ValueError("scan_clusters: need g or edges")
     if not (0 < eps_num <= eps_den):
         raise ValueError("scan_clusters: need 0 < eps_num <= eps_den")
     if mu < 2:

@@ -54,6 +54,32 @@ def reset_stats_checkpoint(df: DataFrame) -> DataFrame:
 
 
 @contextlib.contextmanager
+def loop_shuffle_partitions(spark: SparkSession, rows: int,
+                            rows_per_partition: int = 250_000):
+    """Temporarily size `spark.sql.shuffle.partitions` to an iterative
+    loop's working set (`rows` ≈ edge count of the loop state).
+
+    Many-round loops (coloring, LPA tails, peeling) run dozens of
+    short, identically-shaped stages over a worklist that is often far
+    smaller than the session default of one-partition-per-core — at
+    which point every shuffle pays (default × rounds) near-empty task
+    launches of pure scheduler overhead. With AQE disabled inside these
+    loops (see no_aqe), its runtime coalescing can't fix this, so we
+    set the static equivalent: enough partitions for the data, capped
+    at the session default (a big input keeps full parallelism; on a
+    1000-executor cluster the default dominates and this is a no-op).
+    Partition count never affects values — only task granularity."""
+    key = "spark.sql.shuffle.partitions"
+    prev = int(spark.conf.get(key, "32"))
+    sized = min(prev, max(1, rows // rows_per_partition + 1))
+    spark.conf.set(key, str(sized))
+    try:
+        yield sized
+    finally:
+        spark.conf.set(key, str(prev))
+
+
+@contextlib.contextmanager
 def no_aqe(spark: SparkSession):
     """Disable AQE for the duration of an iterative driver loop.
 

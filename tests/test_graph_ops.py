@@ -2154,3 +2154,97 @@ def test_simrank_mc_matches_python_replay(spark):
         simrank_mc(df, g=g)
     with _pytest.raises(ValueError, match="exactly one"):
         simrank_mc()
+
+
+def _auto_replay(pairs, probe_rounds=8):
+    """Literal python replay of coloring_auto: probe_rounds of
+    fixed-priority Jones-Plassmann, then '#a{r}'-salted hash trials."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def pri(v):
+        return (h60(v), v)
+
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(s) for v, s in adj.items()}
+    unc, colors = set(adj), {}
+    jp_rounds = 0
+    for _ in range(probe_rounds):
+        if not unc:
+            break
+        jp_rounds += 1
+        winners = {
+            v
+            for v in unc
+            if not (adj[v] & unc)
+            or pri(v) < min(pri(u) for u in adj[v] & unc)
+        }
+        newc = {}
+        for v in winners:
+            used = {colors[u] for u in adj[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            newc[v] = c
+        colors.update(newc)
+        unc -= winners
+    r = 0
+    while unc:
+        pick = {v: h60(f"{v}#a{r}") % (deg[v] + 1) for v in unc}
+        win = {}
+        for v in unc:
+            if any(colors.get(u) == pick[v] for u in adj[v]):
+                continue
+            if any(u in unc and pick[u] == pick[v] for u in adj[v]):
+                continue
+            win[v] = pick[v]
+        colors.update(win)
+        unc -= set(win)
+        r += 1
+        assert r < 200
+    return colors, adj, deg, jp_rounds, r
+
+
+def test_coloring_auto_matches_replay_and_phase_pick(spark):
+    from pagerankproject_spark.graph.coloring import coloring_auto
+
+    # dense-ish weblike graph: JP alone needs > probe rounds, so the
+    # palette phase must engage and finish the residual core
+    pairs = make_weblike(seed=17, n_nodes=80, m_edges=400)
+    post = _post_regex(pairs)
+    res = coloring_auto(spark, edges_df(spark, post))
+    got = {r["url"]: r["color"] for r in res.colors.collect()}
+    want, adj, deg, jp_r, pal_r = _auto_replay(post)
+    assert got == want
+    assert pal_r > 0  # replay confirms the fixture outruns the probe
+    algos = {m["algo"] for m in res.metrics}
+    assert algos == {"jp", "palette"}
+    # proper + per-vertex palette bound (deg in JP phase, deg+1 after)
+    for v, nbrs in adj.items():
+        assert all(got[v] != got[u] for u in nbrs)
+        assert 0 <= got[v] <= deg[v]
+
+    # short-chain graph: JP finishes inside the probe — result IS the
+    # exact greedy coloring and no palette round ever runs
+    chain = [(f"c{i}", f"c{i+1}") for i in range(20)]
+    res2 = coloring_auto(spark, edges_df(spark, chain))
+    got2 = {
+        r["url"]: r["color"] for r in res2.colors.collect()
+    }
+    want2, _, _, _, pal2 = _auto_replay(chain)
+    assert got2 == want2
+    assert pal2 == 0
+    assert {m["algo"] for m in res2.metrics} == {"jp"}
+    jp_only, _ = _coloring_replay(chain)
+    assert got2 == jp_only
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no edges"):
+        coloring_auto(spark, edges_df(spark, [("a", "a")]))
