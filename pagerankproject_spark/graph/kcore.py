@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -439,6 +439,30 @@ class CorenessResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+
+def hindex_expr(arr):
+    """h-index of a value multiset as one JVM-side integer fold:
+    sort the collected values descending, then h = max_i min(i, m_i)
+    (1-indexed). Identical to the row_number-window formulation
+    max(least(rn, value)) — and like it, invariant to the order among
+    equal values — but runs as a plain hash aggregate: one shuffle, no
+    per-group sort stage. Shared by coreness (vertex h-index) and
+    trussness (edge-triangle h-index)."""
+    return F.aggregate(
+        F.reverse(F.array_sort(arr)),
+        F.struct(
+            F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("h")
+        ),
+        lambda acc, x: F.struct(
+            (acc["i"] + F.lit(1).cast("long")).alias("i"),
+            F.greatest(
+                acc["h"], F.least(acc["i"] + F.lit(1).cast("long"), x)
+            ).alias("h"),
+        ),
+        lambda acc: acc["h"],
+    )
+
+
 def coreness(
     spark: SparkSession,
     g: GraphTables,
@@ -454,12 +478,13 @@ def coreness(
     h-index (the largest h such that >= h neighbors have value >= h).
     The iterates are non-increasing and converge exactly to the core
     number — no peeling rounds, no per-k loop, and every round is one
-    edge-scan join + a per-vertex rank window + an integer aggregate,
-    all shuffled on the same vertex key.
+    edge-scan join + one hash aggregate computing the h-index as a
+    JVM-side integer fold (hindex_expr), all shuffled on the same
+    vertex key.
 
     Scale shape: state is one long per vertex; per-round cost is
-    O(edges) with the same key partitioning reused across the join,
-    the window, and the aggregate (a single exchange per round). The
+    O(edges) with the same key partitioning reused across the join
+    and the aggregate (a single exchange per round). The
     changed-vertex count rides the localCheckpoint Observation, so the
     loop costs one Spark job per round. Rounds needed are bounded by
     the longest strictly-decreasing h-index trajectory — tens, not
@@ -467,15 +492,14 @@ def coreness(
     reported, and a fixed `max_iterations` replays exactly in the
     DuckDB oracle since post-fixpoint rounds are no-ops).
 
-    H-index tie handling: ranking neighbors by value descending makes
-    max(least(rank, value)) independent of the order among equal
-    values, so the result is deterministic without a tie-break key.
+    H-index tie handling: the descending fold in hindex_expr (like the
+    rank-window formulation it replaces) is invariant to the order
+    among equal values, so the result is deterministic without a
+    tie-break key.
 
     Isolated vertices (no non-loop edges) have core number 0 and are
     restored from g.vertices at the end.
     """
-    from pyspark.sql import Window
-
     P = g.num_partitions
     e = g.weighted_edges.select("src_id", "dst_id").filter(
         F.col("src_id") != F.col("dst_id")
@@ -500,20 +524,19 @@ def coreness(
         .localCheckpoint(eager=True)
     )
 
-    rankw = Window.partitionBy("v").orderBy(F.desc("cw"))
+    m_sym = usym.count()
     metrics: list[dict] = []
     converged = False
     it = -1
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_sym):
         for it in range(max_iterations):
             t0 = time.time()
             h = (
                 usym.join(
                     c.select(F.col("v").alias("w"), F.col("c").alias("cw")), "w"
                 )
-                .withColumn("rn", F.row_number().over(rankw).cast("long"))
                 .groupBy("v")
-                .agg(F.max(F.least(F.col("rn"), F.col("cw"))).alias("h"))
+                .agg(hindex_expr(F.collect_list("cw")).alias("h"))
             )
             obs = Observation()
             staged = (

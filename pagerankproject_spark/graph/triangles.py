@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe, reset_stats_checkpoint
+from ..session import (
+    loop_shuffle_partitions,
+    no_aqe,
+    reset_stats_checkpoint,
+)
 
 
 @dataclass
@@ -414,8 +418,9 @@ def trussness(
     cascade instead of staying O(incidence).
     A fixed `max_iterations` replays exactly in the DuckDB oracle
     (oracle/recursive_sql.py::sql_trussness) since post-fixpoint rounds
-    are no-ops. H-index ties need no tie-break: max(least(rn, m)) is
-    invariant to the order among equal message values.
+    are no-ops. H-index ties need no tie-break: hindex_expr's
+    descending fold is invariant to the order among equal message
+    values.
 
     Output canonicalizes in URL space: a = least(url), b = greatest —
     id-space and url-space orientations of an undirected edge coincide.
