@@ -84,9 +84,18 @@ def connected_components(
         .persist()
     )
     if salt_buckets == "auto":
-        max_deg = sym.groupBy("src_id").count().agg(F.max("count")).first()[0] or 0
-        threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
-        salt_buckets = 8 if max_deg > threshold else 0
+        # max_deg <= 2*num_edges, and the threshold floor is 1M — on a
+        # graph too small to ever reach it the probe cannot trigger, so
+        # skip its count job outright (r3 suite-constant regression fix)
+        if 2 * g.num_edges <= 1_000_000:
+            salt_buckets = 0
+        else:
+            max_deg = (
+                sym.groupBy("src_id").count().agg(F.max("count")).first()[0]
+                or 0
+            )
+            threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
+            salt_buckets = 8 if max_deg > threshold else 0
     if salt_buckets > 0:
         sym = sym.withColumn(
             "salt", F.pmod(F.hash("src_id"), F.lit(salt_buckets))

@@ -106,10 +106,18 @@ def label_propagation(
     )
     if salt_buckets == "auto":
         # same probe + threshold as connected_components: salt only when
-        # a hot vertex would dominate a task (measured win regime)
-        max_deg = sym.groupBy("src").count().agg(F.max("count")).first()[0] or 0
-        threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
-        salt_buckets = 8 if max_deg > threshold else 0
+        # a hot vertex would dominate a task (measured win regime);
+        # max_deg <= 2*num_edges and the threshold floor is 1M, so on a
+        # graph too small to ever reach it skip the probe's count job
+        # outright (r3 suite-constant regression fix)
+        if 2 * g.num_edges <= 1_000_000:
+            salt_buckets = 0
+        else:
+            max_deg = (
+                sym.groupBy("src").count().agg(F.max("count")).first()[0] or 0
+            )
+            threshold = max(1_000_000, 4 * (2 * g.num_edges) // max(P, 1))
+            salt_buckets = 8 if max_deg > threshold else 0
     if salt_buckets > 0:
         sym = sym.withColumn(
             "salt", F.pmod(F.hash("src"), F.lit(salt_buckets))
@@ -146,9 +154,15 @@ def label_propagation(
     with no_aqe(spark):
         while it < max_iterations and not converged:
             t0 = time.time()
+            # frontier mode pays a dst-partitioned adjacency copy plus
+            # two extra joins per round; on a small graph a full
+            # recompute is one cheap job, so the tail restriction only
+            # engages past 1M symmetrized edges (mode choice never
+            # affects values — exactness argument below)
             frontier_mode = (
                 prev_changed is not None
                 and prev_changed <= frontier_threshold * g.n
+                and 2 * g.num_edges > 1_000_000
             )
             if frontier_mode:
                 if sym_by_dst is None:
