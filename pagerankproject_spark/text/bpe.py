@@ -16,9 +16,15 @@ Scale shape (the reason word-frequency BPE is the 100-TB formulation):
   fewer distinct words, and the initial ``groupBy(word)`` is the
   map-side-combinable wordcount shuffle. After that, no round ever
   touches the corpus again.
-* Per round: ONE Spark job — an explode of adjacent pairs weighted by
-  ``freq``, a combinable integer ``sum``, and a 1-row argmax collect
-  (a scalar-sized sink, consistent with the repo's collect policy).
+* Pair counts are DELTA-MAINTAINED: the (l, r, cnt) table is built
+  once from the full vocabulary, then each merge subtracts the changed
+  words' old pairs and adds their new ones — the per-round explode and
+  shuffle track the worklist (words containing the winning pair), not
+  the vocabulary, and the 1-row argmax collect (a scalar-sized sink,
+  consistent with the repo's collect policy) reads the maintained
+  distinct-pair table. This is what a 32k-round production vocabulary
+  needs: round cost decays with the worklist instead of staying
+  O(vocab).
 * The rewrite is WORKLIST-RESTRICTED and fully JVM-side: a
   ``zip_with`` adjacency probe gates a higher-order ``aggregate`` fold
   (whole-stage codegen, no Python), so only words actually containing
@@ -46,7 +52,9 @@ subword-vocabulary construction step an LLM corpus pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import time
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -132,12 +140,34 @@ def bpe_merges(
     text_col: str = "text",
     min_count: int = 2,
     lowercase: bool = True,
+    metrics_out: list | None = None,
+    delta_threshold: float = 0.1,
 ) -> DataFrame:
     """Train ``num_merges`` BPE merge rules; returns the merge table.
 
     Output: rank (int, 0-based merge order), left, right (the merged
     symbol pair), freq (long, the pair's weighted count when chosen).
     Stops early when no remaining pair reaches ``min_count``.
+
+    Pair-count maintenance is AUTO, one Spark job per round in both
+    regimes: while the worklist (words containing the winning pair) is
+    a large fraction of the vocabulary, each round re-counts pairs with
+    the full data-bound explode+sum — the shape whose N->4N efficiency
+    the BENCH.md sweep certifies; once a round changes fewer than
+    ``delta_threshold`` of the words, the loop switches (one-way) to
+    DELTA-maintained counts: subtract the changed words' old pairs,
+    add their new ones (the stream_incremental_ppmi count-maintenance
+    pattern), so late-round cost tracks the worklist, not the
+    vocabulary — the regime a 32k-round production vocabulary lives
+    in. Both modes produce identical integer counts, so the schedule
+    never changes the learned rules. The changed-word count driving
+    the switch rides an Observation on the lazily-checkpointed state
+    and is read one round later, when the recount has materialized it
+    — no extra job, no blocking.
+
+    ``metrics_out``: bench hook — when a list is passed, one dict per
+    round is appended with the round wall, the worklist size, and the
+    count mode (the delta-mode worklist count adds a bench-only job).
     """
     if num_merges < 1:
         raise ValueError("bpe_merges: num_merges must be >= 1")
@@ -150,19 +180,37 @@ def bpe_merges(
     )
     # one vocabulary-sized materialization; every round reads this state
     words = words.localCheckpoint(eager=True)
+    n_words = words.count()
 
-    rules: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
-        best = (
-            words.select(
+    def _recount(w: DataFrame) -> DataFrame:
+        return (
+            w.select(
                 "freq", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p")
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+        )
+
+    pc = _recount(words).localCheckpoint(eager=True)
+
+    rules: list[tuple[int, str, str, int]] = []
+    delta_mode = False
+    pending_obs: Observation | None = None
+    for rank in range(num_merges):
+        t0 = time.time()
+        best = (
+            pc.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(1)
             .collect()
         )
+        # the argmax just materialized pc — in recount mode that read
+        # the previous round's lazily-checkpointed state, so its
+        # Observation is now available without blocking
+        if pending_obs is not None:
+            prev_changed = int(pending_obs.get["n"] or 0)
+            pending_obs = None
+            if prev_changed <= delta_threshold * n_words:
+                delta_mode = True
         if not best or best[0]["cnt"] < min_count:
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
@@ -172,12 +220,77 @@ def bpe_merges(
             _adjacent_pairs(F.col("symbols")),
             lambda p: (p["l"] == F.lit(left)) & (p["r"] == F.lit(right)),
         )
-        words = words.withColumn(
-            "symbols",
-            F.when(
-                has_pair, _merge_fold(F.col("symbols"), left, right)
-            ).otherwise(F.col("symbols")),
-        ).localCheckpoint(eager=False)
+        n_changed: int | None = None
+        if delta_mode:
+            # worklist rounds: only words containing the winning pair
+            # change; their pre/post-merge sequences drive the delta
+            changed = words.filter(has_pair)
+            if metrics_out is not None:
+                n_changed = changed.count()
+            rewritten = changed.select(
+                "freq",
+                _merge_fold(F.col("symbols"), left, right).alias("symbols"),
+            )
+            delta = (
+                changed.select(
+                    (-F.col("freq")).alias("w"),
+                    F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
+                )
+                .unionByName(
+                    rewritten.select(
+                        F.col("freq").alias("w"),
+                        F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"),
+                    )
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("w").alias("d"))
+                .filter(F.col("d") != 0)
+            )
+            pc_next = (
+                pc.join(delta, ["l", "r"], "full_outer")
+                .select(
+                    "l",
+                    "r",
+                    (
+                        F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+                        + F.coalesce(F.col("d"), F.lit(0).cast("long"))
+                    ).alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+            )
+            words = words.withColumn(
+                "symbols",
+                F.when(
+                    has_pair, _merge_fold(F.col("symbols"), left, right)
+                ).otherwise(F.col("symbols")),
+            ).localCheckpoint(eager=False)
+            pc = pc_next.localCheckpoint(eager=False)
+        else:
+            obs = Observation()
+            staged = (
+                words.select(
+                    "freq",
+                    F.when(
+                        has_pair, _merge_fold(F.col("symbols"), left, right)
+                    )
+                    .otherwise(F.col("symbols"))
+                    .alias("symbols"),
+                    has_pair.cast("long").alias("chg"),
+                )
+                .observe(obs, F.sum("chg").alias("n"))
+            )
+            words = staged.select("freq", "symbols").localCheckpoint(
+                eager=False
+            )
+            pending_obs = obs
+            pc = _recount(words).localCheckpoint(eager=False)
+        if metrics_out is not None:
+            metrics_out.append(
+                {"rank": rank, "pair": (left, right), "freq": cnt,
+                 "changed_words": n_changed,
+                 "mode": "delta" if delta_mode else "recount",
+                 "wall_sec": time.time() - t0}
+            )
 
     return spark.createDataFrame(rules, MERGE_SCHEMA)
 
