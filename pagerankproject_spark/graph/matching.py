@@ -39,7 +39,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 from ..text.analysis import hash60_expr, sql_hash60
 
 
@@ -127,7 +127,9 @@ def _match_loop(
     matched: DataFrame | None = None
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    # size the many small rounds to the worklist (no-op at scale)
+    m0 = und.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m0):
         for r in range(max_rounds):
             t0 = time.time()
             m = und.count()

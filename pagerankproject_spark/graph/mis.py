@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 from ..text.analysis import hash60_expr, sql_hash60
 
 
@@ -111,7 +111,9 @@ def luby_mis(
     mis: DataFrame | None = None
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    # size the many small rounds to the worklist (no-op at scale)
+    m_sym = sym.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_sym):
         for r in range(max_rounds):
             t0 = time.time()
             n = alive.count()

@@ -43,7 +43,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe, reset_stats_checkpoint
+from ..session import (
+    loop_shuffle_partitions,
+    no_aqe,
+    reset_stats_checkpoint,
+)
 from ..text.analysis import hash60_expr, sql_hash60
 
 
@@ -98,7 +102,9 @@ def boruvka_msf(
         "a", "b", "w", "pe",
         F.col("a").alias("ca"), F.col("b").alias("cb"),
     ).transform(reset_stats_checkpoint)
-    with no_aqe(spark):
+    # size the many contraction rounds to the worklist (no-op at scale)
+    m0 = live.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m0):
         for r in range(max_rounds):
             t0 = time.time()
             m = live.count()
