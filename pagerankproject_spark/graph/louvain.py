@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -113,7 +113,9 @@ def _move_rounds(
     constant to every candidate's gain, so it cancels in the argmax.
     `lab` is the checkpointed (v, lbl, k) state; returns the state
     after the final round (checkpointed)."""
-    with no_aqe(spark):
+    # size the fixed-round stages to the working set (no-op at scale)
+    m_sym = sym.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_sym):
         for r in range(rounds):
             t0 = time.time()
             # the label state carries (v, lbl, k) — tot, the mover set,

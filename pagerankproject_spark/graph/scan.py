@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 from .triangles import triangle_counts
 
 
@@ -122,7 +122,9 @@ def scan_clusters(
         cores.select("v", F.col("v").alias("label"))
         .localCheckpoint(eager=True)
     )
-    with no_aqe(spark):
+    # size the min-label rounds to the core adjacency (no-op at scale)
+    m_cc = cc_sym.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_cc):
         for _ in range(max_iterations):
             msgs = (
                 cc_sym.join(labels, "v")

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -92,7 +92,8 @@ def strongly_connected_components(
     metrics: list[dict] = []
     rounds = 0
 
-    with no_aqe(spark):
+    # size the many FW/BW/trim rounds to the edge table (no-op at scale)
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         while rounds < max_rounds:
             t0 = time.time()
             # --- 1. trim: peel no-in or no-out vertices as singletons ---
