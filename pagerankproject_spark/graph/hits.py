@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -86,7 +86,7 @@ def hits(
     metrics: list[dict] = []
     converged = False
     it = 0
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for it in range(max_iterations):
             t0 = time.time()
             obs_a = Observation()

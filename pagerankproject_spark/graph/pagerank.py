@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
 from ..io.checkpoint import ParquetCheckpointer
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -262,7 +262,11 @@ def pagerank(
     elif spmv != "dataframe":
         raise ValueError(f"unknown spmv impl: {spmv}")
 
-    with no_aqe(spark):
+    # size the per-iteration shuffles to the edge table (pure metadata;
+    # a no-op at scale where the session default dominates — partition
+    # count only changes task granularity and float summation order at
+    # the last-ulp level, both inside the engine's parity tolerances)
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         converged, ranks = _run_loop(
             g, base, ranks, dm, alpha, epsilon, max_iterations,
             start_iter, residuals, metrics, ckpt, checkpoint_interval,

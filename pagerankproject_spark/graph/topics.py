@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -128,7 +128,7 @@ def pagerank_topics(
     dm = [int(agg["d_cnt"]) * uniform] * k
 
     metrics: list[dict] = []
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for it in range(iterations):
             t0 = time.time()
             contribs = (
