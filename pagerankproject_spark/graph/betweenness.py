@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables, simple_edges
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 def betweenness_sampled(
@@ -88,7 +88,7 @@ def betweenness_sampled(
     ).localCheckpoint(eager=True)
     settled = level
     levels = [level]
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         # one probe level past the cap: a frontier still alive there
         # would silently corrupt EVERY bc value (the backward pass would
         # run on a truncated shortest-path DAG), not just omit the tail.
@@ -229,7 +229,8 @@ def multi_source_distances(
     ).localCheckpoint(eager=True)
     settled = level
     levels = [level]
-    with no_aqe(spark):
+    m_e = e.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_e):
         for depth in range(1, max_depth + 2):
             cand = (
                 level.join(e, level.v == e.src_id)

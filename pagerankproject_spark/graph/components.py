@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
 from ..io.checkpoint import ParquetCheckpointer
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -137,7 +137,8 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     metrics: list[dict] = []
     it = start_iter
-    with no_aqe(spark):
+    # size the min-label rounds to the symmetrized edges (no-op at scale)
+    with no_aqe(spark), loop_shuffle_partitions(spark, 2 * g.num_edges):
         while it < max_iterations and not converged:
             t0 = time.time()
             if salt_buckets > 0:
@@ -322,7 +323,7 @@ def connected_components_twophase(
 
     metrics: list[dict] = []
     rounds, converged = 0, False
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, 2 * g.num_edges):
         while rounds < max_rounds and not converged:
             t0 = time.time()
             # --- large-star ---

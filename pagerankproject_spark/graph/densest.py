@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -93,7 +93,7 @@ def densest_subgraph(
     best_alive = alive
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for r in range(max_rounds):
             t0 = time.time()
             n = alive.count()

@@ -64,7 +64,7 @@ def kcore(
 
     metrics: list[dict] = []
     it = 0
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for it in range(max_iterations):
             t0 = time.time()
             deg = (
@@ -155,7 +155,7 @@ def bfs_distances(
     metrics: list[dict] = []
     converged = False
     it = 0
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for it in range(max_iterations):
             t0 = time.time()
             frontier = dist.filter(F.col("nw") == 1).select("id", "d")
@@ -348,7 +348,8 @@ def sssp_weighted(
 
     converged, it = False, 0
     metrics: list[dict] = []
-    with no_aqe(spark):
+    m_e = e.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, m_e):
         for it in range(max_iterations):
             t0 = time.time()
             work = dist.filter(F.col("chg") == 1).select("url", "d")

@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables, assign_url_ordered_ids
 from ..io.checkpoint import ParquetCheckpointer
-from ..session import no_aqe
+from ..session import loop_shuffle_partitions, no_aqe
 
 
 @dataclass
@@ -151,7 +151,8 @@ def label_propagation(
     prev_changed = None
     metrics: list[dict] = []
     it = start_iter
-    with no_aqe(spark):
+    # size the rounds to the symmetrized edges (no-op at scale)
+    with no_aqe(spark), loop_shuffle_partitions(spark, 2 * g.num_edges):
         while it < max_iterations and not converged:
             t0 = time.time()
             # frontier mode pays a dst-partitioned adjacency copy plus

@@ -80,7 +80,7 @@ def katz_centrality(
     and one map-side-combinable SUM keyed by dst, lineage cut per
     iteration. Returns (url, katz) with katz rounded to 6dp.
     """
-    from ..session import no_aqe
+    from ..session import loop_shuffle_partitions, no_aqe
 
     P = g.num_partitions
     e = (
@@ -89,7 +89,7 @@ def katz_centrality(
         .localCheckpoint(eager=True)
     )
     x = g.vertices.select("id", F.lit(1.0).alias("x")).repartition(P, "id")
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for _ in range(iterations):
             msgs = (
                 e.join(x, e.src_id == x.id)
@@ -168,7 +168,7 @@ def eigenvector_centrality(
     cut per iteration; the normalizing max is a 1-row scalar crossJoin
     (the repo's established scalar pattern). Returns (url, eigenvector).
     """
-    from ..session import no_aqe
+    from ..session import loop_shuffle_partitions, no_aqe
 
     P = g.num_partitions
     e = (
@@ -179,7 +179,7 @@ def eigenvector_centrality(
     x = g.vertices.select("id", F.lit(1).cast("long").alias("x")).repartition(
         P, "id"
     )
-    with no_aqe(spark):
+    with no_aqe(spark), loop_shuffle_partitions(spark, g.num_edges):
         for _ in range(iterations):
             msgs = (
                 e.join(x, e.src_id == x.id)

@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import no_aqe, reset_stats_checkpoint
+from ..session import loop_shuffle_partitions, no_aqe, reset_stats_checkpoint
 
 
 @dataclass
@@ -75,7 +75,9 @@ def functional_rooting(
     )
     metrics: list[dict] = []
     rounds = 0
-    with no_aqe(spark):
+    # size the doubling rounds to the pointer table (no-op at scale)
+    n_state = state.count()
+    with no_aqe(spark), loop_shuffle_partitions(spark, n_state):
         for r in range(max_rounds):
             t0 = time.time()
             rounds = r + 1
