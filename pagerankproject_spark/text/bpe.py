@@ -417,3 +417,29 @@ s{i + 1} as materialized (
     return (
         "with " + ",".join(parts) + "\n" + union + "\norder by rank"
     )
+
+
+def sql_bpe_segment(
+    rel: str,
+    num_merges: int = 12,
+    text_col: str = "text",
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB twin of train-then-encode (``bpe_merges`` followed by
+    ``bpe_encode`` with the learned rules): the identical round-unrolled
+    state chain as ``sql_bpe_merges``, but the final select reads the
+    LAST round's symbol rows — each word's segmentation after all
+    merges — instead of the merge list. Early-stopped rounds pass the
+    state through unchanged (empty ``best{i}``), so an engine run that
+    found fewer than ``num_merges`` rules still matches."""
+    inner = sql_bpe_merges(rel, num_merges, text_col, min_count, lowercase)
+    # the shared state chain is everything before the merge-list union
+    head = inner[: inner.index("\nselect 0 as rank")]
+    return (
+        head
+        + f"""
+select word, freq, list(sym order by pos) as subwords
+from s{num_merges}
+group by word, freq"""
+    )
