@@ -2131,6 +2131,19 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, rules)
 
 
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refinement: Louvain local moves then constrained
+    local moves on the intra-community subgraph from singletons —
+    splits badly-connected Louvain communities into well-connected
+    parts (graph/louvain.py::leiden_communities; the oracle replays
+    both phases' fixed rounds unrolled)."""
+    from pagerankproject_spark.graph.louvain import leiden_communities
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, _edges(spark, sf_dir))
+    return leiden_communities(spark, g).communities
+
+
 def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
     graph/pushppr.py::ppr_push): worklist rounds pushing only
@@ -2270,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round: must be driver-verified in round 5 ---
         "coloring_auto": q_coloring_auto,
         "bpe_segment": q_bpe_segment,
+        "leiden_communities": q_leiden,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3067,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": f"{g},{rsql.sql_spam_mass(SPAM_TRUSTED_PRED, alpha=0.85, iterations=15)}",
         "louvain_communities": f"{g},{rsql.sql_louvain(rounds=6)}",
         "louvain_multilevel": f"{g},{rsql.sql_louvain_multilevel(rounds_per_level=4, levels=2)}",
+        "leiden_communities": f"{g},{rsql.sql_leiden(rounds=4, refine_rounds=3)}",
         "connected_components": f"{g},{rsql.sql_connected_components()}",
         "kcore": f"{g},{rsql.sql_kcore(3)}",
         "coreness": f"{g},{rsql.sql_coreness(rounds=30)}",

@@ -389,3 +389,102 @@ def louvain_multilevel(
         rounds_per_level=rounds_per_level,
         metrics=all_metrics,
     )
+
+
+def leiden_communities(
+    spark: SparkSession,
+    g: GraphTables,
+    rounds: int = 4,
+    refine_rounds: int = 3,
+) -> LouvainResult:
+    """Leiden-style refinement (Traag, Waltman & van Eck 2019, "From
+    Louvain to Leiden: guaranteeing well-connected communities" —
+    public) in the repo's deterministic fixed-round form: one Louvain
+    local-moving phase, then CONSTRAINED local moves from singletons on
+    the intra-community subgraph — the refinement pass that splits a
+    badly-connected Louvain community into its well-connected parts
+    (Louvain alone can glue parts that are only connected through a
+    vertex that has since moved away; the paper's fig. 2 pathology).
+
+    Simplified vs the paper, chosen for exact oracle replay: the
+    refinement reuses the SAME parity-gated strict-improvement integer
+    move rule (graph/louvain.py::_move_rounds) on the constrained
+    subgraph with the subgraph's own degrees and 2m, rather than the
+    paper's randomized merge rule. Refined communities are exact
+    sub-partitions of the Louvain phase: the edge filter keeps only
+    intra-community edges, so by induction every refinement community
+    is cons-pure (a vertex can only ever join a community reached
+    through a same-community neighbor).
+
+    Output: (url, community) with community = min url of the REFINED
+    group. Determinism: both phases are pure functions of the edge set
+    (url-sort-rank ids, parity gates, min-label ties), replayed exactly
+    by oracle/recursive_sql.py::sql_leiden.
+    """
+    P = g.num_partitions
+    rid = _url_rank_ids(spark, g.vertices, P).persist()
+
+    vmap = g.vertices.join(rid, "url").select("id", "v")
+    e = (
+        g.weighted_edges.select("src_id", "dst_id")
+        .join(vmap.select(F.col("id").alias("src_id"), F.col("v").alias("u")), "src_id")
+        .join(vmap.select(F.col("id").alias("dst_id"), F.col("v").alias("v")), "dst_id")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .repartition(P, "u")
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.sum("w").alias("k")).persist()
+    m2 = deg.agg(F.sum("k")).first()[0] or 0
+    if m2 == 0:
+        raise ValueError("graph has no non-loop edges; Leiden undefined")
+
+    metrics: list[dict] = []
+    labA = _move_rounds(
+        spark, sym, _init_lab(rid.select("v"), deg, P), m2, P, rounds, metrics
+    )
+
+    # constrained subgraph: only edges INSIDE a phase-A community
+    cons = labA.select("v", F.col("lbl").alias("cons")).localCheckpoint(
+        eager=True
+    )
+    sym_c = (
+        sym.join(
+            cons.select(F.col("v").alias("u"), F.col("cons").alias("cu")), "u"
+        )
+        .join(cons.select("v", F.col("cons").alias("cv")), "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .select("u", "v", "w")
+        .repartition(P, "u")
+        .persist()
+    )
+    deg_c = sym_c.groupBy("u").agg(F.sum("w").alias("k")).persist()
+    m2_c = deg_c.agg(F.sum("k")).first()[0] or 0
+
+    lab2 = _init_lab(rid.select("v"), deg_c, P)
+    if m2_c > 0 and refine_rounds > 0:
+        lab2 = _move_rounds(
+            spark, sym_c, lab2, m2_c, P, refine_rounds, metrics
+        )
+
+    rep = (
+        lab2.join(rid, lab2.v == rid.v)
+        .groupBy("lbl")
+        .agg(F.min("url").alias("community"))
+    )
+    out = (
+        lab2.join(rid, lab2.v == rid.v)
+        .join(rep, "lbl")
+        .select("url", "community")
+        .localCheckpoint(eager=True)
+    )
+    for df in (rid, sym, deg, sym_c, deg_c):
+        df.unpersist()
+    return LouvainResult(
+        communities=out, rounds=rounds + refine_rounds, metrics=metrics
+    )

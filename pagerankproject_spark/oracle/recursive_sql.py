@@ -762,6 +762,42 @@ def _louvain_round_blocks(
     return out
 
 
+def sql_leiden(rounds: int = 4, refine_rounds: int = 3) -> str:
+    """Exact replay of graph/louvain.py::leiden_communities: the
+    Louvain phase-1 blocks, then the SAME round template on the
+    CONSTRAINED intra-community subgraph (edges whose endpoints share
+    the phase-A label) from singletons, with the subgraph's own degrees
+    and 2m. An all-cross-community phase-A partition leaves the
+    refinement subgraph empty — every gain is then 0 and nothing moves,
+    matching the engine's explicit skip."""
+    parts = [_LOUVAIN_BASE, "\nlab_0 as materialized (select v, v as lbl from rid)"]
+    parts += _louvain_round_blocks("", "symw2", "ldeg", "lm2", rounds)
+    parts.append(
+        f"""
+lcons as materialized (select v, lbl as cons from lab_{rounds}),
+rsym as materialized (
+  select s.u, s.v, s.w from symw2 s
+  join lcons a on a.v = s.u
+  join lcons b on b.v = s.v
+  where a.cons = b.cons
+),
+rdeg as materialized (select u, sum(w) as k from rsym group by u),
+rm2 as materialized (select coalesce(sum(w), 0)::bigint as m2 from rsym),
+rlab_0 as materialized (select v, v as lbl from rid)"""
+    )
+    parts += _louvain_round_blocks("r", "rsym", "rdeg", "rm2", refine_rounds)
+    final = f""",
+rrep as (
+  select l.lbl, min(r.url) as community
+  from rlab_{refine_rounds} l join rid r on r.v = l.v group by l.lbl
+)
+select r.url, p.community
+from rlab_{refine_rounds} l
+join rid r on r.v = l.v
+join rrep p on p.lbl = l.lbl"""
+    return ",".join(parts) + final
+
+
 def sql_louvain_multilevel(rounds_per_level: int = 4, levels: int = 2) -> str:
     """Exact replay of graph/louvain.py::louvain_multilevel: phase-1
     local moves on url-sort-rank vertices, then `levels - 1` rounds of

@@ -210,3 +210,88 @@ def test_louvain_multilevel_single_level_equals_phase1(spark):
         tuple(r) for r in ml.communities.collect()
     }
     g.unpersist()
+
+
+def _replay_leiden(edges, rounds=4, refine_rounds=3):
+    """Reference replay of leiden_communities: the louvain replay's
+    move rule twice — full graph from singletons, then the constrained
+    intra-community subgraph from singletons with its own deg/2m."""
+    urls = sorted({u for e in edges for u in e})
+    ridx = {u: i for i, u in enumerate(urls)}
+
+    def move_rounds(w, lab, n, nrounds):
+        deg = defaultdict(int)
+        for (a, _), x in w.items():
+            deg[a] += x
+        m2 = sum(deg.values())
+        if m2 == 0 or nrounds == 0:
+            return lab
+        for r in range(nrounds):
+            tot = defaultdict(int)
+            for v, l in lab.items():
+                tot[l] += deg[v]
+            newlab = dict(lab)
+            for u in range(n):
+                if (u + r) % 2 != 0 or deg[u] == 0:
+                    continue
+                kin = defaultdict(int)
+                kin[lab[u]] += 0
+                for (a, b), x in w.items():
+                    if a == u:
+                        kin[lab[b]] += x
+                best = None
+                for c, k_in in kin.items():
+                    t = tot[c] - (deg[u] if c == lab[u] else 0)
+                    gain = m2 * k_in - deg[u] * t
+                    key = (gain, -c)
+                    if best is None or key > best:
+                        best = key
+                sg = m2 * kin[lab[u]] - deg[u] * (tot[lab[u]] - deg[u])
+                if best[0] > sg:
+                    newlab[u] = -best[1]
+            lab = newlab
+        return lab
+
+    w = defaultdict(int)
+    for s, t in edges:
+        a, b = ridx[s], ridx[t]
+        if a == b:
+            continue
+        w[(a, b)] += 1
+        w[(b, a)] += 1
+    n = len(urls)
+    labA = move_rounds(w, {i: i for i in range(n)}, n, rounds)
+    wc = {
+        (a, b): x for (a, b), x in w.items() if labA[a] == labA[b]
+    }
+    lab2 = move_rounds(wc, {i: i for i in range(n)}, n, refine_rounds)
+    groups = defaultdict(list)
+    for i in range(n):
+        groups[lab2[i]].append(urls[i])
+    out = {}
+    for members in groups.values():
+        rep = min(members)
+        for u in members:
+            out[u] = rep
+    return out, labA, lab2
+
+
+def test_leiden_matches_replay_and_subpartitions_louvain(spark):
+    from pagerankproject_spark.graph.louvain import leiden_communities, louvain
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    g = build_graph_tables(spark, edges_df(spark, EDGES))
+    res = leiden_communities(spark, g, rounds=4, refine_rounds=3)
+    got = {r["url"]: r["community"] for r in res.communities.collect()}
+    want, labA, lab2 = _replay_leiden(EDGES, rounds=4, refine_rounds=3)
+    assert got == want
+
+    # every refined community is a SUB-partition of a louvain-phase
+    # community: two urls sharing a leiden label share the phase-A one
+    lv = louvain(spark, g, rounds=4)
+    lvrows = {r["url"]: r["community"] for r in lv.communities.collect()}
+    by_leiden = defaultdict(set)
+    for u, c in got.items():
+        by_leiden[c].add(lvrows[u])
+    assert all(len(s) == 1 for s in by_leiden.values())
+    g.unpersist()
