@@ -91,8 +91,11 @@ BENCH_QUERIES = [
     "coarsen_graph",
     "palette_coloring",
     # round-4: the auto-pick coloring default (JP probe -> palette
-    # finish; bounded rounds regardless of density)
+    # finish; bounded rounds regardless of density), Leiden refinement,
+    # and the tokenizer apply path
     "coloring_auto",
+    "leiden_communities",
+    "bpe_segment",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",

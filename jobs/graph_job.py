@@ -5,7 +5,7 @@ assortativity / deterministic random walks / co-citation / coupling /
 Adamic-Adar / reciprocity / HyperBall over an edge CSV (same source
 format as pagerank_job).
 
-    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|coloring|matching|louvain|coreness|salsa|bowtie|scan|pprpush --data edges.csv.gz
+    spark-submit jobs/graph_job.py --algo cc|cc2|lpa|triangles|hits|scc|kcore|ktruss|bfs|lcc|assortativity|walks|katz|eigenvector|cocitation|coupling|adamicadar|reciprocity|hyperball|harmonic|hostrank|khop|hostsssp|betweenness|closeness|squares|densest|mis|coloring|matching|louvain|leiden|coloringauto|coreness|salsa|bowtie|scan|pprpush --data edges.csv.gz
         [--max_iterations N] [--salt_buckets S] [--checkpoint_dir DIR]
         [--resume] [--output DIR] [--master local[32]]
         [--source URL] [--sources a,b,c] [--k K] [--t_max T]
@@ -34,7 +34,7 @@ def main() -> None:
             "betweenness", "louvain", "coreness", "salsa", "bowtie",
             "eigenvector", "closeness", "squares", "densest", "mis",
             "coloring", "palette", "matching", "trussness", "doulion",
-            "richclub", "powerlaw", "scan", "pprpush",
+            "richclub", "powerlaw", "scan", "pprpush", "leiden", "coloringauto",
         ],
     )
     p.add_argument(
@@ -347,6 +347,26 @@ def main() -> None:
         out = res.communities.orderBy("community", "url")
         n_comm = out.select("community").distinct().count()
         print(f"communities= {n_comm}")
+    elif args.algo == "leiden":
+        from pagerankproject_spark.graph.louvain import leiden_communities
+
+        res = leiden_communities(g=g, spark=spark)
+        out = res.communities.orderBy("community", "url")
+        n_comm = out.select("community").distinct().count()
+        print(f"communities= {n_comm}")
+    elif args.algo == "coloringauto":
+        from pagerankproject_spark.graph.coloring import coloring_auto
+
+        res = coloring_auto(spark, g.weighted_edges.join(
+            g.vertices.select(F.col("id").alias("src_id"),
+                              F.col("url").alias("src")), "src_id"
+        ).join(
+            g.vertices.select(F.col("id").alias("dst_id"),
+                              F.col("url").alias("dst")), "dst_id"
+        ).select("src", "dst"))
+        out = res.colors.orderBy("url")
+        n_colors = out.select("color").distinct().count()
+        print(f"colors= {n_colors} rounds= {res.rounds}")
     elif args.algo == "coreness":
         from pagerankproject_spark.graph.kcore import coreness
 
