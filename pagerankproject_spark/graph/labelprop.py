@@ -80,6 +80,7 @@ def label_propagation(
     resume: bool = False,
     job_name: str = "lpa",
     frontier_threshold: float = 0.2,
+    frontier_min_edges: int = 1_000_000,
 ) -> LPAResult:
     P = g.num_partitions
     ranked = assign_url_ordered_ids(spark, g.vertices, P).persist()
@@ -163,7 +164,7 @@ def label_propagation(
             frontier_mode = (
                 prev_changed is not None
                 and prev_changed <= frontier_threshold * g.n
-                and 2 * g.num_edges > 1_000_000
+                and 2 * g.num_edges > frontier_min_edges
             )
             if frontier_mode:
                 if sym_by_dst is None:

@@ -89,7 +89,11 @@ def test_lpa_frontier_mode_exact_match(spark):
     pairs = make_weblike(seed=5, n_nodes=120, m_edges=900)
     g = _tables(spark, pairs)
     full = label_propagation(spark, g, max_iterations=8, frontier_threshold=0.0)
-    front = label_propagation(spark, g, max_iterations=8, frontier_threshold=1.0)
+    front = label_propagation(
+        spark, g, max_iterations=8, frontier_threshold=1.0,
+        frontier_min_edges=0,  # the gate defaults to 1M edges (fixed
+        # cost below that); force the mode on for this tiny fixture
+    )
     assert {m["mode"] for m in full.metrics} == {"full"}
     assert "frontier" in {m["mode"] for m in front.metrics}
     a = {r["url"]: r["label"] for r in full.labels.collect()}

@@ -53,13 +53,16 @@ def test_longrun_convergence_flat_per_iter_and_oracle_parity(spark, tmp_path):
     assert res.converged
     assert res.iterations == len(oracle_res)
 
-    # (1) flat per-iteration wall: late-iteration median within 2x of
-    # the early steady state (generous vs wall noise; lineage growth
-    # would be orders of magnitude, not 2x)
+    # (1) flat per-iteration wall: late-iteration median within 3x of
+    # the early steady state. The bound is deliberately loose — a
+    # loaded box skews wall medians ~2x (observed when the suite runs
+    # beside other Spark jobs), while the guarded failure mode
+    # (lineage/Catalyst state growing with iteration count) is orders
+    # of magnitude, not single digits.
     walls = [m["wall_sec"] for m in res.metrics]
     early = statistics.median(walls[10:60])
     late = statistics.median(walls[-50:])
-    assert late <= 2.0 * early, (early, late)
+    assert late <= 3.0 * early, (early, late)
 
     # (2) monotone-ish residual trajectory, matching the oracle's
     for i in range(len(res.residuals) - 1):
