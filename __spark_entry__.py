@@ -2144,6 +2144,17 @@ def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leiden_communities(spark, g).communities
 
 
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match detection: document pairs sharing >= 3 winnowed
+    fingerprints, DF-capped before the fp-keyed self-join (never
+    all-pairs — text/spans.py::winnow_match_pairs)."""
+    from pagerankproject_spark.text.spans import winnow_match_pairs
+
+    return winnow_match_pairs(
+        _read(spark, sf_dir, "documents"), k=4, w=4, min_shared=3
+    )
+
+
 def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
     graph/pushppr.py::ppr_push): worklist rounds pushing only
@@ -2284,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_auto": q_coloring_auto,
         "bpe_segment": q_bpe_segment,
         "leiden_communities": q_leiden,
+        "winnow_match_pairs": q_winnow_match_pairs,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2451,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.text.spans import (
         sql_duplicate_span_stats as _sql_dup_spans,
         sql_winnow_fingerprints as _sql_winnow,
+        sql_winnow_match_pairs as _sql_winnow_pairs,
     )
     from pagerankproject_spark.ingest.frontier import (
         sql_crawl_frontier as _sql_crawl_frontier,
@@ -2703,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2""",
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
+        "winnow_match_pairs": _sql_winnow_pairs("documents", k=4, w=4, min_shared=3),
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),

@@ -223,3 +223,103 @@ def sql_winnow_fingerprints(
     select distinct doc_id, gpos as pos, fp
     from wf_sel where rn = 1
     """
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — MOSS's actual
+    match-detection step (Schleimer, Wilkerson & Aiken 2003 §4: two
+    documents sharing a run of text longer than the guarantee
+    threshold MUST share a selected fingerprint, so the sketch join
+    finds every sufficiently long overlap).
+
+    Pipeline: winnow_fingerprints -> distinct (doc_id, fp) sketch ->
+    DF-CAP (fingerprints present in more than `df_cap` documents are
+    dropped before the join — boilerplate/common phrases are exactly
+    the hot keys that would square the candidate set; the same
+    hot-shingle skew bound as dedup/jaccard.py) -> fp-keyed self-join
+    (a < b, never all-pairs) -> pairs with >= `min_shared` shared
+    fingerprints.
+
+    Output: a, b (doc ids, a < b), shared (long), score (double 6dp =
+    shared / min(|sketch_a|, |sketch_b|) — a containment-style
+    normalization so a small doc fully inside a big one scores ~1).
+    """
+    if min_shared < 1:
+        raise ValueError("winnow_match_pairs: min_shared must be >= 1")
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp", "left_semi").persist()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    pairs = (
+        fps.alias("x")
+        .join(fps.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    out = (
+        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b", "shared",
+            F.round(
+                F.col("shared") / F.least("na", "nb"), 6
+            ).alias("score"),
+        )
+    )
+    return out
+
+
+def sql_winnow_match_pairs(
+    docs_rel: str = "documents",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    df_cap: int = 50,
+) -> str:
+    """DuckDB twin of winnow_match_pairs over the same sketch CTE."""
+    inner = sql_winnow_fingerprints(docs_rel, k=k, w=w)
+    return f"""
+    with wmp_sketch as (
+        select distinct doc_id, fp from ({inner})
+    ),
+    wmp_rare as (
+        select fp from wmp_sketch group by fp having count(*) <= {df_cap}
+    ),
+    wmp_fps as (
+        select s.doc_id, s.fp from wmp_sketch s
+        join wmp_rare r on r.fp = s.fp
+    ),
+    wmp_sizes as (
+        select doc_id, count(*)::bigint as n from wmp_fps group by doc_id
+    ),
+    wmp_pairs as (
+        select x.doc_id as a, y.doc_id as b, count(*)::bigint as shared
+        from wmp_fps x join wmp_fps y on x.fp = y.fp and x.doc_id < y.doc_id
+        group by 1, 2
+        having count(*) >= {min_shared}
+    )
+    select p.a, p.b, p.shared,
+           round(p.shared / least(sa.n, sb.n)::double, 6) as score
+    from wmp_pairs p
+    join wmp_sizes sa on sa.doc_id = p.a
+    join wmp_sizes sb on sb.doc_id = p.b
+    """

@@ -2000,3 +2000,40 @@ def test_bloom_sql_twin_matches_engine(spark):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_winnow_match_pairs_planted_overlap(spark):
+    """MOSS match detection: two docs sharing a long run MUST share
+    winnowed fingerprints (the guarantee property), unrelated docs
+    share none, and the df-cap drops boilerplate fingerprints that
+    would otherwise pair everything with everything."""
+    from pagerankproject_spark.text.spans import winnow_match_pairs
+
+    plagiarized = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, plagiarized + " alpha beta gamma delta"),
+        (2, "intro words first " + plagiarized),
+        (3, "completely different content about graphs and spark engines"),
+        (4, "another unrelated document mentioning nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["score"])
+        for r in winnow_match_pairs(df, k=4, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in got
+    shared, score = got[(1, 2)]
+    assert shared >= 2 and 0 < score <= 1.0
+    assert all(p == (1, 2) for p in got)
+
+    # boilerplate cap: a fingerprint in EVERY doc is dropped before the
+    # join — with df_cap=1 nothing can pair
+    boiler = [(i, plagiarized) for i in range(1, 5)]
+    bdf = spark.createDataFrame(boiler, "doc_id long, text string")
+    none = winnow_match_pairs(bdf, k=4, w=4, min_shared=1, df_cap=1).count()
+    assert none == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_match_pairs(df, min_shared=0)
