@@ -2155,6 +2155,38 @@ def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image over REAL synthesized PNGs:
+    the fixture generator writes md5-ruled 16x16 grayscale PNG bytes,
+    the engine decodes them with the native codec and hashes with
+    exact-rational thresholding (multimodal/media.py::image_ahash).
+    The oracle computes the hash from the same pixel rule directly —
+    so the PNG encode->decode round-trip is inside what the value
+    check verifies."""
+    from pagerankproject_spark.multimodal.media import (
+        image_ahash,
+        synthesize_png_table,
+    )
+
+    imgs = synthesize_png_table(_read(spark, sf_dir, "documents"))
+    return image_ahash(imgs)
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance <= 3 via
+    the pigeonhole band join (4 x 16-bit bands, never all-pairs) over
+    the same synthesized-PNG fixture — planted perturbed twins
+    (multimodal/media.py::image_near_dup_ahash)."""
+    from pagerankproject_spark.multimodal.media import (
+        image_ahash,
+        image_near_dup_ahash,
+        synthesize_png_table,
+    )
+
+    imgs = synthesize_png_table(_read(spark, sf_dir, "documents"))
+    return image_near_dup_ahash(image_ahash(imgs), max_hamming=3, bands=4)
+
+
 def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
     graph/pushppr.py::ppr_push): worklist rounds pushing only
@@ -2296,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "leiden_communities": q_leiden,
         "winnow_match_pairs": q_winnow_match_pairs,
+        "image_ahash": q_image_ahash,
+        "image_near_dup": q_image_near_dup,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2391,6 +2425,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_fullprobe": q_ivf_topk,
     }
 
+
+_IMG_AHASH_CTE = """
+ia_px as (
+  select 'img://' || doc_id as url, t.i,
+         ('0x' || substr(md5(
+             case when doc_id % 10 = 1 and t.i < 3
+                  then doc_id::varchar || ':p:' || t.i
+                  else (case when doc_id % 10 = 1 then doc_id - 1
+                             else doc_id end)::varchar || ':' || t.i
+             end), 1, 2))::bigint as px
+  from documents, unnest(range(0, 256)) t(i)
+),
+ia_cell as (
+  select url, ((t2.i // 16) // 2) * 8 + ((t2.i % 16) // 2) as cell,
+         sum(px) as cs
+  from (select url, i, px from ia_px) t2(url, i, px)
+  group by 1, 2
+),
+ia_tot as (select url, sum(cs) as tot from ia_cell group by url),
+ia_bits as (
+  select c.url,
+         sum(case when 64 * c.cs > t.tot
+                  then (1::hugeint << c.cell) else 0::hugeint end) as uv
+  from ia_cell c join ia_tot t using (url) group by c.url
+)"""
 
 def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph import pushppr as _push_mod
@@ -2717,6 +2776,25 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": pipeline.sql_vocab_coverage("documents", "text", k=100),
         "winnow_fingerprints": _sql_winnow("documents", k=4, w=4),
         "winnow_match_pairs": _sql_winnow_pairs("documents", k=4, w=4, min_shared=3),
+        "image_ahash": f"""with {_IMG_AHASH_CTE}
+select url,
+       (case when uv >= (1::hugeint << 63) then uv - (1::hugeint << 64)
+             else uv end)::bigint as ahash
+from ia_bits""",
+        "image_near_dup": f"""with {_IMG_AHASH_CTE},
+ind_band as (
+  select url, uv, b.b as band,
+         ((uv >> (16 * b.b)) & 65535::hugeint) as val
+  from ia_bits, unnest(range(0, 4)) b(b)
+),
+ind_cand as (
+  select distinct x.url as a, y.url as b, x.uv as ua, y.uv as ub
+  from ind_band x join ind_band y
+    on x.band = y.band and x.val = y.val and x.url < y.url
+)
+select a, b, bit_count(xor(ua, ub))::bigint as hamming
+from ind_cand
+where bit_count(xor(ua, ub)) <= 3""",
         "unigram_logloss": pipeline.sql_unigram_logloss("documents"),
         "bm25_scores": _bm25_mod.sql_bm25("documents", _BM25_TERMS),
         "ql_dirichlet": _bm25_mod.sql_ql_dirichlet("documents", _BM25_TERMS),

@@ -120,13 +120,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
-    """Real PNG decode, pure python + stdlib zlib: IHDR/IDAT walk,
-    inflate, per-scanline de-filtering (all five PNG filter types —
-    None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports 8-bit-depth,
-    non-interlaced, non-palette images (gray / gray+alpha / RGB /
-    RGBA); mean_intensity is the mean over every decoded channel
-    sample."""
+def _png_raw(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Real PNG decode to the flat de-filtered pixel buffer, pure
+    python + stdlib zlib: IHDR/IDAT walk, inflate, per-scanline
+    de-filtering (all five PNG filter types — None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Supports 8-bit-depth, non-interlaced,
+    non-palette images (gray / gray+alpha / RGB / RGBA). Returns
+    (w, h, channels, row-major channel samples)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
@@ -154,7 +154,7 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
     channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
-    total, count = 0, 0
+    out = bytearray()
     prev = bytearray(stride)
     p = 0
     for _ in range(h):
@@ -182,17 +182,23 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
                 line[i] = (line[i] + pred) & 0xFF
         elif filt != 0:
             raise ValueError(f"invalid PNG filter type {filt}")
-        total += sum(line)
-        count += stride
+        out += line
         prev = line
-    return w, h, channels, (total / count if count else 0.0)
+    return w, h, channels, out
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
-    """Real BMP decode: BITMAPINFOHEADER, uncompressed 24/32-bit only.
-    Rows are bottom-up (top-down when height is negative) and padded to
-    4 bytes; mean_intensity is over the B/G/R(/A) samples, padding
-    excluded."""
+def _decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Metadata + mean over every decoded channel sample (see
+    _png_raw for the actual decode)."""
+    w, h, channels, buf = _png_raw(payload)
+    return w, h, channels, (sum(buf) / len(buf) if buf else 0.0)
+
+
+def _bmp_raw(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Real BMP decode to the flat pixel buffer: BITMAPINFOHEADER,
+    uncompressed 24/32-bit only. Rows are bottom-up (top-down when
+    height is negative) and padded to 4 bytes; the returned buffer is
+    TOP-DOWN row-major B/G/R(/A) samples, padding excluded."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = int.from_bytes(payload[10:14], "little")
@@ -209,12 +215,23 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     height = abs(h)
     row_bytes = w * channels
     stride = (row_bytes + 3) & ~3
-    total, count = 0, 0
+    rows = []
     for y in range(height):
-        row = payload[data_off + y * stride : data_off + y * stride + row_bytes]
-        total += sum(row)
-        count += len(row)
-    return w, height, channels, (total / count if count else 0.0)
+        rows.append(
+            payload[data_off + y * stride : data_off + y * stride + row_bytes]
+        )
+    if h > 0:  # bottom-up storage -> top-down buffer
+        rows.reverse()
+    out = bytearray()
+    for r in rows:
+        out += r
+    return w, height, channels, out
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Metadata + mean over the B/G/R(/A) samples (see _bmp_raw)."""
+    w, h, channels, buf = _bmp_raw(payload)
+    return w, h, channels, (sum(buf) / len(buf) if buf else 0.0)
 
 
 def _decode_any(url: str, payload: bytes, fake: bool) -> tuple[int, int, int, float]:
@@ -323,3 +340,240 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["url", "frame_idx", "frame_sha"])
 
     return df.select(url_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash) + banded near-dup — the image twin of
+# the text dedup family (SimHash/MinHash): average hash per Krawetz's
+# public aHash description, exact-integer thresholding, Hamming
+# candidates via the pigeonhole band join (the simhash chunk-LSH
+# pattern at 64 bits).
+# ---------------------------------------------------------------------------
+
+
+def encode_png_gray(w: int, h: int, pixels: bytes) -> bytes:
+    """Minimal real PNG encoder (grayscale, 8-bit, filter 0 rows) —
+    correct chunks + CRCs + zlib IDAT, accepted by any PNG reader and
+    by _png_raw. Lets the engine synthesize REAL image payloads from
+    deterministic pixel rules (tests + contract fixtures)."""
+    if len(pixels) != w * h:
+        raise ValueError("encode_png_gray: need w*h grayscale bytes")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00" + pixels[y * w : (y + 1) * w]
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def ahash_bits(
+    w: int, h: int, channels: int, buf: bytes, grid: int = 8
+) -> int:
+    """64-bit average hash, EXACT-rational thresholding: gray(pixel) =
+    sum of its channel samples (the channel count cancels in the
+    comparison), pixel (x, y) lands in cell (y*grid//h, x*grid//w),
+    bit r*grid+c = 1 iff that cell's mean gray strictly exceeds the
+    mean of all cell means (Fraction arithmetic — no float ties, so
+    Spark and any replay agree bit-for-bit). Cells unreachable on
+    images smaller than the grid count as mean 0. Returned as a SIGNED
+    64-bit value (two's-complement wrap) so it stores in a Spark
+    long."""
+    from fractions import Fraction
+
+    n_cells = grid * grid
+    sums = [0] * n_cells
+    npix = [0] * n_cells
+    for y in range(h):
+        r = y * grid // h
+        row = y * w * channels
+        for x in range(w):
+            cell = r * grid + (x * grid // w)
+            base = row + x * channels
+            g = 0
+            for ch in range(channels):
+                g += buf[base + ch]
+            sums[cell] += g
+            npix[cell] += 1
+    means = [
+        Fraction(sums[i], npix[i]) if npix[i] else Fraction(0)
+        for i in range(n_cells)
+    ]
+    gmean = sum(means) / n_cells
+    val = 0
+    for i, m in enumerate(means):
+        if m > gmean:
+            val |= 1 << i
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def _raw_any(url: str, payload: bytes, fake: bool) -> tuple[int, int, int, bytes]:
+    if payload[:8] == _PNG_SIG:
+        return _png_raw(payload)
+    if payload[:2] == b"BM":
+        return _bmp_raw(payload)
+    if payload[:4] == b"FAKE" and fake:
+        w, h, c = struct.unpack("<III", payload[4:16])
+        return w, h, c, payload[16 : 16 + w * h * c]
+    raise NotImplementedError(
+        f"no native codec for payload of {url} (PNG/BMP decode natively; "
+        "JPEG needs PIL; fake=True accepts the deterministic FAKE header)"
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    url_col: str = "url",
+    bin_col: str = "media",
+    fake: bool = False,
+    grid: int = 8,
+) -> DataFrame:
+    """(url, ahash) per image — Arrow-batched mapInPandas over the
+    native decoders (the decode is inherently python; the batch
+    boundary is the Arrow transfer, never per-row Python UDF rows)."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("ahash", T.LongType(), False),
+        ]
+    )
+    g = grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hashes = [], []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                w, h, c, buf = _raw_any(url, bytes(payload), fake)
+                urls.append(url)
+                hashes.append(ahash_bits(w, h, c, buf, grid=g))
+            yield pd.DataFrame({"url": urls, "ahash": hashes})
+
+    return df.select(url_col, bin_col).mapInPandas(run, schema)
+
+
+def image_near_dup_ahash(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    url_col: str = "url",
+    hash_col: str = "ahash",
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance — the
+    pigeonhole band join (dedup/simhash.py's chunk-LSH at 64 bits):
+    with `bands` > max_hamming, two hashes within the budget MUST
+    agree on at least one 64/bands-bit band, so candidates come from a
+    band-keyed equi-join (never all-pairs) and the exact
+    bit_count(xor) filter runs JVM-side on candidates only.
+
+    Output: a, b (urls, a < b), hamming (long)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            "image_near_dup_ahash: need bands > max_hamming for the "
+            "pigeonhole guarantee"
+        )
+    if 64 % bands != 0:
+        raise ValueError("image_near_dup_ahash: bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    base = hashes.select(
+        F.col(url_col).alias("u"), F.col(hash_col).alias("hv")
+    )
+    banded = base.select(
+        "u",
+        "hv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("hv"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("u", "hv", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "val"])
+        .filter(F.col("x.u") < F.col("y.u"))
+        .select(
+            F.col("x.u").alias("a"),
+            F.col("y.u").alias("b"),
+            F.col("x.hv").alias("ha"),
+            F.col("y.hv").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a",
+        "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def synthesize_png_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG fixture generator for the image-hash
+    contract keys: per document a 16x16 grayscale image whose pixels
+    are md5-derived from the id — px[i] = first md5 hex byte of
+    "{base}:{i}" — with planted near-twins (doc_id % 10 == 1 reuses
+    its predecessor's pixels with the first 3 perturbed). The DuckDB
+    oracle computes the hash from this pixel RULE directly; the engine
+    goes ENCODE -> DECODE through the real codec, so the codec
+    round-trip is part of what the value-checked contract verifies.
+
+    Output: (url, media) with url = 'img://<id>' and media real PNG
+    bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did - 1 if did % 10 == 1 else did
+                px = bytearray(
+                    int(
+                        hashlib.md5(f"{base}:{i}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for i in range(256)
+                )
+                if did % 10 == 1:
+                    for i in range(3):
+                        px[i] = int(
+                            hashlib.md5(
+                                f"{did}:p:{i}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                urls.append(f"img://{did}")
+                blobs.append(encode_png_gray(16, 16, bytes(px)))
+            yield pd.DataFrame({"url": urls, "media": blobs})
+
+    return docs.select(id_col).mapInPandas(synth, schema)

@@ -845,3 +845,67 @@ def test_stream_incremental_cm_matches_batch_exactly(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_incremental_cm(spark, str(docs_dir) + "/*", {}, [])
+
+
+def test_image_ahash_roundtrip_and_near_dup(spark):
+    """aHash over REAL encoded-then-decoded PNGs: identical pixels give
+    identical hashes; a lightly perturbed twin stays within Hamming 3
+    and the banded near-dup join finds exactly the planted pair; an
+    unrelated image pairs with nothing."""
+    import hashlib as _hl
+
+    from pagerankproject_spark.multimodal.media import (
+        ahash_bits,
+        encode_png_gray,
+        image_ahash,
+        image_near_dup_ahash,
+        _png_raw,
+    )
+
+    def px_for(seed: str) -> bytearray:
+        return bytearray(
+            int(_hl.md5(f"{seed}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(256)
+        )
+
+    base = px_for("1000")
+    twin = bytearray(base)
+    for i in range(3):
+        twin[i] = int(_hl.md5(f"t:{i}".encode()).hexdigest()[:2], 16)
+    other = px_for("9999")
+
+    rows = [
+        ("img://a", bytes(encode_png_gray(16, 16, bytes(base)))),
+        ("img://b", bytes(encode_png_gray(16, 16, bytes(twin)))),
+        ("img://c", bytes(encode_png_gray(16, 16, bytes(other)))),
+        ("img://a2", bytes(encode_png_gray(16, 16, bytes(base)))),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    hashes = image_ahash(df)
+    got = {r["url"]: r["ahash"] for r in hashes.collect()}
+
+    # codec round-trip: decoded pixels ARE the input pixels, and the
+    # distributed hash equals the pure-python one
+    w, h, c, buf = _png_raw(rows[0][1])
+    assert (w, h, c) == (16, 16, 1) and bytes(buf) == bytes(base)
+    assert got["img://a"] == ahash_bits(16, 16, 1, bytes(base))
+    assert got["img://a"] == got["img://a2"]
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got["img://a"], got["img://b"]) <= 3
+    assert ham(got["img://a"], got["img://c"]) > 3
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_ahash(hashes, max_hamming=3).collect()
+    }
+    assert ("img://a", "img://b") in pairs
+    assert ("img://a", "img://a2") in pairs and pairs[("img://a", "img://a2")] == 0
+    assert not any("img://c" in p for p in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_ahash(hashes, max_hamming=4, bands=4)
