@@ -12,6 +12,8 @@ Writes:
   simhash  -> near-dup pairs (a, b, hamming <= 3)
   cluster  -> minhash pairs -> transitive clusters -> survivors
               (doc_id, cluster_id, is_survivor)
+  imagehash-> near-dup IMAGE pairs (a, b, hamming <= 3) via aHash over
+              a (url, media binary) table — PNG/BMP decoded natively
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--documents", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--method", required=True, choices=["exact", "minhash", "simhash", "cluster"])
+    p.add_argument("--method", required=True, choices=["exact", "minhash", "simhash", "cluster", "imagehash"])
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--master", default=None)
     args = p.parse_args()
@@ -51,6 +53,13 @@ def main() -> None:
 
         pairs = minhash_verified_pairs(docs, threshold=args.threshold)
         out = dedup_clusters(spark, pairs)
+    elif args.method == "imagehash":
+        from pagerankproject_spark.multimodal.media import (
+            image_ahash,
+            image_near_dup_ahash,
+        )
+
+        out = image_near_dup_ahash(image_ahash(docs))
     else:
         out = simhash_pairs(docs)
     out.write.mode("overwrite").parquet(args.output)
