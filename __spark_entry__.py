@@ -2187,6 +2187,20 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_ahash(image_ahash(imgs), max_hamming=3, bands=4)
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference hash (gradient sign over an 8x9 cell grid) per
+    synthesized PNG — brightness-shift-robust companion to
+    image_ahash, same codec round-trip inside the value check
+    (multimodal/media.py::image_dhash)."""
+    from pagerankproject_spark.multimodal.media import (
+        image_dhash,
+        synthesize_png_table,
+    )
+
+    imgs = synthesize_png_table(_read(spark, sf_dir, "documents"))
+    return image_dhash(imgs)
+
+
 def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
     graph/pushppr.py::ppr_push): worklist rounds pushing only
@@ -2330,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_pairs": q_winnow_match_pairs,
         "image_ahash": q_image_ahash,
         "image_near_dup": q_image_near_dup,
+        "image_dhash": q_image_dhash,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2426,7 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_IMG_AHASH_CTE = """
+_IMG_PX_CTE = """
 ia_px as (
   select 'img://' || doc_id as url, t.i,
          ('0x' || substr(md5(
@@ -2436,7 +2451,9 @@ ia_px as (
                              else doc_id end)::varchar || ':' || t.i
              end), 1, 2))::bigint as px
   from documents, unnest(range(0, 256)) t(i)
-),
+)"""
+
+_IMG_AHASH_CTE = _IMG_PX_CTE + """,
 ia_cell as (
   select url, ((t2.i // 16) // 2) * 8 + ((t2.i % 16) // 2) as cell,
          sum(px) as cs
@@ -2781,6 +2798,25 @@ select url,
        (case when uv >= (1::hugeint << 63) then uv - (1::hugeint << 64)
              else uv end)::bigint as ahash
 from ia_bits""",
+        "image_dhash": f"""with {_IMG_PX_CTE},
+id_cell as (
+  select url, (i // 16) // 2 as r, (i % 16) * 9 // 16 as c,
+         sum(px) as cs, count(*) as n
+  from ia_px group by 1, 2, 3
+),
+id_bits as (
+  select l.url,
+         sum(case when l.cs * r.n < r.cs * l.n
+                  then (1::hugeint << (l.r * 8 + l.c))
+                  else 0::hugeint end) as uv
+  from id_cell l join id_cell r on r.url = l.url and r.r = l.r
+                              and r.c = l.c + 1
+  group by l.url
+)
+select url,
+       (case when uv >= (1::hugeint << 63) then uv - (1::hugeint << 64)
+             else uv end)::bigint as dhash
+from id_bits""",
         "image_near_dup": f"""with {_IMG_AHASH_CTE},
 ind_band as (
   select url, uv, b.b as band,

@@ -577,3 +577,73 @@ def synthesize_png_table(
             yield pd.DataFrame({"url": urls, "media": blobs})
 
     return docs.select(id_col).mapInPandas(synth, schema)
+
+
+def dhash_bits(w: int, h: int, channels: int, buf: bytes) -> int:
+    """64-bit difference hash (Krawetz's dHash, public): resample to an
+    8-row x 9-column grid of cell mean grays (exact Fractions, pixel
+    (x, y) -> cell (y*8//h, x*9//w)), bit r*8+c = 1 iff cell (r, c)'s
+    mean is strictly less than cell (r, c+1)'s — the horizontal
+    gradient sign, more robust to global brightness shifts than aHash.
+    Empty cells (images narrower than the grid) count as mean 0.
+    Signed-64 wrap as in ahash_bits."""
+    from fractions import Fraction
+
+    rows, cols = 8, 9
+    sums = [[0] * cols for _ in range(rows)]
+    npix = [[0] * cols for _ in range(rows)]
+    for y in range(h):
+        r = y * rows // h
+        rowbase = y * w * channels
+        for x in range(w):
+            c = x * cols // w
+            base = rowbase + x * channels
+            g = 0
+            for ch in range(channels):
+                g += buf[base + ch]
+            sums[r][c] += g
+            npix[r][c] += 1
+    val = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            ml = (
+                Fraction(sums[r][c], npix[r][c]) if npix[r][c] else Fraction(0)
+            )
+            mr = (
+                Fraction(sums[r][c + 1], npix[r][c + 1])
+                if npix[r][c + 1]
+                else Fraction(0)
+            )
+            if ml < mr:
+                val |= 1 << (r * 8 + c)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_dhash(
+    df: DataFrame,
+    url_col: str = "url",
+    bin_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """(url, dhash) per image — same Arrow-batched decode path as
+    image_ahash; compose with image_near_dup_ahash(hash_col='dhash')
+    for gradient-based near-dup pairs."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hashes = [], []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                w, h, c, buf = _raw_any(url, bytes(payload), fake)
+                urls.append(url)
+                hashes.append(dhash_bits(w, h, c, buf))
+            yield pd.DataFrame({"url": urls, "dhash": hashes})
+
+    return df.select(url_col, bin_col).mapInPandas(run, schema)

@@ -909,3 +909,34 @@ def test_image_ahash_roundtrip_and_near_dup(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         image_near_dup_ahash(hashes, max_hamming=4, bands=4)
+
+
+def test_image_dhash_gradient_and_brightness_invariance(spark):
+    """dHash fundamentals: a horizontal gradient gives all-ones column
+    comparisons, a uniform brightness shift leaves the hash unchanged
+    (the property aHash lacks), and the distributed path matches the
+    pure-python bits."""
+    from pagerankproject_spark.multimodal.media import (
+        dhash_bits,
+        encode_png_gray,
+        image_dhash,
+    )
+
+    # left-to-right ramp: every cell strictly darker than its right
+    # neighbor -> all 64 bits set
+    ramp = bytes(bytearray((x * 255) // 15 for _ in range(16) for x in range(16)))
+    assert dhash_bits(16, 16, 1, ramp) == -1  # all 64 bits set, signed wrap
+
+    # brightness shift: +40 clamped nowhere (ramp max 255 -> use /2)
+    half = bytes(b // 2 for b in ramp)
+    shifted = bytes(b + 40 for b in half)
+    assert dhash_bits(16, 16, 1, half) == dhash_bits(16, 16, 1, shifted)
+
+    rows = [
+        ("img://ramp", bytes(encode_png_gray(16, 16, ramp))),
+        ("img://half", bytes(encode_png_gray(16, 16, half))),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    got = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got["img://ramp"] == dhash_bits(16, 16, 1, ramp)
+    assert got["img://half"] == dhash_bits(16, 16, 1, half)
