@@ -1174,3 +1174,113 @@ def stream_incremental_ppmi(
         .trigger(availableNow=True)
         .start()
     )
+
+
+IMGS_SCHEMA = "url string, media binary"
+
+
+def stream_image_neardup(
+    spark: SparkSession,
+    imgs_dir: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    fake: bool = False,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous image near-dup maintenance — the streaming twin of
+    `multimodal.media.image_near_dup_ahash`, extending the
+    stream-maintenance family to the multimodal layer.
+
+    Per micro-batch: native decode + aHash inside Arrow batches
+    (`image_ahash` runs unchanged on the streaming frame — mapInPandas
+    is a plain map), then the pigeonhole band explode (JVM-side
+    shifts/masks, identical to the batch op). State is keyed by
+    (band, val) and holds that bucket's residents as parallel arrays
+    (urls, hashes): an arriving image is exact-Hamming-verified against
+    ONLY its bucket's residents, then appended — never all images.
+    Within a batch, images are processed in url order, so same-batch
+    bucket-mates pair like the batch self-join; replayed urls are
+    no-ops. A pair within the Hamming budget shares >= 1 band by the
+    pigeonhole guarantee, so every qualifying pair is emitted (once
+    per shared bucket — identical rows, deduped by any pair-keyed
+    sink, the batch op's `.distinct()` placed earlier).
+
+    Output: (a, b, hamming) with a < b, hamming <= max_hamming.
+    Stream == batch on ordered files (asserted in tests).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..multimodal.media import image_ahash
+
+    if bands <= max_hamming:
+        raise ValueError(
+            "stream_image_neardup: need bands > max_hamming for the "
+            "pigeonhole guarantee"
+        )
+    if 64 % bands != 0:
+        raise ValueError("stream_image_neardup: bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def pairs_fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            urls = list(state.get[0])
+            hashes = [int(v) for v in state.get[1]]
+        else:
+            urls, hashes = [], []
+        known = set(urls)
+        incoming = []
+        for pdf in pdfs:
+            for u, hv in zip(pdf["u"], pdf["hv"]):
+                u = str(u)
+                if u not in known:  # replays/dupes are no-ops
+                    incoming.append((u, int(hv)))
+                    known.add(u)
+        incoming.sort()  # same-batch determinism: pair in url order
+        out = []
+        for u, hv in incoming:
+            for u2, hv2 in zip(urls, hashes):
+                d = bin((hv ^ hv2) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    out.append((min(u, u2), max(u, u2), d))
+            urls.append(u)
+            hashes.append(hv)
+        state.update((urls, hashes))
+        if not out:
+            return iter([])
+        return iter([pd.DataFrame(out, columns=["a", "b", "hamming"])])
+
+    stream = (
+        spark.readStream.schema(IMGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(imgs_dir)
+    )
+    hashes = image_ahash(stream, fake=fake).select(
+        F.col("url").alias("u"), F.col("ahash").alias("hv")
+    )
+    banded = hashes.select(
+        "u",
+        "hv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("hv"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("u", "hv", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    return banded.groupBy("band", "val").applyInPandasWithState(
+        pairs_fn,
+        outputStructType="a string, b string, hamming long",
+        stateStructType="urls array<string>, hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -940,3 +940,70 @@ def test_image_dhash_gradient_and_brightness_invariance(spark):
     got = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
     assert got["img://ramp"] == dhash_bits(16, 16, 1, ramp)
     assert got["img://half"] == dhash_bits(16, 16, 1, half)
+
+
+def test_stream_image_neardup_matches_batch(spark, tmp_path):
+    """Streaming image near-dup == batch image_near_dup_ahash on
+    ordered files: same native decode + aHash + band keys, per-bucket
+    exact Hamming against state residents."""
+    import hashlib as _hl
+
+    from pagerankproject_spark.multimodal.media import (
+        encode_png_gray,
+        image_ahash,
+        image_near_dup_ahash,
+    )
+    from pagerankproject_spark.streaming.events import stream_image_neardup
+
+    imgs_dir = tmp_path / "imgs"
+    imgs_dir.mkdir()
+
+    def px_for(seed: str) -> bytearray:
+        return bytearray(
+            int(_hl.md5(f"{seed}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(256)
+        )
+
+    base = px_for("s1")
+    twin = bytearray(base)
+    twin[0] = (twin[0] + 7) % 256
+    schema = "url string, media binary"
+    batch1 = [
+        ("img://a", bytes(encode_png_gray(16, 16, bytes(base)))),
+        ("img://z", bytes(encode_png_gray(16, 16, bytes(px_for("s9"))))),
+    ]
+    batch2 = [
+        ("img://b", bytes(encode_png_gray(16, 16, bytes(twin)))),
+        ("img://a2", bytes(encode_png_gray(16, 16, bytes(base)))),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(imgs_dir / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(imgs_dir / "f1")
+    )
+
+    out = stream_image_neardup(spark, str(imgs_dir) + "/*", max_hamming=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("img_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_img"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in spark.sql("select * from img_stream").collect()
+    }
+
+    all_imgs = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        (r["a"], r["b"], r["hamming"])
+        for r in image_near_dup_ahash(
+            image_ahash(all_imgs), max_hamming=3
+        ).collect()
+    }
+    assert got == expected
+    assert ("img://a", "img://a2", 0) in got  # cross-batch exact dup
