@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "coloring_auto",
     "leiden_communities",
     "bpe_segment",
+    "winnow_match_pairs",
+    "image_ahash",
+    "image_near_dup",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",
