@@ -56,6 +56,8 @@ def _run(algo: str, data: Path, *extra: str) -> str:
         ("matching", ()),                # symmetry-breaking family
         ("scan", ("--k", "2")),          # structural-clustering family
         ("pprpush", ("--source", "1")),  # local-push family
+        ("leiden", ()),                  # round-4 refinement family
+        ("coloringauto", ()),            # round-4 auto-pick default
     ],
 )
 def test_graph_job_smoke(tmp_path, algo, extra):
