@@ -4,7 +4,7 @@ point next to dedup_job.py's cleaning ops.
 
     spark-submit --py-files engine.zip jobs/text_job.py \
         --documents /path/docs.parquet --output /path/out \
-        --op bm25|ql|heavyhitters|mirrors|weightedsample|tempsample \
+        --op bm25|ql|heavyhitters|mirrors|weightedsample|tempsample|winnowpairs \
         [--query 'spark window merge'] [--denom 200] [--mu 2000] \
         [--threshold 0.03] [--host_mod 23] [--k 100] [--tau 0.5] \
         [--group_col lang] [--weight_col n_chars] [--master local[32]]
@@ -51,7 +51,8 @@ def main() -> None:
     p.add_argument(
         "--op", required=True,
         choices=["bm25", "ql", "heavyhitters", "mirrors",
-                 "weightedsample", "tempsample", "synonyms", "bpe", "dsir"],
+                 "weightedsample", "tempsample", "synonyms", "bpe", "dsir",
+                 "winnowpairs"],
     )
     p.add_argument("--query", default=None, help="bm25 query terms (spaces)")
     p.add_argument("--top_k", type=int, default=None, help="bm25 result cap")
@@ -120,6 +121,10 @@ def main() -> None:
         from pagerankproject_spark.text.bpe import bpe_merges
 
         out = bpe_merges(docs, num_merges=args.merges)
+    elif args.op == "winnowpairs":
+        from pagerankproject_spark.text.spans import winnow_match_pairs
+
+        out = winnow_match_pairs(docs)
     elif args.op == "dsir":
         from pagerankproject_spark.text.dsir import dsir_weights
 
