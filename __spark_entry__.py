@@ -2201,6 +2201,49 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(imgs)
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-slot scheduling: a proper coloring of the HOST
+    co-link graph — hosts sharing an edge land in different slots, so
+    per-slot crawl batches never hit linked hosts together (color
+    classes are independent sets; coloring_auto's bounded-round
+    hybrid). Composes host_graph with graph/coloring.py::coloring_auto;
+    output (url = host, color = slot)."""
+    from pagerankproject_spark.graph.coloring import coloring_auto
+
+    hedges = q_host_graph(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return coloring_auto(spark, hedges).colors
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation statistics for the trained 12-rule BPE
+    vocabulary: occurrence-weighted fertility (subwords per word
+    occurrence) and characters per emitted token — the standard
+    tokenizer-quality numbers, computed from the same train-then-
+    encode chain as bpe_segment."""
+    seg = q_bpe_segment(spark, sf_dir)
+    return seg.select(
+        F.lit(1).alias("one"),
+        F.col("freq"),
+        F.size("subwords").cast("long").alias("ntok"),
+        F.length(F.col("word")).cast("long").alias("nchar"),
+    ).groupBy().agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("ntok")).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("freq") * F.col("ntok"))
+            / F.sum("freq"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("freq") * F.col("nchar"))
+            / F.sum(F.col("freq") * F.col("ntok")),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-push personalized PageRank (Andersen-Chung-Lang 2006,
     graph/pushppr.py::ppr_push): worklist rounds pushing only
@@ -2348,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash": q_image_ahash,
         "image_near_dup": q_image_near_dup,
         "image_dhash": q_image_dhash,
+        "crawl_schedule": q_crawl_schedule,
+        "bpe_fertility": q_bpe_fertility,
         # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2865,6 +2910,14 @@ where bit_count(xor(ua, ub)) <= 3""",
         "term_synonyms": _syn_mod.sql_term_synonyms(),
         "bpe_merges": _bpe_mod.sql_bpe_merges("documents", num_merges=12),
         "bpe_segment": _bpe_mod.sql_bpe_segment("documents", num_merges=12),
+        "bpe_fertility": _bpe_mod.sql_bpe_fertility("documents", num_merges=12),
+        "crawl_schedule": f"""with hedges as (
+    select 'h' || (o_custkey % 37) || '.com/p' || (o_custkey % 500) as src,
+           'h' || (o_orderkey % 41) || '.com/p' || (o_orderkey % 700) as dst
+    from orders
+),
+hg as ({pipeline.sql_host_graph('hedges')}),
+hpairs as (select src_host as src, dst_host as dst from hg),{_sql_coloring_auto(edges_rel='hpairs')}""",
         "gopher_rules": "with " + _gopher_mod.sql_gopher_rules("documents"),
         "dsir_weights": f"""
             with dsir_raw as (select * from documents where doc_id % 5 != 0),

@@ -599,7 +599,9 @@ def coloring_auto(
     return _assemble_colors(winner_frames, P, rounds, metrics)
 
 
-def sql_coloring_auto(probe_rounds: int = 8, pal_rounds: int = 64) -> str:
+def sql_coloring_auto(
+    probe_rounds: int = 8, pal_rounds: int = 64, edges_rel: str = "edges"
+) -> str:
     """DuckDB twin of coloring_auto: probe_rounds Jones-Plassmann
     rounds then pal_rounds palette rounds, unrolled (MATERIALIZED, see
     sql_greedy_coloring). The palette phase checks collisions against
@@ -612,7 +614,7 @@ def sql_coloring_auto(probe_rounds: int = 8, pal_rounds: int = 64) -> str:
         f"""
     ca_und as materialized (
         select distinct least(src, dst) as a, greatest(src, dst) as b
-        from edges where src <> dst),
+        from {edges_rel} where src <> dst),
     ca_sym as materialized (
         select a as w, b as x from ca_und union all select b, a from ca_und),
     ca_unc0 as materialized (select distinct w as v from ca_sym),

@@ -443,3 +443,32 @@ select word, freq, list(sym order by pos) as subwords
 from s{num_merges}
 group by word, freq"""
     )
+
+
+def sql_bpe_fertility(
+    rel: str,
+    num_merges: int = 12,
+    text_col: str = "text",
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> str:
+    """DuckDB twin of the tokenizer-evaluation aggregate over the same
+    train-then-encode state chain as ``sql_bpe_segment``: occurrence-
+    weighted fertility and characters per emitted token."""
+    inner = sql_bpe_merges(rel, num_merges, text_col, min_count, lowercase)
+    head = inner[: inner.index("\nselect 0 as rank")]
+    return (
+        head
+        + f"""
+select count(*)::bigint as n_words,
+       sum(freq * ntok)::bigint as n_tokens,
+       round(sum(freq * ntok)::double / sum(freq), 6) as fertility,
+       round(sum(freq * nchar)::double / sum(freq * ntok), 6)
+           as chars_per_token
+from (
+  select word, freq, count(*)::bigint as ntok,
+         length(word)::bigint as nchar
+  from s{num_merges}
+  group by word, freq
+)"""
+    )

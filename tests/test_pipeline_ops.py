@@ -2037,3 +2037,50 @@ def test_winnow_match_pairs_planted_overlap(spark):
 
     with _pytest.raises(ValueError, match="min_shared"):
         winnow_match_pairs(df, min_shared=0)
+
+
+def test_crawl_schedule_slots_are_conflict_free(spark):
+    """Politeness slots: hosts sharing a link never share a slot
+    (proper coloring of the host graph), every host gets one."""
+    from pagerankproject_spark.graph.coloring import coloring_auto
+    from pagerankproject_spark.text.pipeline import host_graph
+
+    edges = [
+        ("a.com/1", "b.com/1"), ("b.com/2", "c.com/1"),
+        ("c.com/2", "a.com/2"), ("a.com/3", "d.com/1"),
+        ("d.com/2", "b.com/3"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    hg = host_graph(e).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    colors = {
+        r["url"]: r["color"]
+        for r in coloring_auto(spark, hg).colors.collect()
+    }
+    hosts = {h for p in edges for h in (p[0].split("/")[0], p[1].split("/")[0])}
+    assert set(colors) == hosts
+    for s, t in edges:
+        assert colors[s.split("/")[0]] != colors[t.split("/")[0]]
+
+
+def test_bpe_fertility_bounds(spark):
+    """Fertility >= 1 (a word is at least one token) and
+    chars_per_token > 0; with zero merges every word is fully split,
+    so fertility equals chars + 1 marker per occurrence."""
+    from pagerankproject_spark.text.bpe import bpe_encode, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "aa cc")], "doc_id long, text string"
+    )
+    seg = bpe_encode(
+        docs,
+        [
+            (r["left"], r["right"])
+            for r in bpe_merges(docs, num_merges=2, min_count=1)
+            .orderBy("rank")
+            .collect()
+        ],
+    )
+    rows = seg.collect()
+    assert all(1 <= len(r["subwords"]) <= len(r["word"]) + 1 for r in rows)
