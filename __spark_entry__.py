@@ -2294,7 +2294,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 155 keys are oracle-backed (DuckDB twin in oracle_sql(),
+    """All 162 keys are oracle-backed (DuckDB twin in oracle_sql(),
     or a documented rows-only/pytest gate for the non-SQL-expressible
     ones); every key, windowed or not, is re-verified locally by
     tools/check_contract.py against the same oracles.
@@ -2309,11 +2309,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     square_count, rich_club, powerlaw_alpha, weighted_sample,
     temperature_sample, vocab_coverage, unigram_logloss,
     bigram_logloss) sit immediately after the fold and must lead the
-    round-5 window, together with the seven keys added later in round
+    round-5 window, together with the nine keys added later in round
     4 (coloring_auto, bpe_segment, leiden_communities,
-    winnow_match_pairs, image_ahash, image_near_dup, image_dhash —
-    positions 61-67): 18 never-driver-verified keys total, all inside
-    a single round-5 window. All keys changed this round (coloring auto-pick,
+    winnow_match_pairs, image_ahash, image_near_dup, image_dhash,
+    crawl_schedule, bpe_fertility — positions 61-69): 20
+    never-driver-verified keys total, all inside a single round-5
+    window. All keys changed this round (coloring auto-pick,
     trussness rewrite, delta-BPE) are inside the window. The 92 keys
     past position 61 are all driver-green in r1/r2/r3 and unchanged
     since."""
