@@ -2301,26 +2301,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER STILL MATTERS: the external driver's correctness gate
     evaluates only the FIRST 50 keys in dict order (observed rounds
-    1-3). Round-4 rotation (VERDICT r3 item 1): of the 61 keys that
-    have NEVER appeared in any driver CORRECTNESS window
-    (union of r1+r2+r3 = 92 of the 153 that existed at rotation), the 50 below lead this round's
-    window; the remaining 11 (simple link-pred/corpus-stat keys:
-    common_neighbors, resource_allocation, preferential_attachment,
-    square_count, rich_club, powerlaw_alpha, weighted_sample,
-    temperature_sample, vocab_coverage, unigram_logloss,
-    bigram_logloss) sit immediately after the fold and must lead the
-    round-5 window, together with the nine keys added later in round
-    4 (coloring_auto, bpe_segment, leiden_communities,
-    winnow_match_pairs, image_ahash, image_near_dup, image_dhash,
-    crawl_schedule, bpe_fertility — positions 61-69): 20
-    never-driver-verified keys total, all inside a single round-5
-    window. All keys changed this round (coloring auto-pick,
-    trussness rewrite, delta-BPE) are inside the window. The 92 keys
-    past position 61 are all driver-green in r1/r2/r3 and unchanged
-    since."""
+    1-4). Round-5 rotation (VERDICT r4 item 1): the 20 keys that have
+    never appeared in any driver CORRECTNESS window (the 11 past
+    round-4's fold + the 9 added late in round 4) lead, so one green
+    CORRECTNESS_r05 makes every registered key driver-verified at
+    least once. The remaining 30 slots re-prove the core (pagerank,
+    CC, LPA, triangles, the dedup/ANN family, search, events) —
+    including ktruss, the only operator whose implementation changes
+    this round (small-scale recount floor, VERDICT r4 item 2). Keys
+    past the fold are all driver-green in r1-r4 and unchanged."""
     return {
-        # --- driver window: the 50 of 61 never-driver-verified keys
-        #     (every round-3 addition; all pass check_contract locally) ---
+        # --- round-5 driver window: the final 20 never-driver-verified
+        #     keys (all pass tools/check_contract.py locally) ---
+        "common_neighbors": q_common_neighbors,
+        "resource_allocation": q_resource_allocation,
+        "preferential_attachment": q_preferential_attachment,
+        "square_count": q_square_count,
+        "rich_club": q_rich_club,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "weighted_sample": q_weighted_sample,
+        "temperature_sample": q_temperature_sample,
+        "vocab_coverage": q_vocab_coverage,
+        "unigram_logloss": q_unigram_logloss,
+        "bigram_logloss": q_bigram_logloss,
+        "coloring_auto": q_coloring_auto,
+        "bpe_segment": q_bpe_segment,
+        "leiden_communities": q_leiden,
+        "winnow_match_pairs": q_winnow_match_pairs,
+        "image_ahash": q_image_ahash,
+        "image_near_dup": q_image_near_dup,
+        "image_dhash": q_image_dhash,
+        "crawl_schedule": q_crawl_schedule,
+        "bpe_fertility": q_bpe_fertility,
+        # --- window fill: core re-proofs (ktruss changes this round) ---
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
+        "label_propagation": q_label_propagation,
+        "triangle_total": q_triangle_total,
+        "ktruss": q_ktruss,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ivf_topk_fullprobe": q_ivf_topk,
+        "hits_scores": q_hits_scores,
+        "scc": q_scc,
+        "kcore": q_kcore,
+        "coreness": q_coreness,
+        "bfs_distances": q_bfs_distances,
+        "outlink_extract": q_outlink_extract,
+        "degree_in": q_degree_in,
+        "top_pages_by_indegree": q_top_pages_by_indegree,
+        "url_search_score": q_url_search_score,
+        "search_top10": q_search_top10,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "corpus_filter": q_corpus_filter,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        # --- past the fold: driver-green in r1-r4, unchanged ---
         "louvain_communities": q_louvain,
         "eigenvector_centrality": q_eigenvector_centrality,
         "bowtie": q_bowtie,
@@ -2371,86 +2415,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "ppr_push": q_ppr_push,
         "scan_clusters": q_scan_clusters,
-        # --- past the fold: the 11 remaining never-driver-verified keys;
-        #     MUST lead the round-5 window ---
-        "common_neighbors": q_common_neighbors,
-        "resource_allocation": q_resource_allocation,
-        "preferential_attachment": q_preferential_attachment,
-        "square_count": q_square_count,
-        "rich_club": q_rich_club,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "weighted_sample": q_weighted_sample,
-        "temperature_sample": q_temperature_sample,
-        "vocab_coverage": q_vocab_coverage,
-        "unigram_logloss": q_unigram_logloss,
-        "bigram_logloss": q_bigram_logloss,
-        # --- new this round: must be driver-verified in round 5 ---
-        "coloring_auto": q_coloring_auto,
-        "bpe_segment": q_bpe_segment,
-        "leiden_communities": q_leiden,
-        "winnow_match_pairs": q_winnow_match_pairs,
-        "image_ahash": q_image_ahash,
-        "image_near_dup": q_image_near_dup,
-        "image_dhash": q_image_dhash,
-        "crawl_schedule": q_crawl_schedule,
-        "bpe_fertility": q_bpe_fertility,
-        # --- driver-green in r1/r2/r3 (see CORRECTNESS_r0*.json), unchanged ---
         "degree_histogram": q_degree_histogram,
         "doc_fingerprint": q_doc_fingerprint,
         "degree_out": q_degree_out,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "triangle_total": q_triangle_total,
         "spmv_step": q_spmv_step,
         "weight_normalize": q_weight_normalize,
         "ratio_filter": q_ratio_filter,
         "dangling_vertices": q_dangling_vertices,
-        "top_pages_by_indegree": q_top_pages_by_indegree,
         "hits_one_iter": q_hits_one_iter,
         "cc_one_iter": q_cc_one_iter,
         "lpa_one_iter": q_lpa_one_iter,
-        "url_search_score": q_url_search_score,
         "url_query_predicate": q_url_query_predicate,
-        "jaccard_pairs": q_jaccard_pairs,
         "stratified_sample": q_stratified_sample,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_topk": q_embedding_topk,
         "edge_regex_filter": q_edge_regex_filter,
         "media_metadata": q_media_metadata,
-        "degree_in": q_degree_in,
-        "outlink_extract": q_outlink_extract,
-        "lang_id": q_lang_id,
         "ngram_topk": q_ngram_topk,
         "doc_length_quantiles": q_doc_length_quantiles,
-        "quality_score": q_quality_score,
-        "text_stats": q_text_stats,
         "domain_stats": q_domain_stats,
         "url_normalize": q_url_normalize,
         "repetition_stats": q_repetition_stats,
         "pii_counts": q_pii_counts,
-        "ktruss": q_ktruss,
-        "bfs_distances": q_bfs_distances,
         "host_sssp": q_host_sssp,
         "random_walks": q_random_walks,
         "ppr_walks": q_ppr_walks,
         "betweenness_sampled": q_betweenness_sampled,
-        "label_propagation": q_label_propagation,
-        "connected_components": q_connected_components,
-        "pagerank": q_pagerank,
         "louvain_multilevel": q_louvain_multilevel,
-        "coreness": q_coreness,
         "duplicate_spans": q_duplicate_spans,
         "salsa_scores": q_salsa_scores,
         "pagerank_topics": q_pagerank_topics,
         "spam_mass": q_spam_mass,
-        "kcore": q_kcore,
         "minhash_verified_pairs": q_minhash_verified,
-        "hits_scores": q_hits_scores,
         "triangles_per_edge": q_triangles_per_edge,
-        "scc": q_scc,
-        "dedup_clusters": q_dedup_clusters,
         "khop_subgraph": q_khop_subgraph,
         "katz_centrality": q_katz_centrality,
         "host_graph": q_host_graph,
@@ -2458,10 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr": q_pagerank_csr,
         "clustering_coefficient": q_clustering_coefficient,
         "pagerank_personalized": q_pagerank_personalized,
-        "search_top10": q_search_top10,
-        "events_windowed": q_events_windowed,
         "events_sliding": q_events_sliding,
-        "events_sessionize": q_events_sessionize,
         "events_json_sum": q_events_json_sum,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -2477,16 +2470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "hyperball_nf": q_hyperball_nf,
         "latest_snapshot": q_latest_snapshot,
-        "corpus_filter": q_corpus_filter,
         "anchor_extract": q_anchor_extract,
         "decontaminate_overlap": q_decontaminate_overlap,
         "sequence_pack": q_sequence_pack,
-        "dedup_exact": q_dedup_exact,
         "jaccard_pairs_capped": q_jaccard_pairs_capped,
         "modularity_lpa": q_modularity_lpa,
         "embedding_near_dup_at_scale": q_embedding_near_dup_at_scale,
         "embedding_centroids": q_embedding_centroids,
-        "ivf_topk_fullprobe": q_ivf_topk,
     }
 
 
