@@ -30,7 +30,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ingest.edges import GraphTables
@@ -164,7 +164,11 @@ class KTrussResult:
 
 
 def ktruss(
-    spark: SparkSession, g: GraphTables, k: int, max_rounds: int = 100
+    spark: SparkSession,
+    g: GraphTables,
+    k: int,
+    max_rounds: int = 100,
+    recount_floor: int = 5_000_000,
 ) -> KTrussResult:
     """Maximal k-truss (Cohen 2008): the largest subgraph in which every
     edge participates in >= k-2 triangles WITHIN the subgraph — the
@@ -177,16 +181,33 @@ def ktruss(
     set every round — at 100x scale the peel depth multiplies the most
     expensive pass in the engine). Triangles are enumerated ONCE (the
     degree-ordered wedge join — orientation keeps hubs from fanning
-    out wedges) and frozen as a triangle table; per round, edges below
-    k-2 drop, the triangles they touch die (each exactly once, however
-    many of its edges dropped together), and the dead triangles'
-    surviving edges are decremented — so per-round work is
-    O(incidence of the dropped edges), not O(full cascade). The
-    iterates are identical to the recount formulation (support on the
-    residual subgraph = live-triangle count), so the fixpoint, the
-    round count, and the DuckDB peel oracle are all unchanged.
-    Output edges are relabeled (a, b = min/max url) with their final
-    in-truss support.
+    out wedges) and kept EXPLODED as a 3-rows-per-triangle edge-keyed
+    table (round 5: this folds round-4's three per-round `_touch`
+    semi-joins + union into ONE semi-join, recovering the small-graph
+    per-round constant the round-4 verdict flagged); per round, edges
+    below k-2 drop, the triangles they touch die (each exactly once,
+    however many of its edges dropped together), and the dead
+    triangles' surviving edges are decremented. Per-round cost is one
+    pass over the live triangle-edge/edge tables (the filter/anti-join
+    rewrite + checkpoint) plus O(incidence of the dropped edges) join
+    work — far cheaper than the old full wedge re-cascade, whose
+    wedge join it never re-runs. The iterates are identical to the
+    recount formulation (support on the residual subgraph =
+    live-triangle count), so the fixpoint, the round count, and the
+    DuckDB peel oracle are all unchanged. Output edges are relabeled
+    (a, b = min/max url) with their final in-truss support.
+
+    Form pick (round 5, the CC probe-floor pattern,
+    components.py:212): below `recount_floor` triangle-edge rows the
+    whole frozen triangle table fits a single task wave and the delta
+    form's three materializations per round (dead keys, marked
+    rewrite, decremented supports) dominate the wall — so small
+    graphs instead RECOUNT supports over the frozen table each round
+    (one semi-join + one triangle-key window + one aggregate, ONE
+    checkpoint per round, triangle table never rewritten; the wedge
+    cascade is still never re-run). Both forms produce identical
+    iterates — support on the residual subgraph — so the pick is
+    invisible to the fixpoint, the round count, and the oracle.
     """
     P = g.num_partitions
     und = (
@@ -200,30 +221,47 @@ def ktruss(
         .localCheckpoint(eager=True)
     )
     n_und = und.count()
-    oriented, triangles = _wedge_triangles(und, pack_max_id=g.n)
-    # one row per live triangle, keyed by (u, v1, v2), carrying its
-    # three canonical member edges
-    tri = triangles.select(
-        "u", "v1", "v2",
-        F.least("u", "v1").alias("e1a"), F.greatest("u", "v1").alias("e1b"),
-        F.least("u", "v2").alias("e2a"), F.greatest("u", "v2").alias("e2b"),
-        F.least("v1", "v2").alias("e3a"), F.greatest("v1", "v2").alias("e3b"),
-    ).repartition(P).transform(reset_stats_checkpoint)
-    oriented.unpersist()
-    triangles.unpersist()
+    # persist_triangles=False: the initial support pass STREAMS the
+    # cascade into its aggregate; if (and only if) the peel actually
+    # drops edges, the cascade is recomputed once to freeze the
+    # exploded triangle table. Two cascades worst case, zero cache
+    # churn on the (common) converge-immediately path, and the frozen
+    # table is a checkpoint, not an old-gen resident.
+    oriented, triangles = _wedge_triangles(
+        und, persist_triangles=False, pack_max_id=g.n
+    )
 
-    def _tri_edges(t: DataFrame) -> DataFrame:
+    # three rows per live triangle — (triangle key, member edge); the
+    # exploded form makes every per-round touch/decrement/rewrite a
+    # single pass instead of three per-member-edge semi-joins
+    def _explode_edges(t: DataFrame) -> DataFrame:
         return t.select(
+            "u", "v1", "v2",
             F.explode(
                 F.array(
-                    F.struct(F.col("e1a").alias("a"), F.col("e1b").alias("b")),
-                    F.struct(F.col("e2a").alias("a"), F.col("e2b").alias("b")),
-                    F.struct(F.col("e3a").alias("a"), F.col("e3b").alias("b")),
+                    F.struct(
+                        F.least("u", "v1").alias("a"),
+                        F.greatest("u", "v1").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("u", "v2").alias("a"),
+                        F.greatest("u", "v2").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("v1", "v2").alias("a"),
+                        F.greatest("v1", "v2").alias("b"),
+                    ),
                 )
-            ).alias("e")
-        ).select("e.a", "e.b")
+            ).alias("e"),
+        ).select("u", "v1", "v2", "e.a", "e.b")
 
-    sup0 = _tri_edges(tri).groupBy("a", "b").agg(
+    # initial supports stream straight out of the (persisted) triangle
+    # enumeration — the exploded per-round triangle table is NOT built
+    # yet: when no edge is below k-2 (common for small k on web
+    # graphs) the peel exits after one support pass and the 3x
+    # materialization would have been pure waste (round 5; this was
+    # the whole sf0.1 ktruss regression — rounds=1 there)
+    sup0 = _explode_edges(triangles).groupBy("a", "b").agg(
         F.count("*").cast("long").alias("triangles")
     )
     alive = (
@@ -237,6 +275,8 @@ def ktruss(
         .repartition(P, "a", "b")
         .transform(reset_stats_checkpoint)
     )
+    use_recount = False
+    tri_edges: DataFrame | None = None
     rounds, converged = 1, False
     with no_aqe(spark), loop_shuffle_partitions(spark, 3 * n_und):
         while rounds <= max_rounds:
@@ -245,29 +285,65 @@ def ktruss(
             if n_drop == 0:
                 converged = True
                 break
+            if tri_edges is None:
+                # first real peel round: freeze the exploded table
+                # (one cascade recomputation, one checkpoint), and
+                # pick the per-round form off the 1-row aggregate of
+                # the checkpointed supports (no extra triangle scan)
+                tri_edges = (
+                    _explode_edges(triangles)
+                    .repartition(P)
+                    .transform(reset_stats_checkpoint)
+                )
+                n_tri_rows = (
+                    alive.agg(F.sum("triangles")).collect()[0][0] or 0
+                )
+                use_recount = n_tri_rows < recount_floor
+            if use_recount:
+                live = alive.filter(F.col("triangles") >= k - 2).select("a", "b")
+                w_tri = Window.partitionBy("u", "v1", "v2")
+                sup = (
+                    tri_edges.join(
+                        live.withColumn("alv", F.lit(1)), ["a", "b"], "left"
+                    )
+                    .withColumn("lc", F.count("alv").over(w_tri))
+                    .filter(F.col("lc") == 3)
+                    .groupBy("a", "b")
+                    .agg(F.count("*").cast("long").alias("tri_new"))
+                )
+                alive = (
+                    live.join(sup, ["a", "b"], "left")
+                    .select(
+                        "a", "b",
+                        F.coalesce(F.col("tri_new"), F.lit(0)).cast("long")
+                        .alias("triangles"),
+                    )
+                    .transform(reset_stats_checkpoint)
+                )
+                rounds += 1
+                continue
             alive = alive.filter(F.col("triangles") >= k - 2)
             # triangles touching a dropped edge die — each once, even
-            # when several of its edges dropped this round (tri rows
-            # are unique on (u, v1, v2), so the unioned semi-joins
-            # dedupe exactly)
-            def _touch(ea: str, eb: str) -> DataFrame:
-                return tri.join(
-                    dropped.select(
-                        F.col("a").alias(ea), F.col("b").alias(eb)
-                    ),
-                    [ea, eb],
-                    "left_semi",
-                )
-
+            # when several of its edges dropped this round (one
+            # semi-join over the exploded table, then distinct on the
+            # triangle key)
             dead = (
-                _touch("e1a", "e1b")
-                .unionByName(_touch("e2a", "e2b"))
-                .unionByName(_touch("e3a", "e3b"))
+                tri_edges.join(dropped, ["a", "b"], "left_semi")
+                .select("u", "v1", "v2")
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            dec = _tri_edges(dead).groupBy("a", "b").agg(
-                F.count("*").cast("long").alias("dec")
+            # one pass marks dead membership AND materializes the
+            # surviving table — the dec aggregate and next round's
+            # semi-join both read the checkpoint, so the join is not
+            # recomputed
+            marked = tri_edges.join(
+                dead.withColumn("dead", F.lit(1)), ["u", "v1", "v2"], "left"
+            ).transform(reset_stats_checkpoint)
+            dec = (
+                marked.filter(F.col("dead") == 1)
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("long").alias("dec"))
             )
             alive = (
                 alive.join(dec, ["a", "b"], "left")
@@ -279,11 +355,10 @@ def ktruss(
                 )
                 .transform(reset_stats_checkpoint)
             )
-            tri = tri.join(
-                dead.select("u", "v1", "v2"), ["u", "v1", "v2"], "left_anti"
-            ).transform(reset_stats_checkpoint)
+            tri_edges = marked.filter(F.col("dead").isNull()).drop("dead")
             rounds += 1
 
+    oriented.unpersist()
     v = g.vertices
     out = (
         alive.join(v.select(F.col("id").alias("a"), F.col("url").alias("url_a")), "a")

@@ -658,6 +658,17 @@ def test_ktruss_hand_and_random(spark):
         got_r = {(r["a"], r["b"]): r["support"] for r in res_r.edges.collect()}
         assert got_r == _python_ktruss(pairs2, k), f"k={k}"
         assert res_r.converged
+    # both per-round forms (small-graph recount vs delta-maintained
+    # supports) produce identical iterates: force the delta form with
+    # recount_floor=0 and require the identical fixpoint + round count
+    res_delta = ktruss(spark, g2, k=4, recount_floor=0)
+    got_delta = {
+        (r["a"], r["b"]): r["support"] for r in res_delta.edges.collect()
+    }
+    res_rec = ktruss(spark, g2, k=4, recount_floor=10**9)
+    got_rec = {(r["a"], r["b"]): r["support"] for r in res_rec.edges.collect()}
+    assert got_delta == got_rec == _python_ktruss(pairs2, 4)
+    assert res_delta.rounds == res_rec.rounds
     g.unpersist(); g2.unpersist()
 
 
