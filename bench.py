@@ -200,12 +200,19 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # Run-to-run spread (VERDICT r3 item 8): the full suite is too long
-    # to double, but the iterative regression sentinels the verdicts
-    # track round-over-round get a second trial — their reported wall
-    # is best-of-two (the machine's capability, same policy as the
-    # scaled pagerank below) and both trials are recorded so a
-    # round-over-round delta can be judged against the measured noise.
+    # to double, but the regression sentinels the verdicts track
+    # round-over-round get a second trial. Both trials are recorded
+    # under sentinel_trials and the best-of-two under sentinel_best;
+    # timings keeps the FIRST (cold-protocol) trial so the suite total
+    # still sums over comparable measurements (round-5 ADVICE: the
+    # second trial runs on a warmed JVM with the sf dir in page cache,
+    # so folding it into timings biased sentinel walls low vs the 60+
+    # single-trial queries).
+    # Round 5 extends the set to every key that swung >30% in the
+    # r3->r4 driver diff (VERDICT r4 item 3) so future swings can be
+    # judged against measured spread instead of single trials.
     sentinel_trials: dict[str, list[float]] = {}
+    sentinel_best: dict[str, float] = {}
     for name in (
         "connected_components",
         "label_propagation",
@@ -215,6 +222,12 @@ def main() -> None:
         "palette_coloring",
         "bpe_merges",
         "scan_clusters",
+        # >30% r3->r4 swings (VERDICT r4 items 1-3)
+        "ktruss",
+        "ngram_topk",
+        "corpus_filter",
+        "containment_pairs",
+        "dedup_exact",
     ):
         if name not in timings:
             continue
@@ -222,7 +235,7 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
         second = round(time.time() - t0, 3)
         sentinel_trials[name] = [timings[name], second]
-        timings[name] = min(timings[name], second)
+        sentinel_best[name] = min(timings[name], second)
 
     # BASELINE.md-comparable iteration throughput: the sf-dir graph is tiny
     # (per-iteration fixed cost dominates), so also run the same pagerank()
@@ -337,6 +350,7 @@ spark.stop()
                 "unit": "sec",
                 "queries": timings,
                 "sentinel_trials": sentinel_trials,
+                "sentinel_best": sentinel_best,
                 "sf": sf,
                 "cpus": cpus,
                 "pagerank": pagerank_stats,

@@ -64,6 +64,13 @@ from pyspark.sql import functions as F
 from ..session import loop_shuffle_partitions, no_aqe
 from ..text.analysis import hash60_expr, sql_hash60
 
+# Palette-phase round bound shared by coloring_auto AND its DuckDB twin
+# (round-5 ADVICE): the engine raising its loud max_rounds error and the
+# oracle running out of unrolled CTE rounds must happen at the SAME
+# bound, otherwise an engine run needing more rounds than the oracle
+# unrolls would surface as an unexplained contract mismatch instead.
+AUTO_PAL_ROUNDS = 64
+
 
 @dataclass
 class ColoringResult:
@@ -503,7 +510,7 @@ def coloring_auto(
     spark: SparkSession,
     edges: DataFrame,
     probe_rounds: int = 8,
-    max_rounds: int = 128,
+    max_rounds: int = AUTO_PAL_ROUNDS,
 ) -> ColoringResult:
     """Default coloring entry point — the auto-pick VERDICT r3 item 1/3
     asked for. Jones-Plassmann's round count equals the longest
@@ -600,7 +607,9 @@ def coloring_auto(
 
 
 def sql_coloring_auto(
-    probe_rounds: int = 8, pal_rounds: int = 64, edges_rel: str = "edges"
+    probe_rounds: int = 8,
+    pal_rounds: int = AUTO_PAL_ROUNDS,
+    edges_rel: str = "edges",
 ) -> str:
     """DuckDB twin of coloring_auto: probe_rounds Jones-Plassmann
     rounds then pal_rounds palette rounds, unrolled (MATERIALIZED, see

@@ -1201,9 +1201,16 @@ def stream_image_neardup(
     Within a batch, images are processed in url order, so same-batch
     bucket-mates pair like the batch self-join; replayed urls are
     no-ops. A pair within the Hamming budget shares >= 1 band by the
-    pigeonhole guarantee, so every qualifying pair is emitted (once
-    per shared bucket — identical rows, deduped by any pair-keyed
-    sink, the batch op's `.distinct()` placed earlier).
+    pigeonhole guarantee, so every shared-band bucket finds it — but
+    only the MINIMUM shared band emits it (round-5 ADVICE: the bucket
+    knows both hashes, so "is this the pair's first shared band?" is a
+    local recomputation, making emission exactly-once WITHOUT a second
+    stateful stage — Spark rejects chaining one, and a downstream
+    non-pair-keyed sink must not double-count). Both members of a
+    qualifying pair sit in every shared-band bucket, including the
+    minimum one, so nothing is missed; the stream matches the batch
+    op's `.distinct()` output row-for-row (multiset-asserted in
+    tests).
 
     Output: (a, b, hamming) with a < b, hamming <= max_hamming.
     Stream == batch on ordered files (asserted in tests).
@@ -1225,6 +1232,7 @@ def stream_image_neardup(
     def pairs_fn(key, pdfs, state):
         import pandas as pd
 
+        my_band = int(key[0])
         if state.exists:
             urls = list(state.get[0])
             hashes = [int(v) for v in state.get[1]]
@@ -1242,8 +1250,18 @@ def stream_image_neardup(
         out = []
         for u, hv in incoming:
             for u2, hv2 in zip(urls, hashes):
-                d = bin((hv ^ hv2) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
+                x = (hv ^ hv2) & ((1 << 64) - 1)
+                d = bin(x).count("1")
+                if d > max_hamming:
+                    continue
+                # exactly-once: only the pair's minimum shared band
+                # emits (every shared-band bucket holds both members,
+                # so the minimum one always sees the pair)
+                first_shared = next(
+                    b for b in range(bands)
+                    if (x >> (b * width)) & mask == 0
+                )
+                if first_shared == my_band:
                     out.append((min(u, u2), max(u, u2), d))
             urls.append(u)
             hashes.append(hv)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
@@ -993,17 +994,20 @@ def test_stream_image_neardup_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(240)
-    got = {
+    # MULTISET compare (round-5 ADVICE): with the pair-keyed dedup
+    # stage the stream must match the batch op row-for-row — a set
+    # compare would mask per-band duplicate emissions
+    got = Counter(
         (r["a"], r["b"], r["hamming"])
         for r in spark.sql("select * from img_stream").collect()
-    }
+    )
 
     all_imgs = spark.createDataFrame(batch1 + batch2, schema)
-    expected = {
+    expected = Counter(
         (r["a"], r["b"], r["hamming"])
         for r in image_near_dup_ahash(
             image_ahash(all_imgs), max_hamming=3
         ).collect()
-    }
+    )
     assert got == expected
     assert ("img://a", "img://a2", 0) in got  # cross-batch exact dup
