@@ -2201,6 +2201,24 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(imgs)
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual DCT hash per synthesized PNG: 32x32 integer
+    resample, baked integer DCT-II basis, 63 AC coefficients of the
+    top-left 8x8 block thresholded at their median — the
+    brightness/contrast-robust member of the hash family (VERDICT r4
+    item 5; aHash misses twins under global level shifts). All-integer
+    arithmetic, so the DuckDB twin replays the transform exactly from
+    the pixel rule while the engine goes through the real PNG
+    encode->decode (multimodal/media.py::image_phash)."""
+    from pagerankproject_spark.multimodal.media import (
+        image_phash,
+        synthesize_png_table,
+    )
+
+    imgs = synthesize_png_table(_read(spark, sf_dir, "documents"))
+    return image_phash(imgs)
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-slot scheduling: a proper coloring of the HOST
     co-link graph — hosts sharing an edge land in different slots, so
@@ -2333,6 +2351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "crawl_schedule": q_crawl_schedule,
         "bpe_fertility": q_bpe_fertility,
+        # --- new this round (must be driver-verified in round 5) ---
+        "image_phash": q_image_phash,
         # --- window fill: core re-proofs (ktruss changes this round) ---
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2363,8 +2383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "corpus_filter": q_corpus_filter,
         "events_windowed": q_events_windowed,
+        # --- past the fold: driver-green in r1-r4, unchanged
+        #     (events_sessionize yielded its fill slot to image_phash) ---
         "events_sessionize": q_events_sessionize,
-        # --- past the fold: driver-green in r1-r4, unchanged ---
         "louvain_communities": q_louvain,
         "eigenvector_centrality": q_eigenvector_centrality,
         "bowtie": q_bowtie,
@@ -2506,6 +2527,49 @@ ia_bits as (
                   then (1::hugeint << c.cell) else 0::hugeint end) as uv
   from ia_cell c join ia_tot t using (url) group by c.url
 )"""
+
+def _img_phash_sql() -> str:
+    """DuckDB twin of q_image_phash: replays the 32x32 integer
+    resample (the 16x16 fixture maps pixel (x, y) to cell (2y, 2x),
+    gv = 256*px, empty cells 0 — so only the 256 pixel cells
+    contribute) and the baked integer DCT through the SAME
+    _PHASH_COS table the engine uses, then the rank-32 median
+    threshold over the 63 AC coefficients."""
+    from pagerankproject_spark.multimodal.media import _PHASH_COS
+
+    cos_rows = ", ".join(
+        f"({k}, {n}, {v})"
+        for k, row in enumerate(_PHASH_COS)
+        for n, v in enumerate(row)
+    )
+    return f"""with {_IMG_PX_CTE},
+ip_cos(k, n, cv) as (values {cos_rows}),
+ip_ac as (
+  select p.url, u.k as ku, v.k as kv,
+         sum(256::bigint * p.px * u.cv * v.cv) as coef
+  from ia_px p
+  join ip_cos v on v.n = 2 * (p.i % 16)
+  join ip_cos u on u.n = 2 * (p.i // 16)
+  group by 1, 2, 3
+  having not (u.k = 0 and v.k = 0)
+),
+ip_med as (
+  select url, coef as med from (
+    select url, coef,
+           row_number() over (partition by url order by coef) as rn
+    from ip_ac) t
+  where rn = 32
+),
+ip_bits as (
+  select a.url,
+         sum(case when a.coef > m.med
+                  then (1::hugeint << (a.ku * 8 + a.kv - 1))
+                  else 0::hugeint end) as uv
+  from ip_ac a join ip_med m using (url)
+  group by a.url
+)
+select url, uv::bigint as phash from ip_bits"""
+
 
 def oracle_sql() -> dict[str, str]:
     from pagerankproject_spark.graph import pushppr as _push_mod
@@ -2856,6 +2920,7 @@ select url,
        (case when uv >= (1::hugeint << 63) then uv - (1::hugeint << 64)
              else uv end)::bigint as dhash
 from id_bits""",
+        "image_phash": _img_phash_sql(),
         "image_near_dup": f"""with {_IMG_AHASH_CTE},
 ind_band as (
   select url, uv, b.b as band,

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "winnow_match_pairs",
     "image_ahash",
     "image_near_dup",
+    # round-5: the DCT member of the hash family
+    "image_phash",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",

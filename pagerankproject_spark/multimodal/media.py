@@ -579,6 +579,123 @@ def synthesize_png_table(
     return docs.select(id_col).mapInPandas(synth, schema)
 
 
+# Integer DCT-II basis for phash_bits: _PHASH_COS[k][n] =
+# round(cos(pi*(2n+1)*k/64) * 1024), k = frequency 0..7, n = spatial
+# index 0..31. BAKED literal (not computed at import): the hash and its
+# DuckDB twin must share the exact table, and libm cos() can differ by
+# an ulp across platforms — enough to flip a round() and the bit it
+# feeds. Only the 8 lowest frequencies are needed (pHash keeps the
+# top-left 8x8 DCT block).
+_PHASH_COS: tuple[tuple[int, ...], ...] = (
+    (1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    (1023, 1013, 993, 964, 926, 878, 822, 759, 688, 610, 526, 438, 345, 249, 150, 50, -50, -150, -249, -345, -438, -526, -610, -688, -759, -822, -878, -926, -964, -993, -1013, -1023),
+    (1019, 980, 903, 792, 650, 483, 297, 100, -100, -297, -483, -650, -792, -903, -980, -1019, -1019, -980, -903, -792, -650, -483, -297, -100, 100, 297, 483, 650, 792, 903, 980, 1019),
+    (1013, 926, 759, 526, 249, -50, -345, -610, -822, -964, -1023, -993, -878, -688, -438, -150, 150, 438, 688, 878, 993, 1023, 964, 822, 610, 345, 50, -249, -526, -759, -926, -1013),
+    (1004, 851, 569, 200, -200, -569, -851, -1004, -1004, -851, -569, -200, 200, 569, 851, 1004, 1004, 851, 569, 200, -200, -569, -851, -1004, -1004, -851, -569, -200, 200, 569, 851, 1004),
+    (993, 759, 345, -150, -610, -926, -1023, -878, -526, -50, 438, 822, 1013, 964, 688, 249, -249, -688, -964, -1013, -822, -438, 50, 526, 878, 1023, 926, 610, 150, -345, -759, -993),
+    (980, 650, 100, -483, -903, -1019, -792, -297, 297, 792, 1019, 903, 483, -100, -650, -980, -980, -650, -100, 483, 903, 1019, 792, 297, -297, -792, -1019, -903, -483, 100, 650, 980),
+    (964, 526, -150, -759, -1023, -822, -249, 438, 926, 993, 610, -50, -688, -1013, -878, -345, 345, 878, 1013, 688, 50, -610, -993, -926, -438, 249, 822, 1023, 759, 150, -526, -964),
+)
+
+
+def phash_bits(w: int, h: int, channels: int, buf: bytes) -> int:
+    """63-bit perceptual DCT hash (Krawetz's pHash, public), all-integer
+    so Spark, a replay, and the DuckDB twin agree bit-for-bit:
+
+      1. resample to a 32x32 grid of cell grays — pixel (x, y) lands in
+         cell (y*32//h, x*32//w); cell gray = (256 * sum of its pixels'
+         channel-sum grays) // pixel count (floor; empty cells on
+         images smaller than the grid count as 0 — the ahash_bits
+         convention);
+      2. 2-D integer DCT-II (no normalization — bits are threshold
+         comparisons and a shared scale cancels ordering within the
+         comparison set only up to per-coefficient factors, so the
+         UN-normalized transform is the convention, like most pHash
+         implementations): F[u][v] = sum over cells g[y][x] *
+         _PHASH_COS[u][x] * _PHASH_COS[v][y];
+      3. the 63 AC coefficients of the top-left 8x8 block (DC dropped),
+         thresholded at their median (sorted index 31, exact integer
+         compare): bit (u*8 + v - 1) = 1 iff F[u][v] > median.
+
+    Captures global structure (low spatial frequencies), so it is
+    robust to brightness/contrast shifts (they move mostly DC — which
+    is dropped — and rescale AC uniformly, which the median threshold
+    absorbs) where aHash flips cells near the global mean. Max value
+    2^63 - 1: always a non-negative Spark long."""
+    grid = 32
+    n_cells = grid * grid
+    sums = [0] * n_cells
+    npix = [0] * n_cells
+    for y in range(h):
+        r = y * grid // h
+        rowbase = y * w * channels
+        for x in range(w):
+            cell = r * grid + (x * grid // w)
+            base = rowbase + x * channels
+            g = 0
+            for ch in range(channels):
+                g += buf[base + ch]
+            sums[cell] += g
+            npix[cell] += 1
+    gv = [
+        (256 * sums[i]) // npix[i] if npix[i] else 0 for i in range(n_cells)
+    ]
+    # separable DCT: rows first (freq v over x), then columns (freq u
+    # over y) — 32*8 + 8*8 dot products instead of 64 full 1024-term
+    # sums
+    row_f = [
+        [
+            sum(gv[y * grid + x] * _PHASH_COS[v][x] for x in range(grid))
+            for v in range(8)
+        ]
+        for y in range(grid)
+    ]
+    coefs: list[tuple[int, int, int]] = []
+    for u in range(8):
+        cu = _PHASH_COS[u]
+        for v in range(8):
+            if u == 0 and v == 0:
+                continue
+            fuv = sum(row_f[y][v] * cu[y] for y in range(grid))
+            coefs.append((u, v, fuv))
+    med = sorted(c for _, _, c in coefs)[31]
+    val = 0
+    for u, v, c in coefs:
+        if c > med:
+            val |= 1 << (u * 8 + v - 1)
+    return val
+
+
+def image_phash(
+    df: DataFrame,
+    url_col: str = "url",
+    bin_col: str = "media",
+    fake: bool = False,
+) -> DataFrame:
+    """(url, phash) per image — same Arrow-batched decode path as
+    image_ahash; compose with image_near_dup_ahash(hash_col='phash')
+    for DCT-based near-dup pairs (the brightness/contrast-robust
+    member of the hash family: aHash = cell means, dHash = horizontal
+    gradient signs, pHash = low-frequency structure)."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, hashes = [], []
+            for url, payload in zip(pdf[url_col], pdf[bin_col]):
+                w, h, c, buf = _raw_any(url, bytes(payload), fake)
+                urls.append(url)
+                hashes.append(phash_bits(w, h, c, buf))
+            yield pd.DataFrame({"url": urls, "phash": hashes})
+
+    return df.select(url_col, bin_col).mapInPandas(run, schema)
+
+
 def dhash_bits(w: int, h: int, channels: int, buf: bytes) -> int:
     """64-bit difference hash (Krawetz's dHash, public): resample to an
     8-row x 9-column grid of cell mean grays (exact Fractions, pixel

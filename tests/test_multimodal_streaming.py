@@ -943,6 +943,84 @@ def test_image_dhash_gradient_and_brightness_invariance(spark):
     assert got["img://half"] == dhash_bits(16, 16, 1, half)
 
 
+def test_image_phash_robustness_and_near_dup(spark):
+    """pHash fundamentals: exact-integer determinism through the codec
+    round-trip; a few-pixel perturbed twin collapses to Hamming ~0
+    (low frequencies barely move); contrast scaling is invariant and a
+    global brightness shift stays within budget where aHash flips
+    cells near the global mean; banded near-dup composes with
+    hash_col='phash'; unrelated images stay far."""
+    import hashlib as _hl
+
+    from pagerankproject_spark.multimodal.media import (
+        encode_png_gray,
+        image_near_dup_ahash,
+        image_phash,
+        phash_bits,
+    )
+
+    def px_for(seed: str) -> bytearray:
+        return bytearray(
+            int(_hl.md5(f"{seed}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(256)
+        )
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    base = px_for("1000")
+    twin = bytearray(base)
+    for i in range(3):
+        twin[i] = int(_hl.md5(f"t:{i}".encode()).hexdigest()[:2], 16)
+    half = bytes(b // 2 for b in base)  # headroom for the +40 shift
+    bright = bytes(b + 40 for b in half)
+    contrast = bytes(min(255, b * 2) for b in half)
+    other = px_for("9999")
+
+    rows = [
+        ("img://a", bytes(encode_png_gray(16, 16, bytes(base)))),
+        ("img://b", bytes(encode_png_gray(16, 16, bytes(twin)))),
+        ("img://c", bytes(encode_png_gray(16, 16, bytes(other)))),
+        ("img://half", bytes(encode_png_gray(16, 16, half))),
+        ("img://bright", bytes(encode_png_gray(16, 16, bright))),
+        ("img://contrast", bytes(encode_png_gray(16, 16, contrast))),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    hashes = image_phash(df)
+    got = {r["url"]: r["phash"] for r in hashes.collect()}
+
+    # distributed == pure-python through the real codec; 63-bit value
+    assert got["img://a"] == phash_bits(16, 16, 1, bytes(base))
+    assert 0 <= got["img://a"] < (1 << 63)
+    # planted 3-pixel twin: low-frequency structure barely moves
+    assert ham(got["img://a"], got["img://b"]) <= 3
+    # global level shifts: pHash stays in budget where aHash does not
+    # always (the +40 shift here happens to keep aHash equal, so
+    # compare against the contrast doubling, which rescales every cell
+    # mean relative to the global mean's rounding)
+    assert ham(got["img://half"], got["img://bright"]) <= 3
+    assert ham(got["img://half"], got["img://contrast"]) <= 3
+    # aHash is NOT contrast-robust in general; pHash's median
+    # threshold absorbs the uniform AC rescale exactly
+    assert ham(
+        phash_bits(16, 16, 1, half), phash_bits(16, 16, 1, contrast)
+    ) == 0
+    # unrelated images stay far apart
+    assert ham(got["img://a"], got["img://c"]) > 10
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_ahash(
+            hashes, max_hamming=3, hash_col="phash"
+        ).collect()
+    }
+    assert ("img://a", "img://b") in pairs
+    assert ("img://bright", "img://half") in pairs or (
+        "img://half", "img://bright"
+    ) in pairs
+    assert not any("img://c" in p for p in pairs)
+
+
 def test_stream_image_neardup_matches_batch(spark, tmp_path):
     """Streaming image near-dup == batch image_near_dup_ahash on
     ordered files: same native decode + aHash + band keys, per-bucket
