@@ -1879,6 +1879,118 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(spark, pairs)
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified dedup report (VERDICT r4 item 8) — the artifact a
+    100-TB pipeline owner actually reads: run the five dedup methods
+    the engine carries (exact fingerprint, MinHash-verified clusters,
+    SimHash chunk-LSH clusters, embedding SemDeDup clusters,
+    paragraph-dedup damage) over ONE corpus and emit the per-method
+    removed counts plus the pairwise overlap matrix of the removed
+    sets — cross-checking the family's relative recall on the same
+    fixture. Pure composition of five driver-green operators; the
+    oracle composes the same five SQL twins under the same matrix.
+
+    Removal rules: exact/minhash/simhash/embedding drop every
+    non-survivor of a duplicate cluster; paragraph drops documents
+    that keep at most half their paragraphs after line dedup
+    (integer-exact 2*n_kept <= n_paragraphs). Embedding ids live in
+    the embeddings table's vec_id space (aligned 1:1 with doc_id in
+    the fixtures).
+
+    Output: (method_a <= method_b, removed_a, removed_b, overlap) —
+    15 rows; diagonal rows restate each method's removed count."""
+    from pagerankproject_spark.dedup.clusters import dedup_clusters
+    from pagerankproject_spark.similarity.lsh import near_dup_pairs
+    from pagerankproject_spark.text.analysis import fingerprint_expr
+    from pagerankproject_spark.text.paragraphs import paragraph_dedup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    embs = _read(spark, sf_dir, "embeddings")
+
+    surv = dedup_exact(docs)
+    exact_rm = (
+        docs.select(
+            "doc_id", fingerprint_expr(F.col("text")).alias("fingerprint")
+        )
+        .join(surv, "fingerprint")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+
+    def _removed(cdf: DataFrame) -> DataFrame:
+        return cdf.filter(~F.col("is_survivor")).select("doc_id")
+
+    mh_rm = _removed(
+        dedup_clusters(
+            spark, minhash_verified_pairs(docs, threshold=0.2, n=2)
+        )
+    )
+    sh_rm = _removed(dedup_clusters(spark, simhash_pairs(docs, max_hamming=3)))
+    em_rm = _removed(dedup_clusters(spark, near_dup_pairs(embs, threshold=0.3)))
+    pg_rm = (
+        paragraph_dedup_stats(docs, text=_lined_text_expr())
+        .filter(F.col("n_kept") * 2 <= F.col("n_paragraphs"))
+        .select("doc_id")
+    )
+
+    rm = None
+    for name, df in (
+        ("exact", exact_rm),
+        ("minhash", mh_rm),
+        ("simhash", sh_rm),
+        ("embedding", em_rm),
+        ("paragraph", pg_rm),
+    ):
+        part = df.select(
+            F.lit(name).alias("method"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        rm = part if rm is None else rm.unionByName(part)
+
+    methods = spark.createDataFrame(
+        [(m,) for m in ("embedding", "exact", "minhash", "paragraph", "simhash")],
+        "method string",
+    )
+    counts = rm.groupBy("method").agg(F.count("*").cast("long").alias("n"))
+    x = rm.select(F.col("method").alias("method_a"), "doc_id")
+    y = rm.select(F.col("method").alias("method_b"), "doc_id")
+    ovl = (
+        x.join(y, "doc_id")
+        .filter(F.col("method_a") <= F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    pairs_all = (
+        methods.select(F.col("method").alias("method_a"))
+        .crossJoin(methods.select(F.col("method").alias("method_b")))
+        .filter(F.col("method_a") <= F.col("method_b"))
+    )
+    return (
+        pairs_all.join(ovl, ["method_a", "method_b"], "left")
+        .join(
+            counts.select(
+                F.col("method").alias("method_a"), F.col("n").alias("ra")
+            ),
+            "method_a",
+            "left",
+        )
+        .join(
+            counts.select(
+                F.col("method").alias("method_b"), F.col("n").alias("rb")
+            ),
+            "method_b",
+            "left",
+        )
+        .select(
+            "method_a",
+            "method_b",
+            F.coalesce("ra", F.lit(0)).cast("long").alias("removed_a"),
+            F.coalesce("rb", F.lit(0)).cast("long").alias("removed_b"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+    )
+
+
 def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Locally-heaviest weighted matching (1/2-approx of maximum
     weight; graph/matching.py::weighted_matching) over the simple
@@ -2382,9 +2494,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "corpus_filter": q_corpus_filter,
-        "events_windowed": q_events_windowed,
+        # --- new this round: the composed five-method dedup report ---
+        "dedup_report": q_dedup_report,
         # --- past the fold: driver-green in r1-r4, unchanged
-        #     (events_sessionize yielded its fill slot to image_phash) ---
+        #     (events_windowed + events_sessionize yielded their fill
+        #     slots to image_phash + dedup_report) ---
+        "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "louvain_communities": q_louvain,
         "eigenvector_centrality": q_eigenvector_centrality,
@@ -3337,4 +3452,43 @@ hpairs as (select src_host as src, dst_host as dst from hg),{_sql_coloring_auto(
         "embedding_dedup_clusters": rsql.sql_dedup_clusters(
             sql_near_dup_pairs("embeddings", threshold=0.3)
         ),
+        "dedup_report": f"""
+with mh as ({rsql.sql_dedup_clusters(
+            sql_minhash_verified_pairs("documents", threshold=0.2, n=2))}),
+sh as ({rsql.sql_dedup_clusters(f'''
+            with fp as ({sql_simhash_fingerprints("documents")})
+            select a.doc as a, b.doc as b
+            from fp a join fp b on a.doc < b.doc
+            where bit_count(xor(a.simhash, b.simhash)) <= 3''')}),
+em as ({rsql.sql_dedup_clusters(
+            sql_near_dup_pairs("embeddings", threshold=0.3))}),
+pg as ({_sql_para_stats("documents", "doc_id", _LINED_TEXT_SQL)}),
+ex as ({sql_dedup_exact("documents")}),
+rm as (
+  select 'exact' as method, d.doc_id
+  from documents d join ex
+    on md5(lower(trim(d.text))) = ex.fingerprint
+   and d.doc_id <> ex.survivor_id
+  union all select 'minhash', doc_id from mh where not is_survivor
+  union all select 'simhash', doc_id from sh where not is_survivor
+  union all select 'embedding', doc_id from em where not is_survivor
+  union all select 'paragraph', doc_id from pg
+            where n_kept * 2 <= n_paragraphs
+),
+mlist(method) as (values ('embedding'), ('exact'), ('minhash'),
+                         ('paragraph'), ('simhash')),
+cnt as (select method, count(*)::bigint as n from rm group by 1),
+ov as (
+  select x.method as ma, y.method as mb, count(*)::bigint as o
+  from rm x join rm y on x.doc_id = y.doc_id and x.method <= y.method
+  group by 1, 2
+)
+select a.method as method_a, b.method as method_b,
+       coalesce(ca.n, 0)::bigint as removed_a,
+       coalesce(cb.n, 0)::bigint as removed_b,
+       coalesce(ov.o, 0)::bigint as overlap
+from mlist a join mlist b on a.method <= b.method
+left join cnt ca on ca.method = a.method
+left join cnt cb on cb.method = b.method
+left join ov on ov.ma = a.method and ov.mb = b.method""",
     }

@@ -99,8 +99,10 @@ BENCH_QUERIES = [
     "winnow_match_pairs",
     "image_ahash",
     "image_near_dup",
-    # round-5: the DCT member of the hash family
+    # round-5: the DCT member of the hash family + the composed
+    # five-method dedup report
     "image_phash",
+    "dedup_report",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",

@@ -24,6 +24,7 @@ def run_worker(cpus: int, n_images: int) -> None:
     from pagerankproject_spark.multimodal.media import (
         image_ahash,
         image_near_dup_ahash,
+        image_phash,
         synthesize_png_table,
     )
     from pagerankproject_spark.session import get_spark
@@ -52,6 +53,11 @@ def run_worker(cpus: int, n_images: int) -> None:
     t0 = time.time()
     pairs = image_near_dup_ahash(hashes, max_hamming=3).count()
     pair_wall = time.time() - t0
+    # round-5: the DCT member — heavier per image (two 8x32 integer
+    # matrix products vs one cell-mean pass), same Arrow decode path
+    t0 = time.time()
+    n_ph = image_phash(imgs).count()
+    phash_wall = time.time() - t0
     planted = sum(1 for i in range(n_images) if i % 10 == 1)
     print(
         "WORKER_RESULT "
@@ -61,6 +67,8 @@ def run_worker(cpus: int, n_images: int) -> None:
                 "images": n,
                 "hash_wall_sec": round(hash_wall, 2),
                 "images_per_sec": round(n / hash_wall, 1),
+                "phash_wall_sec": round(phash_wall, 2),
+                "phash_images_per_sec": round(n_ph / phash_wall, 1),
                 "pair_wall_sec": round(pair_wall, 2),
                 "near_dup_pairs": pairs,
                 "planted_twins": planted,
@@ -101,11 +109,15 @@ def main() -> None:
     cs = sorted(results)
     lo, hi = results[cs[0]], results[cs[-1]]
     eff = (hi["images_per_sec"] / lo["images_per_sec"]) / (cs[-1] / cs[0])
+    eff_ph = (
+        hi["phash_images_per_sec"] / lo["phash_images_per_sec"]
+    ) / (cs[-1] / cs[0])
     print(json.dumps({
         "job": "image-hash dedup N->4N",
         "levels": results,
         "scaling_efficiency": round(eff, 3),
-        "meets_north_rule_0.8": eff >= 0.8,
+        "phash_scaling_efficiency": round(eff_ph, 3),
+        "meets_north_rule_0.8": eff >= 0.8 and eff_ph >= 0.8,
     }))
 
 

@@ -2084,3 +2084,68 @@ def test_bpe_fertility_bounds(spark):
     )
     rows = seg.collect()
     assert all(1 <= len(r["subwords"]) <= len(r["word"]) + 1 for r in rows)
+
+
+def test_dedup_report_planted_duplicates(spark, tmp_path):
+    """dedup_report over a planted fixture: exact twins are removed by
+    the exact AND minhash AND simhash methods (overlap rows agree), a
+    near-identical text lands in the minhash cluster, identical
+    embeddings drive one embedding removal, and a half-boilerplate doc
+    trips the paragraph rule. Matrix invariants: 15 ordered rows,
+    diagonal restates the removed count, overlap <= min(removed)."""
+    import __spark_entry__ as entrymod
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark "
+        "shuffles partitions across the cluster ring"
+    )
+    near = base.replace("ring", "rack")
+    # paragraph rule: _lined_text_expr splits on the literal words
+    # batch/scan/join — give doc 5 two identical paragraphs
+    para = "same line here batch same line here batch tail"
+    docs = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s1", len(base)),          # exact twin of 1
+        (3, near, "en", "s1", len(near)),           # near-dup of 1
+        (4, "completely different content about databases and trees",
+         "en", "s2", 54),
+        (5, para, "en", "s2", len(para)),           # paragraph-dup doc
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    vec_a = [1.0] + [0.0] * 15
+    vec_b = [0.0, 1.0] + [0.0] * 14
+    embs = [
+        (1, vec_a, 0),
+        (2, vec_a, 0),   # identical embedding -> removed
+        (3, vec_b, 1),
+        (4, [0.0, 0.0, 1.0] + [0.0] * 13, 2),
+        (5, [0.0] * 3 + [1.0] + [0.0] * 12, 3),
+    ]
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = entrymod.q_dedup_report(spark, str(tmp_path)).collect()
+    assert len(rows) == 15
+    mat = {(r["method_a"], r["method_b"]): r for r in rows}
+    removed = {m: mat[(m, m)]["removed_a"] for m in
+               ("embedding", "exact", "minhash", "paragraph", "simhash")}
+    # planted recovery
+    assert removed["exact"] == 1          # doc 2
+    assert removed["minhash"] == 2        # docs 2 and 3 cluster with 1
+    assert removed["simhash"] >= 1        # at least the exact twin
+    assert removed["embedding"] == 1      # vec 2
+    assert removed["paragraph"] >= 1      # doc 5 keeps 2 of 3 paras
+    # matrix invariants
+    for (a, b), r in mat.items():
+        assert r["removed_a"] == removed[a] and r["removed_b"] == removed[b]
+        assert r["overlap"] <= min(removed[a], removed[b])
+        if a == b:
+            assert r["overlap"] == removed[a]
+    # the exact twin (doc 2) is inside every text-cluster method's
+    # removed set, so those overlaps are at least 1
+    assert mat[("exact", "minhash")]["overlap"] >= 1
+    assert mat[("exact", "simhash")]["overlap"] >= 1
