@@ -2424,7 +2424,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 162 keys are oracle-backed (DuckDB twin in oracle_sql(),
+    """All 164 keys are oracle-backed (DuckDB twin in oracle_sql(),
     or a documented rows-only/pytest gate for the non-SQL-expressible
     ones); every key, windowed or not, is re-verified locally by
     tools/check_contract.py against the same oracles.
@@ -2435,11 +2435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never appeared in any driver CORRECTNESS window (the 11 past
     round-4's fold + the 9 added late in round 4) lead, so one green
     CORRECTNESS_r05 makes every registered key driver-verified at
-    least once. The remaining 30 slots re-prove the core (pagerank,
-    CC, LPA, triangles, the dedup/ANN family, search, events) —
-    including ktruss, the only operator whose implementation changes
-    this round (small-scale recount floor, VERDICT r4 item 2). Keys
-    past the fold are all driver-green in r1-r4 and unchanged."""
+    least once. The two keys ADDED this round (image_phash at 21,
+    dedup_report at 50) sit inside the window too; the remaining 28
+    slots re-prove the core (pagerank, CC, LPA, triangles, the
+    dedup/ANN family, search, events) — including ktruss, the only
+    operator whose implementation changes this round (small-scale
+    recount floor, VERDICT r4 item 2). Keys past the fold are all
+    driver-green in r1-r4 and unchanged."""
     return {
         # --- round-5 driver window: the final 20 never-driver-verified
         #     keys (all pass tools/check_contract.py locally) ---
