@@ -10,17 +10,28 @@ IN-JOB with exact distributed checks before reporting.
   claim — compare against palette_coloring's 29 rounds on the same
   graph (BENCH.md symmetry-scale table).
 
-- leiden_communities on the bench_louvain planted-partition graph
-  (512 planted communities, ~95% intra edges, ~6.3M edges): planted-
-  structure recovery on the exact-integer modularity scale
-  (Q(found)/Q(planted), fail-loud floor 0.5) AND the Leiden
+- leiden_communities on a planted-partition graph (~95% intra edges,
+  ~6.3M edges). The operator is ONE Leiden level (a fixed-round
+  local-moving phase, then constrained refinement FROM SINGLETONS on
+  the intra-community subgraph — the OUTPUT labels are the
+  refinement's, phase A only constrains them), so its aggregation
+  reach from singletons is ~2^(rounds/2) members: planted communities
+  are sized INSIDE that operating range (size 6, k=16384) and
+  rounds/refine_rounds are 8/8 — recovering ~200-member communities
+  is the multilevel contraction's job (BENCH.md louvain-scale row,
+  recovery 0.966), not a single level's. Verified IN-JOB, all exact:
+  (1) recovery = Q(found)/Q(planted) on the exact-integer modularity
+  scale, fail-loud floor 0.5; (2) the SUB-PARTITION property — phase
+  A is deterministically replayed by louvain(rounds=8) (same
+  _move_rounds, same init), and every refined community must sit
+  inside exactly one phase-A community; (3) the Leiden
   well-connectedness guarantee — every multi-member refined community
-  is internally CONNECTED, verified by running connected_components
-  on the intra-community subgraph and asserting one component per
-  community plus no member stranded without an intra-community edge.
-  (Connectivity is the property Louvain alone cannot promise — Traag
-  2019 fig. 2 — and exactly what the from-singletons constrained
-  refinement guarantees by induction.)
+  is internally CONNECTED (connected_components over the
+  intra-community subgraph, one component per community, no member
+  stranded without an intra-community edge). Connectivity is the
+  property Louvain alone cannot promise (Traag 2019 fig. 2) and
+  exactly what from-singletons constrained refinement guarantees by
+  induction.
 
 Usage: python jobs/bench_round5.py [--cpus 32]
        [--coloring-multiplier 84] [--leiden-multiplier 42]
@@ -46,9 +57,12 @@ def main() -> None:
     ap.add_argument("--coloring-multiplier", type=int, default=84)
     ap.add_argument("--coloring-vertices", type=int, default=1_000_000)
     ap.add_argument("--leiden-multiplier", type=int, default=42)
-    ap.add_argument("--leiden-k", type=int, default=512)
-    ap.add_argument("--leiden-vertices", type=int, default=100_000)
+    ap.add_argument("--leiden-k", type=int, default=16384)
+    ap.add_argument("--leiden-vertices", type=int, default=98_304)
+    ap.add_argument("--leiden-rounds", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--skip-coloring", action="store_true")
+    ap.add_argument("--skip-leiden", action="store_true")
     args = ap.parse_args()
 
     from jobs.bench_symmetry import build_edges
@@ -63,11 +77,20 @@ def main() -> None:
     out: dict = {}
 
     # --- coloring_auto at 12.6M edges + exact properness -------------
+    if not args.skip_coloring:
+        edges, n_edges = build_edges(
+            spark, args.coloring_multiplier, args.coloring_vertices
+        )
+        _run_coloring(spark, edges, n_edges, out)
+
+    if not args.skip_leiden:
+        _run_leiden(spark, args, out)
+    print(json.dumps(out, default=str))
+
+
+def _run_coloring(spark, edges, n_edges, out) -> None:
     from pagerankproject_spark.graph.coloring import coloring_auto
 
-    edges, n_edges = build_edges(
-        spark, args.coloring_multiplier, args.coloring_vertices
-    )
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"),
@@ -116,12 +139,15 @@ def main() -> None:
     }
     colors.unpersist(); und.unpersist(); edges.unpersist()
 
+
+def _run_leiden(spark, args, out) -> None:
     # --- leiden at 6.3M planted-partition edges ----------------------
     from pagerankproject_spark.graph.components import connected_components
-    from pagerankproject_spark.graph.louvain import leiden_communities
+    from pagerankproject_spark.graph.louvain import leiden_communities, louvain
     from pagerankproject_spark.graph.metrics import modularity
     from pagerankproject_spark.ingest.edges import build_graph_tables
 
+    SF_DIR = "/root/testdata/sf0.1"
     k, size = args.leiden_k, args.leiden_vertices // args.leiden_k
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderkey", "o_custkey"
@@ -151,8 +177,9 @@ def main() -> None:
     print(f"leiden graph: {n_ledges} edges, {n_lverts} vertices, "
           f"k={k} planted")
 
+    R = args.leiden_rounds
     t0 = time.time()
-    res = leiden_communities(spark, g)
+    res = leiden_communities(spark, g, rounds=R, refine_rounds=R)
     found = res.communities.persist()
     n_found = found.select("community").distinct().count()
     wall = time.time() - t0
@@ -201,11 +228,29 @@ def main() -> None:
     assert bad == 0, (
         f"{bad} refined communities are not internally connected"
     )
+
+    # sub-partition property: phase A replayed deterministically by
+    # louvain(rounds=R) (identical _move_rounds + init); every refined
+    # community sits inside exactly one phase-A community
+    louv = louvain(spark, g, rounds=R).communities.select(
+        "url", F.col("community").alias("phase_a")
+    )
+    crossed = (
+        cf.join(louv, "url")
+        .groupBy("community")
+        .agg(F.countDistinct("phase_a").alias("n_parents"))
+        .filter(F.col("n_parents") != 1)
+        .count()
+    )
+    assert crossed == 0, (
+        f"{crossed} refined communities straddle phase-A communities"
+    )
     print(f"leiden_communities: {wall:.1f}s Q_found={q_found:.4f} "
           f"Q_planted={q_planted:.4f} recovery={recovery:.3f} "
           f"found={n_found} (k={k} planted); "
           f"well-connectedness verified exactly over {n_multi} "
-          f"multi-member communities")
+          f"multi-member communities; sub-partition of the replayed "
+          f"phase A verified exactly")
     out["leiden_communities"] = {
         "edges": n_ledges, "vertices": n_lverts, "k_planted": k,
         "wall_s": round(wall, 1),
@@ -214,9 +259,9 @@ def main() -> None:
         "communities_found": n_found,
         "multi_member_communities": n_multi,
         "disconnected_communities": 0,
+        "straddling_communities": 0,
         "move_rounds": res.rounds,
     }
-    print(json.dumps(out, default=str))
 
 
 if __name__ == "__main__":
