@@ -60,9 +60,14 @@ def main() -> None:
     ap.add_argument("--leiden-k", type=int, default=16384)
     ap.add_argument("--leiden-vertices", type=int, default=98_304)
     ap.add_argument("--leiden-rounds", type=int, default=8)
+    ap.add_argument("--ktruss-multiplier", type=int, default=8)
+    ap.add_argument("--ktruss-k", type=int, default=2048)
+    ap.add_argument("--ktruss-vertices", type=int, default=98_304)
+    ap.add_argument("--ktruss-truss-k", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--skip-coloring", action="store_true")
     ap.add_argument("--skip-leiden", action="store_true")
+    ap.add_argument("--skip-ktruss", action="store_true")
     args = ap.parse_args()
 
     from jobs.bench_symmetry import build_edges
@@ -85,7 +90,92 @@ def main() -> None:
 
     if not args.skip_leiden:
         _run_leiden(spark, args, out)
+
+    if not args.skip_ktruss:
+        _run_ktruss(spark, args, out)
     print(json.dumps(out, default=str))
+
+
+def _planted_edges(spark, multiplier: int, k: int, vertices: int):
+    """The bench_louvain planted-partition generator (shared by the
+    leiden and ktruss sections): ~95% of edges inside a hash-chosen
+    size-(vertices//k) community — near-clique pockets, so the graph
+    is triangle-RICH, unlike the uniform-hash bench_symmetry graph."""
+    size = vertices // k
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    m = spark.range(multiplier).select(F.col("id").alias("m"))
+    h1 = F.col("o_custkey") * 1009 + F.col("m") * 31
+    h2 = F.col("o_orderkey") * 2003 + F.col("m") * 17
+    h3 = F.col("o_orderkey") * 7919 + F.col("m") * 13
+    c_a = F.pmod(h3, F.lit(k))
+    cross = F.pmod(h1 + h2, F.lit(20)) == 0
+    c_b = F.when(cross, F.pmod(h3 + 1, F.lit(k))).otherwise(c_a)
+    url = lambda c, i: F.concat(
+        F.lit("site.com/c"), c.cast("string"), F.lit("v"), i.cast("string")
+    )
+    e = (
+        o.crossJoin(m)
+        .select(
+            url(c_a, F.pmod(h1, F.lit(size))).alias("src"),
+            url(c_b, F.pmod(h2, F.lit(size))).alias("dst"),
+        )
+        .repartition(64, "src")
+        .persist()
+    )
+    return e, e.count()
+
+
+def _run_ktruss(spark, args, out) -> None:
+    # --- ktruss: delta form vs recount form at a triangle-rich scale --
+    # The round-5 rewrite (graph/triangles.py::ktruss) picks the
+    # recount form below `recount_floor` triangle-edge rows and the
+    # delta-maintained form above it. This section runs BOTH forms on
+    # the same multi-round peel over a triangle-rich planted graph
+    # (forced via recount_floor=0 / huge) and asserts edge-for-edge
+    # identical fixpoints + identical round counts — the identical-
+    # iterates claim, verified at millions of triangles, plus both
+    # walls so the crossover is measured rather than argued.
+    from pagerankproject_spark.graph.triangles import ktruss
+    from pagerankproject_spark.ingest.edges import build_graph_tables
+
+    e, n_e = _planted_edges(
+        spark, args.ktruss_multiplier, args.ktruss_k, args.ktruss_vertices
+    )
+    g = build_graph_tables(spark, e)
+    kk = args.ktruss_truss_k
+    print(f"ktruss graph: {n_e} raw edges, k={kk}")
+
+    t0 = time.time()
+    res_d = ktruss(spark, g, k=kk, recount_floor=0)  # force delta
+    ed = res_d.edges.persist()
+    n_d = ed.count()
+    wall_d = time.time() - t0
+
+    t0 = time.time()
+    res_r = ktruss(spark, g, k=kk, recount_floor=10**18)  # force recount
+    er = res_r.edges.persist()
+    n_r = er.count()
+    wall_r = time.time() - t0
+
+    assert res_d.converged and res_r.converged
+    assert n_d == n_r, f"edge counts differ: delta {n_d} vs recount {n_r}"
+    diff = ed.join(er, ["a", "b", "support"], "left_anti").count()
+    assert diff == 0, f"{diff} delta edges missing from recount result"
+    assert res_d.rounds == res_r.rounds, (
+        f"round counts differ: {res_d.rounds} vs {res_r.rounds}"
+    )
+    print(f"ktruss k={kk}: delta {wall_d:.1f}s == recount {wall_r:.1f}s, "
+          f"{n_d} truss edges, {res_d.rounds} rounds, outputs identical")
+    out["ktruss"] = {
+        "edges_raw": n_e, "k": kk,
+        "truss_edges": n_d, "rounds": res_d.rounds,
+        "delta_wall_s": round(wall_d, 1),
+        "recount_wall_s": round(wall_r, 1),
+        "outputs_identical": True,
+    }
+    ed.unpersist(); er.unpersist(); e.unpersist()
 
 
 def _run_coloring(spark, edges, n_edges, out) -> None:
@@ -147,31 +237,10 @@ def _run_leiden(spark, args, out) -> None:
     from pagerankproject_spark.graph.metrics import modularity
     from pagerankproject_spark.ingest.edges import build_graph_tables
 
-    SF_DIR = "/root/testdata/sf0.1"
-    k, size = args.leiden_k, args.leiden_vertices // args.leiden_k
-    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
+    k = args.leiden_k
+    ledges, n_ledges = _planted_edges(
+        spark, args.leiden_multiplier, k, args.leiden_vertices
     )
-    m = spark.range(args.leiden_multiplier).select(F.col("id").alias("m"))
-    h1 = F.col("o_custkey") * 1009 + F.col("m") * 31
-    h2 = F.col("o_orderkey") * 2003 + F.col("m") * 17
-    h3 = F.col("o_orderkey") * 7919 + F.col("m") * 13
-    c_a = F.pmod(h3, F.lit(k))
-    cross = F.pmod(h1 + h2, F.lit(20)) == 0
-    c_b = F.when(cross, F.pmod(h3 + 1, F.lit(k))).otherwise(c_a)
-    url = lambda c, i: F.concat(
-        F.lit("site.com/c"), c.cast("string"), F.lit("v"), i.cast("string")
-    )
-    ledges = (
-        o.crossJoin(m)
-        .select(
-            url(c_a, F.pmod(h1, F.lit(size))).alias("src"),
-            url(c_b, F.pmod(h2, F.lit(size))).alias("dst"),
-        )
-        .repartition(64, "src")
-        .persist()
-    )
-    n_ledges = ledges.count()
     g = build_graph_tables(spark, ledges)
     n_lverts = g.vertices.count()
     print(f"leiden graph: {n_ledges} edges, {n_lverts} vertices, "
