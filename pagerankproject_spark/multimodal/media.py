@@ -9,13 +9,15 @@ whole record batches with zero per-row Python overhead. The batch
 never collects to the driver and the binary column is pruned away by
 Catalyst for queries that only read metadata.
 
-Codecs: PNG (8-bit, non-interlaced, non-palette) and uncompressed
-24/32-bit BMP decode NATIVELY — pure-python + stdlib zlib, no external
-dependency, exercised on real bytes in tests. JPEG/audio/video still
-need PIL/ffmpeg/librosa, which are NOT in this container, so those
-payloads raise ``NotImplementedError`` naming the dependency; with
-``fake=True`` the deterministic fake decoder additionally accepts the
-engine's own 16-byte test header (see ``fake_media_bytes``). The
+Codecs: PNG (8-bit, non-interlaced, non-palette), uncompressed
+24/32-bit BMP, and baseline-sequential JPEG (SOF0 — grayscale + YCbCr
+at any sampling, restart markers; see ``jpeg.py``, round 5) decode
+NATIVELY — pure-python + stdlib zlib, no external dependency,
+exercised on real bytes in tests. Progressive JPEG and audio/video
+still need PIL/ffmpeg/librosa, which are NOT in this container, so
+those payloads raise ``NotImplementedError`` naming the dependency;
+with ``fake=True`` the deterministic fake decoder additionally accepts
+the engine's own 16-byte test header (see ``fake_media_bytes``). The
 Spark-side plumbing (schemas, UDF signatures, batch iteration,
 partitioning) is identical on every path.
 """
@@ -242,12 +244,18 @@ def _decode_any(url: str, payload: bytes, fake: bool) -> tuple[int, int, int, fl
         return _decode_png(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        w, h, channels, buf = decode_jpeg(payload)
+        return w, h, channels, (sum(buf) / len(buf) if buf else 0.0)
     if payload[:4] == b"FAKE" and fake:
         return _decode_fake(url, payload)
     raise NotImplementedError(
-        f"no native codec for payload of {url} (PNG/BMP decode natively; "
-        "JPEG needs PIL, audio/video need ffmpeg/librosa; fake=True "
-        "accepts the deterministic FAKE test header)"
+        f"no native codec for payload of {url} (PNG/BMP/baseline-JPEG "
+        "decode natively; progressive JPEG needs PIL, audio/video need "
+        "ffmpeg/librosa; fake=True accepts the deterministic FAKE test "
+        "header)"
     )
 
 
@@ -257,11 +265,12 @@ def decode_media(
     """Decode media payloads -> (url, width, height, n_channels,
     mean_intensity) via Arrow-batched mapInPandas.
 
-    PNG and uncompressed BMP decode for real (pure python + stdlib
-    zlib, see _decode_png/_decode_bmp); JPEG/audio/video raise
-    NotImplementedError AT EXECUTION (per payload) naming the missing
-    codec, keeping the plan shape testable; fake=True additionally
-    accepts the deterministic FAKE test header.
+    PNG, uncompressed BMP, and baseline JPEG decode for real (pure
+    python + stdlib zlib, see _decode_png/_decode_bmp/jpeg.py);
+    progressive JPEG and audio/video raise NotImplementedError AT
+    EXECUTION (per payload) naming the missing codec, keeping the plan
+    shape testable; fake=True additionally accepts the deterministic
+    FAKE test header.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,12 +435,17 @@ def _raw_any(url: str, payload: bytes, fake: bool) -> tuple[int, int, int, bytes
         return _png_raw(payload)
     if payload[:2] == b"BM":
         return _bmp_raw(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] == b"FAKE" and fake:
         w, h, c = struct.unpack("<III", payload[4:16])
         return w, h, c, payload[16 : 16 + w * h * c]
     raise NotImplementedError(
-        f"no native codec for payload of {url} (PNG/BMP decode natively; "
-        "JPEG needs PIL; fake=True accepts the deterministic FAKE header)"
+        f"no native codec for payload of {url} (PNG/BMP/baseline-JPEG "
+        "decode natively; progressive JPEG needs PIL; fake=True accepts "
+        "the deterministic FAKE header)"
     )
 
 

@@ -1,0 +1,133 @@
+"""Native baseline-JPEG codec (multimodal/jpeg.py): real-byte
+round-trips through the pure-python encoder/decoder pair, profile
+stubs, and the Spark integration through the shared _raw_any /
+_decode_any dispatch (image hashing + decode_media over REAL JPEG
+payloads, no PIL anywhere)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pagerankproject_spark.multimodal.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+    encode_jpeg_rgb,
+)
+
+
+def _px(seed: str, n: int) -> bytes:
+    return bytes(
+        int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:2], 16)
+        for i in range(n)
+    )
+
+
+def test_gray_roundtrip_bounds():
+    """All-ones quantization leaves only the integer-DCT rounding:
+    every pixel within 2; a uniform block is exact (DC-only)."""
+    pix = _px("g", 256)
+    w, h, c, buf = decode_jpeg(encode_jpeg_gray(16, 16, pix))
+    assert (w, h, c) == (16, 16, 1)
+    assert max(abs(a - b) for a, b in zip(pix, buf)) <= 2
+
+    uni = bytes([77] * 256)
+    _, _, _, b2 = decode_jpeg(encode_jpeg_gray(16, 16, uni))
+    assert bytes(b2) == uni
+
+    # non-multiple-of-8 dimensions: padded blocks crop back exactly
+    pix3 = _px("g2", 13 * 11)
+    w, h, c, b3 = decode_jpeg(encode_jpeg_gray(13, 11, pix3))
+    assert (w, h, c) == (13, 11, 1)
+    assert max(abs(a - b) for a, b in zip(pix3, b3)) <= 2
+
+
+def test_restart_markers_roundtrip():
+    pix = _px("r", 256)
+    jp = encode_jpeg_gray(16, 16, pix, restart_interval=2)
+    assert b"\xff\xdd" in jp and b"\xff\xd0" in jp  # DRI + RST0 present
+    w, h, c, buf = decode_jpeg(jp)
+    assert max(abs(a - b) for a, b in zip(pix, buf)) <= 2
+
+
+def test_color_roundtrips():
+    rgb = _px("c", 16 * 16 * 3)
+    w, h, c, buf = decode_jpeg(encode_jpeg_rgb(16, 16, rgb, "444"))
+    assert (w, h, c) == (16, 16, 3)
+    # 4:4:4 loses only the fixed-point color matrix + DCT rounding
+    assert max(abs(a - b) for a, b in zip(rgb, buf)) <= 4
+
+    # 4:2:0 halves the chroma planes: faithful on a SMOOTH image
+    # (random noise would legitimately destroy chroma), and the MCU
+    # interleave + 2x2 upsample path is what's under test
+    w2, h2 = 24, 16
+    smooth = bytearray()
+    for y in range(h2):
+        for x in range(w2):
+            smooth += bytes(
+                [min(255, 10 * x), min(255, 12 * y), min(255, 5 * (x + y))]
+            )
+    ww, hh, cc, b2 = decode_jpeg(
+        encode_jpeg_rgb(w2, h2, bytes(smooth), "420")
+    )
+    assert (ww, hh, cc) == (w2, h2, 3)
+    assert max(abs(a - b) for a, b in zip(smooth, b2)) <= 12
+    mean = sum(abs(a - b) for a, b in zip(smooth, b2)) / len(smooth)
+    assert mean <= 4
+
+
+def test_determinism_and_stub_profiles():
+    pix = _px("d", 256)
+    jp = encode_jpeg_gray(16, 16, pix)
+    a = decode_jpeg(jp)
+    b = decode_jpeg(jp)
+    assert a[3] == b[3]  # bit-identical decode
+
+    # progressive (SOF2) is an honest named stub: flip the SOF0 marker
+    prog = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_spark_integration_hashing_and_metadata(spark):
+    """REAL JPEG bytes through the Spark surfaces: image_ahash equals
+    ahash_bits of the decoded buffer, exact twins pair at Hamming 0,
+    and decode_media reports the decoded mean — the same contract the
+    PNG path has had since round 4."""
+    from pagerankproject_spark.multimodal.media import (
+        ahash_bits,
+        decode_media,
+        image_ahash,
+        image_near_dup_ahash,
+    )
+
+    pix = _px("s", 256)
+    jp = encode_jpeg_gray(16, 16, pix)
+    rows = [
+        ("img://j1", jp),
+        ("img://j2", jp),  # exact twin
+        ("img://j3", encode_jpeg_gray(16, 16, _px("s9", 256))),
+    ]
+    df = spark.createDataFrame(rows, "url string, media binary")
+    hashes = image_ahash(df)
+    got = {r["url"]: r["ahash"] for r in hashes.collect()}
+    _, _, _, dec = decode_jpeg(jp)
+    assert got["img://j1"] == ahash_bits(16, 16, 1, bytes(dec))
+    assert got["img://j1"] == got["img://j2"]
+
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_ahash(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get(("img://j1", "img://j2")) == 0
+
+    meta = {
+        r["url"]: r for r in decode_media(df).collect()
+    }
+    m = meta["img://j1"]
+    assert (m["width"], m["height"], m["n_channels"]) == (16, 16, 1)
+    assert abs(m["mean_intensity"] - sum(dec) / len(dec)) < 1e-9
