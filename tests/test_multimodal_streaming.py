@@ -1089,3 +1089,66 @@ def test_stream_image_neardup_matches_batch(spark, tmp_path):
     )
     assert got == expected
     assert ("img://a", "img://a2", 0) in got  # cross-batch exact dup
+
+
+def test_audio_features_pcm_wav(spark):
+    """Native PCM-WAV decode + Arrow-batched audio features (round 5,
+    multimodal/audio.py): real WAV bytes round-trip with no ffmpeg,
+    features match a python replay exactly, and non-PCM codecs stay
+    honest named stubs."""
+    import math as _math
+
+    import pytest as _pytest
+
+    from pagerankproject_spark.multimodal.audio import (
+        audio_features,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    # deterministic triangle wave, stereo, 8 kHz
+    samples = []
+    for i in range(400):
+        v = (i % 100) - 50
+        samples += [v * 100, -v * 50]
+    wav = encode_wav_pcm16(8000, 2, samples)
+    ch, rate, frames, dec = decode_wav(wav)
+    assert (ch, rate, frames) == (2, 8000, 400) and dec == samples
+
+    silent = encode_wav_pcm16(16000, 1, [0] * 100)
+    df = spark.createDataFrame(
+        [("a://clip1", wav), ("a://silent", silent)],
+        "url string, media binary",
+    )
+    got = {r["url"]: r for r in audio_features(df).collect()}
+    r1 = got["a://clip1"]
+    assert (r1["sample_rate"], r1["n_channels"], r1["n_samples"]) == (
+        8000, 2, 400,
+    )
+    assert abs(r1["duration_s"] - 0.05) < 1e-12
+    want_rms = _math.sqrt(sum(v * v for v in samples) / len(samples))
+    assert abs(r1["rms"] - want_rms) < 1e-9
+    # channel-0 sign changes, python replay
+    c0 = [samples[2 * i] for i in range(400)]
+    zc, prev = 0, 0
+    for v in c0:
+        if v != 0:
+            if prev and (v > 0) != (prev > 0):
+                zc += 1
+            prev = v
+    assert r1["zero_crossings"] == zc
+    assert r1["peak"] == max(abs(v) for v in samples)
+    r2 = got["a://silent"]
+    assert r2["rms"] == 0.0 and r2["zero_crossings"] == 0 and r2["peak"] == 0
+
+    # honest stub: MP3-in-WAV names its codec
+    import struct as _struct
+
+    fmt_mp3 = _struct.pack("<HHIIHH", 0x55, 1, 4000, 4000, 1, 16)
+    wmp3 = (
+        b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt_mp3)) + fmt_mp3
+        + b"data" + _struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError, match="MP3"):
+        decode_wav(wmp3)
