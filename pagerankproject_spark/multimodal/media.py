@@ -88,11 +88,21 @@ def fake_media_bytes(url: str, width: int, height: int, channels: int = 3) -> by
 
 
 def sniff_mime_expr(bin_col: Column) -> Column:
-    """Magic-byte container sniffing — pure JVM expression."""
+    """Magic-byte container sniffing — pure JVM expression. RIFF
+    containers (round 5) disambiguate on the form-type at offset 8:
+    WAVE -> wav, 'AVI ' -> avi."""
     prefix = F.hex(F.substring(bin_col, 1, 4))
+    form = F.hex(F.substring(bin_col, 9, 4))
     out = F.lit("application/octet-stream")
     for magic, mime in reversed(_MAGIC):
         out = F.when(prefix.startswith(magic), F.lit(mime)).otherwise(out)
+    out = F.when(
+        prefix.startswith("52494646") & form.startswith("57415645"),
+        F.lit("audio/x-wav"),
+    ).when(
+        prefix.startswith("52494646") & form.startswith("41564920"),
+        F.lit("video/x-msvideo"),
+    ).otherwise(out)
     return out
 
 
@@ -327,21 +337,45 @@ def sample_video_frames(
     bin_col: str = "media",
     fake: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame (row
-    explosion inside mapInPandas — the batch shape real ffmpeg sampling
-    would have). Fake: 'frames' are fixed-size slices of the payload."""
+    """Frame-sampling: one output row per sampled frame (row explosion
+    inside mapInPandas — the batch shape real ffmpeg sampling has).
+
+    MJPEG-in-AVI payloads decode NATIVELY (round 5: RIFF walk in
+    video.py, every sampled frame through the baseline-JPEG decoder;
+    frame_sha is the sha256 of the DECODED pixel buffer, so the hash
+    proves the decode, not just the container walk). Other containers
+    (MP4/WebM/MKV) still need ffmpeg and raise per payload; fake=True
+    additionally accepts the deterministic FAKE header ('frames' =
+    fixed-size payload slices)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .video import mjpeg_avi_frames
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "video frame sampling needs ffmpeg; fake=True runs the "
-                    "deterministic stand-in"
-                )
             rows = []
             for u, p in zip(pdf[url_col], pdf[bin_col]):
-                payload = bytes(p)[16:]
-                chunks = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                payload = bytes(p)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    _, _, _, frames = mjpeg_avi_frames(payload)
+                    for idx in range(0, len(frames), every_n):
+                        _, _, _, buf = decode_jpeg(frames[idx])
+                        rows.append(
+                            (
+                                u,
+                                idx,
+                                hashlib.sha256(bytes(buf)).hexdigest()[:16],
+                            )
+                        )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "video frame sampling decodes MJPEG-AVI natively; "
+                        "MP4/WebM/MKV need ffmpeg; fake=True runs the "
+                        "deterministic stand-in"
+                    )
+                body = payload[16:]
+                chunks = [body[i : i + 64] for i in range(0, len(body), 64)]
                 for idx in range(0, len(chunks), every_n):
                     rows.append(
                         (u, idx, hashlib.sha256(chunks[idx]).hexdigest()[:16])

@@ -131,3 +131,53 @@ def test_spark_integration_hashing_and_metadata(spark):
     m = meta["img://j1"]
     assert (m["width"], m["height"], m["n_channels"]) == (16, 16, 1)
     assert abs(m["mean_intensity"] - sum(dec) / len(dec)) < 1e-9
+
+
+def test_mjpeg_avi_frame_sampling(spark):
+    """Native MJPEG-AVI frame sampling (round 5, multimodal/video.py):
+    real AVI bytes through the Spark sampler — frame_sha equals the
+    sha256 of each DECODED sampled frame (proving the per-frame JPEG
+    decode), every_n strides, non-AVI video still raises without
+    fake=True, and media_metadata sniffs the RIFF forms."""
+    import hashlib as _hl
+
+    from pagerankproject_spark.multimodal.audio import encode_wav_pcm16
+    from pagerankproject_spark.multimodal.media import (
+        media_metadata,
+        sample_video_frames,
+    )
+    from pagerankproject_spark.multimodal.video import (
+        encode_mjpeg_avi,
+        mjpeg_avi_frames,
+    )
+
+    frames = [encode_jpeg_gray(16, 16, _px(f"f{i}", 256)) for i in range(5)]
+    avi = encode_mjpeg_avi(16, 16, frames)
+    w, h, total, got = mjpeg_avi_frames(avi)
+    assert (w, h, total) == (16, 16, 5) and got == frames
+
+    df = spark.createDataFrame([("vid://a", avi)], "url string, media binary")
+    out = {
+        r["frame_idx"]: r["frame_sha"]
+        for r in sample_video_frames(df, every_n=2).collect()
+    }
+    assert sorted(out) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        _, _, _, buf = decode_jpeg(frames[idx])
+        assert out[idx] == _hl.sha256(bytes(buf)).hexdigest()[:16]
+
+    # non-AVI payload without fake: honest ffmpeg stub per payload
+    bad = spark.createDataFrame(
+        [("vid://mp4", b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8)],
+        "url string, media binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(bad, every_n=2).collect()
+
+    # RIFF form-type disambiguation in the JVM mime sniffer
+    wav = encode_wav_pcm16(8000, 1, [0, 1, -1, 0])
+    both = spark.createDataFrame(
+        [("a://w", wav), ("v://a", avi)], "url string, media binary"
+    )
+    mimes = {r["url"]: r["mime"] for r in media_metadata(both).collect()}
+    assert mimes == {"a://w": "audio/x-wav", "v://a": "video/x-msvideo"}
