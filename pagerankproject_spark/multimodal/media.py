@@ -304,8 +304,16 @@ def extract_image_features(
     bin_col: str = "media",
     fake: bool = False,
 ) -> DataFrame:
-    """Feature-extraction plumbing: payload -> fixed-dim float vector
-    (deterministic md5-chain fake in lieu of a real vision model)."""
+    """Feature extraction: payload -> fixed-dim float vector.
+
+    Round 5: natively-decodable payloads (PNG/BMP/baseline JPEG) get a
+    REAL classical descriptor — [mean/255, std/255, then (dim-2)
+    grayscale-histogram bin fractions] over per-pixel channel-sum
+    grays; integer counts with one division per entry, so the vector
+    is deterministic and usable as an embedding column for the
+    similarity/dedup family. Learned (vision-model) embeddings remain
+    out of scope in this container; fake=True keeps the md5-chain
+    stand-in for undecodable payloads and plumbing tests."""
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -313,19 +321,53 @@ def extract_image_features(
         ]
     )
 
+    def _classical(w: int, h: int, c: int, buf: bytes) -> list[float]:
+        n = w * h
+        grays = []
+        for i in range(n):
+            base = i * c
+            g = 0
+            for ch in range(c):
+                g += buf[base + ch]
+            grays.append(g // c)
+        s = sum(grays)
+        mean = s / n
+        var = sum((g - mean) ** 2 for g in grays) / n
+        bins = [0] * (dim - 2)
+        nb = dim - 2
+        for g in grays:
+            bins[g * nb // 256] += 1
+        return [mean / 255.0, (var ** 0.5) / 255.0] + [
+            b / n for b in bins
+        ]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image featurization needs a vision model; fake=True runs "
-                    "the deterministic stand-in"
-                )
             out = []
+            native_rows = []
             for u, p in zip(pdf[url_col], pdf[bin_col]):
-                d = hashlib.md5(bytes(p)).digest()
+                payload = bytes(p)
+                if (
+                    payload[:8] == _PNG_SIG
+                    or payload[:2] == b"BM"
+                    or payload[:3] == b"\xff\xd8\xff"
+                ):
+                    w, h, c, buf = _raw_any(u, payload, fake=False)
+                    native_rows.append((u, _classical(w, h, c, buf)))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "learned image embeddings need a vision model "
+                        "(decodable payloads get the classical "
+                        "histogram descriptor); fake=True runs the "
+                        "deterministic stand-in"
+                    )
+                d = hashlib.md5(payload).digest()
                 vec = [(d[i % 16] - 128) / 128.0 for i in range(dim)]
                 out.append((u, vec))
-            yield pd.DataFrame(out, columns=["url", "features"])
+            yield pd.DataFrame(
+                out + native_rows, columns=["url", "features"]
+            )
 
     return df.select(url_col, bin_col).mapInPandas(batches, schema)
 

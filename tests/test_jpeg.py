@@ -181,3 +181,47 @@ def test_mjpeg_avi_frame_sampling(spark):
     )
     mimes = {r["url"]: r["mime"] for r in media_metadata(both).collect()}
     assert mimes == {"a://w": "audio/x-wav", "v://a": "video/x-msvideo"}
+
+
+def test_classical_image_features_real_codecs(spark):
+    """extract_image_features over decodable payloads is a REAL
+    classical descriptor (round 5): [mean/255, std/255, histogram bin
+    fractions] on channel-sum grays — python-replayed exactly for a
+    JPEG payload, identical vectors for identical pixels across PNG
+    and JPEG carrying the same decoded buffer."""
+    from pagerankproject_spark.multimodal.media import (
+        encode_png_gray,
+        extract_image_features,
+    )
+
+    pix = _px("feat", 256)
+    jp = encode_jpeg_gray(16, 16, pix)
+    _, _, _, dec = decode_jpeg(jp)  # JPEG loses <=2/px: replay on DECODED
+    png_same = bytes(encode_png_gray(16, 16, bytes(dec)))
+    df = spark.createDataFrame(
+        [("img://jpg", jp), ("img://png", png_same)],
+        "url string, media binary",
+    )
+    got = {
+        r["url"]: r["features"]
+        for r in extract_image_features(df, dim=8).collect()
+    }
+    grays = list(dec)
+    n = len(grays)
+    mean = sum(grays) / n
+    var = sum((g - mean) ** 2 for g in grays) / n
+    bins = [0] * 6
+    for g in grays:
+        bins[g * 6 // 256] += 1
+    want = [mean / 255.0, (var ** 0.5) / 255.0] + [b / n for b in bins]
+    assert got["img://jpg"] == pytest.approx(want, abs=1e-12)
+    # PNG of the decoded pixels -> identical descriptor
+    assert got["img://png"] == got["img://jpg"]
+    assert abs(sum(got["img://jpg"][2:]) - 1.0) < 1e-12
+
+    # undecodable payload without fake: stub names the vision model
+    bad = spark.createDataFrame(
+        [("x://b", b"\x00\x01\x02\x03")], "url string, media binary"
+    )
+    with pytest.raises(Exception, match="vision model"):
+        extract_image_features(bad).collect()
