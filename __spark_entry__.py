@@ -2331,6 +2331,25 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash(imgs)
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical image descriptor per synthesized PNG (round 5):
+    [mean/255, std/255, 6 grayscale-histogram bin fractions] over the
+    decoded pixels, exploded to (url, idx, value) rows. Integer
+    moments with one IEEE division/sqrt per entry, so the DuckDB twin
+    replaying the same operation sequence from the pixel rule matches
+    bit-for-bit while the engine goes through the real PNG codec
+    (multimodal/media.py::extract_image_features)."""
+    from pagerankproject_spark.multimodal.media import (
+        extract_image_features,
+        synthesize_png_table,
+    )
+
+    imgs = synthesize_png_table(_read(spark, sf_dir, "documents"))
+    return extract_image_features(imgs, dim=8).select(
+        "url", F.posexplode("features").alias("idx", "value")
+    ).select("url", F.col("idx").cast("long").alias("idx"), "value")
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-slot scheduling: a proper coloring of the HOST
     co-link graph — hosts sharing an edge land in different slots, so
@@ -2424,7 +2443,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 164 keys are oracle-backed (DuckDB twin in oracle_sql(),
+    """All 165 keys are oracle-backed (DuckDB twin in oracle_sql(),
     or a documented rows-only/pytest gate for the non-SQL-expressible
     ones); every key, windowed or not, is re-verified locally by
     tools/check_contract.py against the same oracles.
@@ -2495,12 +2514,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "corpus_filter": q_corpus_filter,
-        # --- new this round: the composed five-method dedup report ---
+        # --- new this round: the composed five-method dedup report
+        #     and the classical image descriptor ---
         "dedup_report": q_dedup_report,
+        "image_features": q_image_features,
         # --- past the fold: driver-green in r1-r4, unchanged
-        #     (events_windowed + events_sessionize yielded their fill
-        #     slots to image_phash + dedup_report) ---
+        #     (corpus_filter + events_windowed + events_sessionize
+        #     yielded their fill slots to image_phash + dedup_report +
+        #     image_features) ---
+        "corpus_filter": q_corpus_filter,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "louvain_communities": q_louvain,
@@ -3038,6 +3060,29 @@ select url,
              else uv end)::bigint as dhash
 from id_bits""",
         "image_phash": _img_phash_sql(),
+        "image_features": f"""with {_IMG_PX_CTE},
+if_mom as (
+  select url, sum(px)::bigint as s, sum(px * px)::bigint as ss,
+         count(*)::bigint as n
+  from ia_px group by url
+),
+if_bincnt as (
+  select url, px * 6 // 256 as bin, count(*)::bigint as cnt
+  from ia_px group by 1, 2
+),
+if_allbins as (
+  select m.url, b.b as bin, m.n from if_mom m, unnest(range(0, 6)) b(b)
+),
+if_bins as (
+  select a.url, a.bin, coalesce(c.cnt, 0::bigint) as cnt, a.n
+  from if_allbins a left join if_bincnt c using (url, bin)
+)
+select url, 0::bigint as idx, s / n / 255.0 as value from if_mom
+union all
+select url, 1::bigint, sqrt((n * ss - s * s) / (n * n)) / 255.0
+from if_mom
+union all
+select url, (bin + 2)::bigint, cnt / n from if_bins""",
         "image_near_dup": f"""with {_IMG_AHASH_CTE},
 ind_band as (
   select url, uv, b.b as band,

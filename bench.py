@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # five-method dedup report
     "image_phash",
     "dedup_report",
+    "image_features",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",

@@ -322,6 +322,9 @@ def extract_image_features(
     )
 
     def _classical(w: int, h: int, c: int, buf: bytes) -> list[float]:
+        # integer moments first, floats only in the final divisions —
+        # the DuckDB twin replays the identical operation sequence, so
+        # the doubles match bit-for-bit
         n = w * h
         grays = []
         for i in range(n):
@@ -331,15 +334,17 @@ def extract_image_features(
                 g += buf[base + ch]
             grays.append(g // c)
         s = sum(grays)
-        mean = s / n
-        var = sum((g - mean) ** 2 for g in grays) / n
+        ss = sum(g * g for g in grays)
         bins = [0] * (dim - 2)
         nb = dim - 2
         for g in grays:
             bins[g * nb // 256] += 1
-        return [mean / 255.0, (var ** 0.5) / 255.0] + [
-            b / n for b in bins
-        ]
+        import math
+
+        return [
+            s / n / 255.0,
+            math.sqrt((n * ss - s * s) / (n * n)) / 255.0,
+        ] + [b / n for b in bins]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

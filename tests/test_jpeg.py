@@ -208,12 +208,14 @@ def test_classical_image_features_real_codecs(spark):
     }
     grays = list(dec)
     n = len(grays)
-    mean = sum(grays) / n
-    var = sum((g - mean) ** 2 for g in grays) / n
+    s = sum(grays)
+    ss = sum(g * g for g in grays)
     bins = [0] * 6
     for g in grays:
         bins[g * 6 // 256] += 1
-    want = [mean / 255.0, (var ** 0.5) / 255.0] + [b / n for b in bins]
+    want = [
+        s / n / 255.0, ((n * ss - s * s) / (n * n)) ** 0.5 / 255.0
+    ] + [b / n for b in bins]
     assert got["img://jpg"] == pytest.approx(want, abs=1e-12)
     # PNG of the decoded pixels -> identical descriptor
     assert got["img://png"] == got["img://jpg"]
