@@ -2350,6 +2350,23 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", F.col("idx").cast("long").alias("idx"), "value")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality/activity signals per synthesized REAL WAV clip
+    (round 5): rate/channels/frames/duration/rms/zero-crossings/peak
+    through the native PCM decoder. The fixture generator writes
+    256-frame mono PCM16 bytes from a pure-integer sample rule; the
+    oracle computes the features from the rule directly, so the WAV
+    encode->decode round-trip is inside the value check
+    (multimodal/audio.py::audio_features)."""
+    from pagerankproject_spark.multimodal.audio import (
+        audio_features,
+        synthesize_wav_table,
+    )
+
+    clips = synthesize_wav_table(_read(spark, sf_dir, "documents"))
+    return audio_features(clips)
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-slot scheduling: a proper coloring of the HOST
     co-link graph — hosts sharing an edge land in different slots, so
@@ -2443,7 +2460,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 165 keys are oracle-backed (DuckDB twin in oracle_sql(),
+    """All 166 keys are oracle-backed (DuckDB twin in oracle_sql(),
     or a documented rows-only/pytest gate for the non-SQL-expressible
     ones); every key, windowed or not, is re-verified locally by
     tools/check_contract.py against the same oracles.
@@ -2513,15 +2530,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_top10": q_search_top10,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        # --- new this round: the composed five-method dedup report
-        #     and the classical image descriptor ---
+        # --- new this round: the composed five-method dedup report,
+        #     the classical image descriptor, the audio features key ---
         "dedup_report": q_dedup_report,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         # --- past the fold: driver-green in r1-r4, unchanged
-        #     (corpus_filter + events_windowed + events_sessionize
-        #     yielded their fill slots to image_phash + dedup_report +
-        #     image_features) ---
+        #     (quality_score + corpus_filter + events_windowed +
+        #     events_sessionize yielded their fill slots to
+        #     image_phash + dedup_report + image_features +
+        #     audio_features) ---
+        "quality_score": q_quality_score,
         "corpus_filter": q_corpus_filter,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -3060,6 +3079,39 @@ select url,
              else uv end)::bigint as dhash
 from id_bits""",
         "image_phash": _img_phash_sql(),
+        "audio_features": """
+with aw as (
+  select 'wav://' || doc_id as url, t.i,
+         ((doc_id * 7 + t.i * 13) % 201) - 100 as v
+  from documents, unnest(range(0, 256)) t(i)
+),
+aw_mom as (
+  select url,
+         sum(v * v)::bigint as ss,
+         count(*)::bigint as n,
+         max(abs(v))::bigint as peak
+  from aw group by url
+),
+aw_zc as (
+  select url,
+         coalesce(sum(case when prev_sign is not null
+                            and sign(v) != prev_sign then 1 end), 0)::bigint
+           as zc
+  from (
+    select url, v,
+           lag(sign(v)) over (partition by url order by i) as prev_sign
+    from aw where v != 0
+  ) t group by url
+)
+select m.url,
+       8000::bigint as sample_rate,
+       1::bigint as n_channels,
+       m.n as n_samples,
+       m.n / 8000 as duration_s,
+       sqrt(m.ss / m.n) as rms,
+       z.zc as zero_crossings,
+       m.peak as peak
+from aw_mom m join aw_zc z using (url)""",
         "image_features": f"""with {_IMG_PX_CTE},
 if_mom as (
   select url, sum(px)::bigint as s, sum(px * px)::bigint as ss,

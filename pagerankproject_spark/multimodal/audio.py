@@ -112,6 +112,41 @@ def encode_wav_pcm16(
     return b"RIFF" + struct.pack("<I", len(out)) + out
 
 
+def synthesize_wav_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-WAV fixture generator for the audio contract
+    key (the synthesize_png_table pattern): per document a 256-frame
+    mono PCM16 clip at 8000 Hz whose samples follow the pure-integer
+    rule v_i = ((doc_id*7 + i*13) % 201) - 100. The DuckDB oracle
+    computes the features from this RULE directly; the engine goes
+    ENCODE -> DECODE through the real WAV writer/reader, so the codec
+    round-trip is inside the value-checked contract.
+
+    Output: (url, media) with url = 'wav://<id>' and media real WAV
+    bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                samples = [
+                    ((did * 7 + i * 13) % 201) - 100 for i in range(256)
+                ]
+                urls.append(f"wav://{did}")
+                blobs.append(encode_wav_pcm16(8000, 1, samples))
+            yield pd.DataFrame({"url": urls, "media": blobs})
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
