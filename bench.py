@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "image_phash",
     "dedup_report",
     "image_features",
+    "audio_features",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",
