@@ -227,3 +227,47 @@ def test_classical_image_features_real_codecs(spark):
     )
     with pytest.raises(Exception, match="vision model"):
         extract_image_features(bad).collect()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_fuzz_gray_roundtrip(w, h, seed):
+    """Property: any size x any pixels round-trips within the
+    integer-DCT bound and exact dimensions."""
+    pix = _px(f"z{seed}", w * h)
+    ww, hh, c, buf = decode_jpeg(encode_jpeg_gray(w, h, pix))
+    assert (ww, hh, c) == (w, h, 1)
+    assert len(buf) == w * h
+    assert max(abs(a - b) for a, b in zip(pix, buf)) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    channels=st.integers(1, 4),
+    frames=st.integers(1, 64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_fuzz_wav_roundtrip(channels, frames, rate, seed):
+    """Property: PCM16 WAV round-trips exactly for any channel count,
+    frame count, and sample values."""
+    from pagerankproject_spark.multimodal.audio import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    n = channels * frames
+    samples = [
+        int(hashlib.md5(f"w{seed}:{i}".encode()).hexdigest()[:4], 16) - 32768
+        for i in range(n)
+    ]
+    ch, r, fr, out = decode_wav(encode_wav_pcm16(rate, channels, samples))
+    assert (ch, r, fr) == (channels, rate, frames)
+    assert out == samples
