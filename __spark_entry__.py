@@ -2367,6 +2367,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips)
 
 
+def q_media_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM magic-byte mime sniffing over a MIXED fixture of real
+    container bytes (round 5 — closes SURVEY #41's pytest-only mime
+    gap): per document one payload cycling PNG / PCM-WAV / MJPEG-AVI /
+    opaque blob by doc_id % 4, each written by the engine's own native
+    encoder; media_metadata's sniffer (incl. the RIFF form-type
+    disambiguation) must classify every one. The oracle knows the
+    cycle, so the value check pins sniffer-on-real-bytes end-to-end
+    (multimodal/media.py::synthesize_mixed_media_table)."""
+    from pagerankproject_spark.multimodal.media import (
+        media_metadata,
+        synthesize_mixed_media_table,
+    )
+
+    mixed = synthesize_mixed_media_table(_read(spark, sf_dir, "documents"))
+    return media_metadata(mixed).select("url", "mime")
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-slot scheduling: a proper coloring of the HOST
     co-link graph — hosts sharing an edge land in different slots, so
@@ -2460,7 +2478,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 166 keys are oracle-backed (DuckDB twin in oracle_sql(),
+    """All 167 keys are oracle-backed (DuckDB twin in oracle_sql(),
     or a documented rows-only/pytest gate for the non-SQL-expressible
     ones); every key, windowed or not, is re-verified locally by
     tools/check_contract.py against the same oracles.
@@ -2528,18 +2546,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pages_by_indegree": q_top_pages_by_indegree,
         "url_search_score": q_url_search_score,
         "search_top10": q_search_top10,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         # --- new this round: the composed five-method dedup report,
-        #     the classical image descriptor, the audio features key ---
+        #     the classical image/audio feature keys, the mixed-container
+        #     mime sniff key ---
         "dedup_report": q_dedup_report,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "media_mime": q_media_mime,
         # --- past the fold: driver-green in r1-r4, unchanged
-        #     (quality_score + corpus_filter + events_windowed +
-        #     events_sessionize yielded their fill slots to
-        #     image_phash + dedup_report + image_features +
-        #     audio_features) ---
+        #     (text_stats + quality_score + corpus_filter +
+        #     events_windowed + events_sessionize yielded their fill
+        #     slots to image_phash + dedup_report + image_features +
+        #     audio_features + media_mime) ---
+        "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "corpus_filter": q_corpus_filter,
         "events_windowed": q_events_windowed,
@@ -3079,6 +3099,14 @@ select url,
              else uv end)::bigint as dhash
 from id_bits""",
         "image_phash": _img_phash_sql(),
+        "media_mime": """
+            select 'med://' || doc_id as url,
+                   case doc_id % 4
+                        when 0 then 'image/png'
+                        when 1 then 'audio/x-wav'
+                        when 2 then 'video/x-msvideo'
+                        else 'application/octet-stream' end as mime
+            from documents""",
         "audio_features": """
 with aw as (
   select 'wav://' || doc_id as url, t.i,

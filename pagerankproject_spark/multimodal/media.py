@@ -791,6 +791,55 @@ def image_phash(
     return df.select(url_col, bin_col).mapInPandas(run, schema)
 
 
+def synthesize_mixed_media_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MIXED-container fixture for the mime-sniff
+    contract key (round 5): per document one REAL payload cycling
+    through the native codec family by doc_id % 4 — PNG (pixel rule),
+    PCM16 WAV (sample rule), single-frame MJPEG AVI, and an opaque
+    non-container blob. The DuckDB oracle knows the cycle, so the
+    value check verifies the JVM magic-byte sniffer classifies real
+    bytes of every container correctly.
+
+    Output: (url, media) with url = 'med://<id>'."""
+    from .audio import encode_wav_pcm16
+    from .jpeg import encode_jpeg_gray
+    from .video import encode_mjpeg_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, blobs = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                kind = did % 4
+                if kind == 0:
+                    px = bytes((did * 31 + i * 7) % 256 for i in range(64))
+                    payload = bytes(encode_png_gray(8, 8, px))
+                elif kind == 1:
+                    samples = [((did + i * 3) % 101) - 50 for i in range(32)]
+                    payload = encode_wav_pcm16(8000, 1, samples)
+                elif kind == 2:
+                    px = bytes((did * 13 + i * 5) % 256 for i in range(64))
+                    payload = encode_mjpeg_avi(
+                        8, 8, [encode_jpeg_gray(8, 8, px)]
+                    )
+                else:
+                    payload = b"\x00BLOB" + did.to_bytes(8, "big")
+                urls.append(f"med://{did}")
+                blobs.append(payload)
+            yield pd.DataFrame({"url": urls, "media": blobs})
+
+    return docs.select(id_col).mapInPandas(synth, schema)
+
+
 def dhash_bits(w: int, h: int, channels: int, buf: bytes) -> int:
     """64-bit difference hash (Krawetz's dHash, public): resample to an
     8-row x 9-column grid of cell mean grays (exact Fractions, pixel
