@@ -2489,13 +2489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never appeared in any driver CORRECTNESS window (the 11 past
     round-4's fold + the 9 added late in round 4) lead, so one green
     CORRECTNESS_r05 makes every registered key driver-verified at
-    least once. The two keys ADDED this round (image_phash at 21,
-    dedup_report at 50) sit inside the window too; the remaining 28
-    slots re-prove the core (pagerank, CC, LPA, triangles, the
-    dedup/ANN family, search, events) — including ktruss, the only
-    operator whose implementation changes this round (small-scale
-    recount floor, VERDICT r4 item 2). Keys past the fold are all
-    driver-green in r1-r4 and unchanged."""
+    least once. The six keys ADDED this round (image_phash at 21;
+    dedup_report, image_features, audio_features, media_mime at 47-50;
+    dedup_report's matrix composes five old operators) sit inside the
+    window too; the remaining 24 slots re-prove the core (pagerank,
+    CC, LPA, triangles, the dedup/ANN family, search) — including
+    ktruss, the only operator whose implementation changes this round
+    (small-scale recount floor, VERDICT r4 item 2). Keys past the
+    fold are all driver-green in r1-r4 and unchanged."""
     return {
         # --- round-5 driver window: the final 20 never-driver-verified
         #     keys (all pass tools/check_contract.py locally) ---
