@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_report",
     "image_features",
     "audio_features",
+    "media_mime",
     "pq_codes",
     "pq_adc_topk",
     "boruvka_msf",
